@@ -1,0 +1,86 @@
+"""Multi-chip sharding: the sharded renderer must equal the single-chip
+renderer (rows use global RNG seeds; sample-axis frames partition exactly)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wgpu_path_tracing_tpu.models.procedural import cornell_box
+from wgpu_path_tracing_tpu.models.types import pack_device_scene
+from wgpu_path_tracing_tpu.parallel import shard as SH
+from wgpu_path_tracing_tpu.render import pipeline
+from wgpu_path_tracing_tpu.render.camera import Camera
+
+WIDTH = HEIGHT = 32
+SPP = 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = cornell_box()
+    dev = pack_device_scene(scene)
+    cam = pipeline.camera_device(
+        Camera(width=WIDTH, height=HEIGHT).as_pytree(), WIDTH, HEIGHT
+    )
+    kwargs = dict(
+        n_frames=SPP,
+        width=WIDTH,
+        height=HEIGHT,
+        use_dof=True,
+        rng_mode="reference",
+        max_bounces=8,
+        do_mis=True,
+        num_lights=scene.num_lights,
+        firefly_clamp=2.5,
+        intersector="brute",
+        brute_max_tris=512,
+        leaf_size=4,
+    )
+    accum0 = jnp.zeros((WIDTH * HEIGHT, 3), jnp.float32)
+    ref, ref_counters = pipeline.render_chunk(
+        dev, cam, accum0, jnp.int32(0), **kwargs
+    )
+    return scene, dev, cam, kwargs, np.asarray(ref), np.asarray(ref_counters)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (4, 2), (1, 1)])
+def test_sharded_matches_single_chip(setup, mesh_shape):
+    scene, dev, cam, kwargs, ref, ref_counters = setup
+    s, r = mesh_shape
+    if s * r > len(jax.devices()):
+        pytest.skip("not enough devices")
+    mesh = SH.make_mesh(jax.devices()[: s * r], sample_shards=s)
+
+    scene_rep = SH.replicate_scene(dev, mesh)
+    accum = SH.shard_accum(jnp.zeros((WIDTH * HEIGHT, 3), jnp.float32), mesh)
+    out, counters = SH.render_chunk_sharded(
+        scene_rep, cam, accum, jnp.int32(0), mesh=mesh, **kwargs
+    )
+    out = SH.gather_image(out)
+
+    # Same frames, same seeds -> same image up to f32 summation order.
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(counters), ref_counters)
+
+
+def test_sharded_accumulation_across_chunks(setup):
+    scene, dev, cam, kwargs, _, _ = setup
+    mesh = SH.make_mesh(jax.devices(), sample_shards=2)
+    scene_rep = SH.replicate_scene(dev, mesh)
+    accum = SH.shard_accum(jnp.zeros((WIDTH * HEIGHT, 3), jnp.float32), mesh)
+
+    # Two chunks of SPP frames == one single-chip pass of 2*SPP frames.
+    out, _ = SH.render_chunk_sharded(
+        scene_rep, cam, accum, jnp.int32(0), mesh=mesh, **kwargs
+    )
+    out, _ = SH.render_chunk_sharded(
+        scene_rep, cam, out, jnp.int32(SPP), mesh=mesh, **kwargs
+    )
+    out = SH.gather_image(out)
+
+    kwargs2 = dict(kwargs, n_frames=2 * SPP)
+    ref2, _ = pipeline.render_chunk(
+        dev, cam, jnp.zeros((WIDTH * HEIGHT, 3), jnp.float32), jnp.int32(0), **kwargs2
+    )
+    np.testing.assert_allclose(out, np.asarray(ref2), rtol=1e-4, atol=1e-5)

@@ -1,0 +1,191 @@
+"""Procedural test scenes.
+
+The reference ships sample scenes as .glb files (public/models/, SURVEY.md §4)
+and its default scene is a Cornell box (renderer.ts:544 loads
+``/models/cornell.glb``, which is stripped from the mirror). This module
+builds an equivalent Cornell box procedurally so the framework has a
+self-contained default/benchmark scene, framed for the reference's default
+camera at (0, 1, 2.8) looking down -Z with fov pi/3 (renderer.ts:137-149).
+
+Also provides small analytic scenes used by tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from wgpu_path_tracing_tpu.models.assemble import finalize_scene
+from wgpu_path_tracing_tpu.models.types import SceneArrays
+
+
+def _quad(p0, p1, p2, p3):
+    """Two CCW triangles for quad p0-p1-p2-p3 (normal by right-hand rule)."""
+    p0, p1, p2, p3 = (np.asarray(p, np.float64) for p in (p0, p1, p2, p3))
+    n = np.cross(p1 - p0, p3 - p0)
+    n = n / np.linalg.norm(n)
+    tris = [(p0, p1, p2), (p0, p2, p3)]
+    uvs = [((0, 0), (1, 0), (1, 1)), ((0, 0), (1, 1), (0, 1))]
+    return tris, uvs, n
+
+
+def _box(center, size, yaw=0.0):
+    """Axis-aligned box rotated by ``yaw`` about +Y, outward normals."""
+    cx, cy, cz = center
+    sx, sy, sz = (s / 2 for s in size)
+    c, s = np.cos(yaw), np.sin(yaw)
+
+    def rot(p):
+        x, y, z = p
+        return (cx + c * x + s * z, cy + y, cz - s * x + c * z)
+
+    # corners: (+-sx, +-sy, +-sz)
+    faces = [
+        # +X
+        ((sx, -sy, sz), (sx, -sy, -sz), (sx, sy, -sz), (sx, sy, sz)),
+        # -X
+        ((-sx, -sy, -sz), (-sx, -sy, sz), (-sx, sy, sz), (-sx, sy, -sz)),
+        # +Y
+        ((-sx, sy, sz), (sx, sy, sz), (sx, sy, -sz), (-sx, sy, -sz)),
+        # -Y
+        ((-sx, -sy, -sz), (sx, -sy, -sz), (sx, -sy, sz), (-sx, -sy, sz)),
+        # +Z
+        ((-sx, -sy, sz), (sx, -sy, sz), (sx, sy, sz), (-sx, sy, sz)),
+        # -Z
+        ((sx, -sy, -sz), (-sx, -sy, -sz), (-sx, sy, -sz), (sx, sy, -sz)),
+    ]
+    out = []
+    for f in faces:
+        out.append(_quad(*(rot(p) for p in f)))
+    return out
+
+
+def cornell_box(
+    light_emission=(1.0, 0.9, 0.7),
+    light_strength: float = 5.0,
+    max_leaf_size: int = 4,
+    num_bins: int = 12,
+) -> SceneArrays:
+    """A classic Cornell box: white floor/ceiling/back, red left wall, green
+    right wall, one emissive ceiling quad, one tall and one short box.
+
+    Interior spans x in [-1, 1], y in [0, 2], z in [-1, 1]; the open side
+    faces +Z toward the default camera.
+    """
+    quads = []  # (quad, material_index)
+
+    white, red, green = 0, 1, 2
+    light_mat, tall_mat, short_mat = 3, 0, 0
+
+    # floor (+Y normal)
+    quads.append((_quad((-1, 0, 1), (1, 0, 1), (1, 0, -1), (-1, 0, -1)), white))
+    # ceiling (-Y normal)
+    quads.append((_quad((-1, 2, -1), (1, 2, -1), (1, 2, 1), (-1, 2, 1)), white))
+    # back wall (+Z normal)
+    quads.append((_quad((-1, 0, -1), (1, 0, -1), (1, 2, -1), (-1, 2, -1)), white))
+    # left wall (+X normal, red)
+    quads.append((_quad((-1, 0, 1), (-1, 0, -1), (-1, 2, -1), (-1, 2, 1)), red))
+    # right wall (-X normal, green)
+    quads.append((_quad((1, 0, 1), (1, 0, -1), (1, 2, -1), (1, 2, 1)), green))
+    # light quad just below the ceiling (-Y normal)
+    ly = 1.98
+    quads.append(
+        (_quad((-0.3, ly, -0.3), (0.3, ly, -0.3), (0.3, ly, 0.3), (-0.3, ly, 0.3)),
+         light_mat)
+    )
+
+    # Boxes
+    for face in _box((-0.4, 0.6, -0.35), (0.55, 1.2, 0.55), yaw=np.radians(18)):
+        quads.append((face, tall_mat))
+    for face in _box((0.45, 0.3, 0.3), (0.55, 0.6, 0.55), yaw=np.radians(-17)):
+        quads.append((face, short_mat))
+
+    v0, v1, v2, n0, n1, n2, uv0, uv1, uv2, mat = [], [], [], [], [], [], [], [], [], []
+    for (tris, uvs, n), m in quads:
+        for (a, b, c), (ua, ub, uc) in zip(tris, uvs):
+            v0.append(a)
+            v1.append(b)
+            v2.append(c)
+            n0.append(n)
+            n1.append(n)
+            n2.append(n)
+            uv0.append(ua)
+            uv1.append(ub)
+            uv2.append(uc)
+            mat.append(m)
+
+    f32 = np.float32
+    # Materials: diffuse walls use metallic 0, roughness 1
+    # (gpu.ts:358-421 material assembly; emission via emissiveFactor +
+    # KHR_materials_emissive_strength).
+    base = np.array(
+        [[0.73, 0.73, 0.73], [0.65, 0.05, 0.05], [0.12, 0.45, 0.15], [0.0, 0.0, 0.0]],
+        f32,
+    )
+    metallic = np.array([0.0, 0.0, 0.0, 0.0], f32)
+    roughness = np.array([1.0, 1.0, 1.0, 1.0], f32)
+    emission = np.array(
+        [[0, 0, 0], [0, 0, 0], [0, 0, 0], list(light_emission)], f32
+    )
+    estrength = np.array([0.0, 0.0, 0.0, light_strength], f32)
+    ior = np.array([1.5] * 4, f32)
+    transmission = np.array([0.0] * 4, f32)
+
+    return finalize_scene(
+        np.array(v0, f32), np.array(v1, f32), np.array(v2, f32),
+        np.array(n0, f32), np.array(n1, f32), np.array(n2, f32),
+        np.array(uv0, f32), np.array(uv1, f32), np.array(uv2, f32),
+        np.array(mat, np.int32),
+        base, metallic, roughness, emission, estrength, ior, transmission,
+        max_leaf_size=max_leaf_size, num_bins=num_bins,
+    )
+
+
+def single_triangle(
+    v0=(-1.0, -1.0, -3.0),
+    v1=(1.0, -1.0, -3.0),
+    v2=(0.0, 1.0, -3.0),
+) -> SceneArrays:
+    """One diffuse triangle; used by intersection unit tests."""
+    f32 = np.float32
+    n = np.cross(np.subtract(v1, v0), np.subtract(v2, v0))
+    n = (n / np.linalg.norm(n)).astype(f32)
+    return finalize_scene(
+        np.array([v0], f32), np.array([v1], f32), np.array([v2], f32),
+        np.array([n], f32), np.array([n], f32), np.array([n], f32),
+        np.zeros((1, 2), f32), np.zeros((1, 2), f32), np.zeros((1, 2), f32),
+        np.zeros(1, np.int32),
+        np.array([[0.8, 0.8, 0.8]], f32),
+        np.zeros(1, f32), np.ones(1, f32),
+        np.zeros((1, 3), f32), np.zeros(1, f32),
+        np.full(1, 1.5, f32), np.zeros(1, f32),
+    )
+
+
+def random_triangles(
+    n: int, seed: int = 0, extent: float = 10.0, tri_size: float = 0.5
+) -> SceneArrays:
+    """A cloud of random diffuse triangles plus one emissive one — used for
+    BVH traversal stress tests and large-scene benchmarks."""
+    rng = np.random.default_rng(seed)
+    f32 = np.float32
+    base = rng.uniform(-extent, extent, (n, 3))
+    v0 = base
+    v1 = base + rng.uniform(-tri_size, tri_size, (n, 3))
+    v2 = base + rng.uniform(-tri_size, tri_size, (n, 3))
+    nrm = np.cross(v1 - v0, v2 - v0)
+    ln = np.linalg.norm(nrm, axis=1, keepdims=True)
+    ln[ln == 0] = 1
+    nrm = nrm / ln
+    uv = rng.uniform(0, 1, (n, 2))
+    mats = np.zeros(n, np.int32)
+    mats[0] = 1  # one emissive triangle
+    return finalize_scene(
+        v0.astype(f32), v1.astype(f32), v2.astype(f32),
+        nrm.astype(f32), nrm.astype(f32), nrm.astype(f32),
+        uv.astype(f32), uv.astype(f32), uv.astype(f32),
+        mats,
+        np.array([[0.7, 0.7, 0.7], [0, 0, 0]], f32),
+        np.zeros(2, f32), np.ones(2, f32),
+        np.array([[0, 0, 0], [1, 1, 1]], f32), np.array([0.0, 4.0], f32),
+        np.full(2, 1.5, f32), np.zeros(2, f32),
+    )

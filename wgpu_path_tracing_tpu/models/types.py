@@ -1,0 +1,224 @@
+"""Scene data structures.
+
+Host side, the scene is plain-NumPy SoA (``SceneArrays``), mirroring the CPU
+structs of the reference (gpu.ts:10-65 — TriangleCPU / MaterialCPU /
+LightCPU / SceneData) but columnar rather than array-of-objects.
+
+Device side (``DeviceScene``), arrays are packed into a handful of wide f32
+tables so each hot-loop gather fetches one row:
+
+* ``tri_isect``  (T, 9)  = [v0, e1, e2]           — intersection only
+  (edges precomputed; pt.wgsl:128-129 derives them per test)
+* ``tri_shade``  (T, 28) = [v0,v1,v2,n0,n1,n2,uv0,uv1,uv2,mat] — fetched once
+  per bounce for the winning triangle (pt.wgsl:28-39 Triangle layout)
+* ``materials``  (M, 26) = [baseColor(3), metallic, roughness, emission(3),
+  emissiveStrength, ior, transmission, albedoRect(4), normalRect(4),
+  pbrRect(4), emissiveRect(4)]                    — pt.wgsl:14-26 Material
+* ``lights``     (L, 9)  = [position(3), type, color(3), intensity, triIndex]
+  — pt.wgsl:45-51 Light (directional stores direction in position,
+  gpu.ts:212)
+* ``bvh_aabb``   (B, 6) f32 and ``bvh_meta`` (B, 4) i32 = [left, right,
+  triangleOffset, triangleCount]                  — pt.wgsl:67-78 BVHNode
+* ``atlas``      (Ah, Aw, 4) f32 — rgba16float atlas texture equivalent
+  (renderer.ts:246-253); rects are in pixels (atlas.ts:25-30)
+
+Atlas rect coordinates are stored as f32 inside the material rows (pixel
+coordinates are exactly representable), so one material gather fetches
+everything.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+LIGHT_TYPE_EMISSIVE = 0  # pt.wgsl:41
+LIGHT_TYPE_DIRECTIONAL = 1  # pt.wgsl:42
+LIGHT_TYPE_POINT = 2  # pt.wgsl:43
+
+# Column offsets within the packed material row (DeviceScene.materials).
+MAT_BASE_COLOR = 0  # 3
+MAT_METALLIC = 3
+MAT_ROUGHNESS = 4
+MAT_EMISSION = 5  # 3
+MAT_EMISSIVE_STRENGTH = 8
+MAT_IOR = 9
+MAT_TRANSMISSION = 10
+MAT_ALBEDO_RECT = 11  # 4: x, y, w, h (pixels)
+MAT_NORMAL_RECT = 15  # 4
+MAT_PBR_RECT = 19  # 4
+MAT_EMISSIVE_RECT = 23  # 4
+MAT_COLS = 27
+
+# Column offsets within the packed triangle shade row (DeviceScene.tri_shade).
+TRI_V0 = 0  # 3
+TRI_V1 = 3  # 3
+TRI_V2 = 6  # 3
+TRI_N0 = 9  # 3
+TRI_N1 = 12  # 3
+TRI_N2 = 15  # 3
+TRI_UV0 = 18  # 2
+TRI_UV1 = 20  # 2
+TRI_UV2 = 22  # 2
+TRI_MAT = 24
+TRI_COLS = 25
+
+# Column offsets within the packed light row (DeviceScene.lights).
+LGT_POSITION = 0  # 3
+LGT_TYPE = 3
+LGT_COLOR = 4  # 3
+LGT_INTENSITY = 7
+LGT_TRI = 8
+LGT_COLS = 9
+
+
+@dataclasses.dataclass
+class SceneArrays:
+    """Host-side columnar scene (all NumPy).
+
+    Triangle order is the BVH-sorted order (buildBVH reorders triangles in
+    place — bvh.ts:53-157, and emissive lights are extracted AFTER the
+    reorder so light.triangleIndex refers to sorted positions, gpu.ts:119-138).
+    """
+
+    # Triangles (T, ...)
+    tri_v0: np.ndarray
+    tri_v1: np.ndarray
+    tri_v2: np.ndarray
+    tri_n0: np.ndarray
+    tri_n1: np.ndarray
+    tri_n2: np.ndarray
+    tri_uv0: np.ndarray
+    tri_uv1: np.ndarray
+    tri_uv2: np.ndarray
+    tri_mat: np.ndarray  # (T,) int32
+
+    # Materials (M, ...)
+    mat_base_color: np.ndarray  # (M, 3)
+    mat_metallic: np.ndarray  # (M,)
+    mat_roughness: np.ndarray
+    mat_emission: np.ndarray  # (M, 3)
+    mat_emissive_strength: np.ndarray
+    mat_ior: np.ndarray
+    mat_transmission: np.ndarray
+    mat_albedo_rect: np.ndarray  # (M, 4) int32 pixels
+    mat_normal_rect: np.ndarray
+    mat_pbr_rect: np.ndarray
+    mat_emissive_rect: np.ndarray
+
+    # Lights (L, ...)
+    light_position: np.ndarray  # (L, 3)
+    light_type: np.ndarray  # (L,) int32
+    light_color: np.ndarray  # (L, 3)
+    light_intensity: np.ndarray  # (L,)
+    light_tri: np.ndarray  # (L,) int32
+
+    # BVH (B, ...)
+    bvh_aabb_min: np.ndarray  # (B, 3)
+    bvh_aabb_max: np.ndarray  # (B, 3)
+    bvh_meta: np.ndarray  # (B, 4) int32: left, right, offset, count
+
+    # Texture atlas (Ah, Aw, 4) float32, or None if the scene is untextured.
+    atlas: np.ndarray | None = None
+
+    @property
+    def num_triangles(self) -> int:
+        return int(self.tri_v0.shape[0])
+
+    @property
+    def num_materials(self) -> int:
+        return int(self.mat_base_color.shape[0])
+
+    @property
+    def num_lights(self) -> int:
+        return int(self.light_position.shape[0])
+
+    def validate(self) -> "SceneArrays":
+        t, m = self.num_triangles, self.num_materials
+        assert self.tri_mat.shape == (t,)
+        assert t == 0 or (self.tri_mat.min() >= 0 and self.tri_mat.max() < m)
+        for rect in (
+            self.mat_albedo_rect,
+            self.mat_normal_rect,
+            self.mat_pbr_rect,
+            self.mat_emissive_rect,
+        ):
+            assert rect.shape == (m, 4)
+        lt = self.light_tri
+        assert lt.shape == (self.num_lights,)
+        assert self.bvh_meta.shape[1] == 4
+        return self
+
+
+def pack_device_scene(scene: SceneArrays):
+    """Build the packed device tables (as NumPy; caller moves them to jnp).
+
+    Returns a dict pytree: tri_isect, tri_shade, materials, lights, bvh_aabb,
+    bvh_meta, atlas.
+    """
+    t = scene.num_triangles
+    tri_isect = np.zeros((max(t, 1), 9), np.float32)
+    tri_shade = np.zeros((max(t, 1), TRI_COLS), np.float32)
+    if t:
+        tri_isect[:t, 0:3] = scene.tri_v0
+        tri_isect[:t, 3:6] = scene.tri_v1 - scene.tri_v0  # e1
+        tri_isect[:t, 6:9] = scene.tri_v2 - scene.tri_v0  # e2
+        tri_shade[:t, TRI_V0 : TRI_V0 + 3] = scene.tri_v0
+        tri_shade[:t, TRI_V1 : TRI_V1 + 3] = scene.tri_v1
+        tri_shade[:t, TRI_V2 : TRI_V2 + 3] = scene.tri_v2
+        tri_shade[:t, TRI_N0 : TRI_N0 + 3] = scene.tri_n0
+        tri_shade[:t, TRI_N1 : TRI_N1 + 3] = scene.tri_n1
+        tri_shade[:t, TRI_N2 : TRI_N2 + 3] = scene.tri_n2
+        tri_shade[:t, TRI_UV0 : TRI_UV0 + 2] = scene.tri_uv0
+        tri_shade[:t, TRI_UV1 : TRI_UV1 + 2] = scene.tri_uv1
+        tri_shade[:t, TRI_UV2 : TRI_UV2 + 2] = scene.tri_uv2
+        tri_shade[:t, TRI_MAT] = scene.tri_mat.astype(np.float32)
+
+    m = scene.num_materials
+    materials = np.zeros((max(m, 1), MAT_COLS), np.float32)
+    if m:
+        materials[:m, MAT_BASE_COLOR : MAT_BASE_COLOR + 3] = scene.mat_base_color
+        materials[:m, MAT_METALLIC] = scene.mat_metallic
+        materials[:m, MAT_ROUGHNESS] = scene.mat_roughness
+        materials[:m, MAT_EMISSION : MAT_EMISSION + 3] = scene.mat_emission
+        materials[:m, MAT_EMISSIVE_STRENGTH] = scene.mat_emissive_strength
+        materials[:m, MAT_IOR] = scene.mat_ior
+        materials[:m, MAT_TRANSMISSION] = scene.mat_transmission
+        materials[:m, MAT_ALBEDO_RECT : MAT_ALBEDO_RECT + 4] = scene.mat_albedo_rect
+        materials[:m, MAT_NORMAL_RECT : MAT_NORMAL_RECT + 4] = scene.mat_normal_rect
+        materials[:m, MAT_PBR_RECT : MAT_PBR_RECT + 4] = scene.mat_pbr_rect
+        materials[:m, MAT_EMISSIVE_RECT : MAT_EMISSIVE_RECT + 4] = (
+            scene.mat_emissive_rect
+        )
+
+    n_lights = scene.num_lights
+    lights = np.zeros((max(n_lights, 1), LGT_COLS), np.float32)
+    if n_lights:
+        lights[:n_lights, LGT_POSITION : LGT_POSITION + 3] = scene.light_position
+        lights[:n_lights, LGT_TYPE] = scene.light_type.astype(np.float32)
+        lights[:n_lights, LGT_COLOR : LGT_COLOR + 3] = scene.light_color
+        lights[:n_lights, LGT_INTENSITY] = scene.light_intensity
+        lights[:n_lights, LGT_TRI] = scene.light_tri.astype(np.float32)
+
+    b = scene.bvh_meta.shape[0]
+    bvh_aabb = np.zeros((max(b, 1), 6), np.float32)
+    bvh_meta = np.zeros((max(b, 1), 4), np.int32)
+    if b:
+        bvh_aabb[:b, 0:3] = scene.bvh_aabb_min
+        bvh_aabb[:b, 3:6] = scene.bvh_aabb_max
+        bvh_meta[:b] = scene.bvh_meta.astype(np.int32)
+
+    atlas = scene.atlas
+    if atlas is None:
+        atlas = np.zeros((1, 1, 4), np.float32)
+
+    return {
+        "tri_isect": tri_isect,
+        "tri_shade": tri_shade,
+        "materials": materials,
+        "lights": lights,
+        "bvh_aabb": bvh_aabb,
+        "bvh_meta": bvh_meta,
+        "atlas": np.asarray(atlas, np.float32),
+    }

@@ -1,0 +1,83 @@
+"""Primary ray generation (device-side).
+
+Reimplements the ray setup of the compute entry point (pt.wgsl:713-750):
+
+* per-pixel RNG seeded from (x, y, frame) (pt.wgsl:719 -> random.wgsl:3-5),
+* jittered pixel position (pt.wgsl:723): pixel = (x + rand(), y + rand()),
+* pinhole direction: forward + uv.x·right·tan(fov/2)·aspect +
+  uv.y·up·tan(fov/2), normalized (pt.wgsl:727-731) — NOTE uv.y grows with
+  pixel row, so buffer row 0 is the BOTTOM of the view; the display blit
+  flips (blit.wgsl:149-151) and so does our PNG writer,
+* thin-lens depth of field when aperture > 0 (pt.wgsl:736-748): focal point
+  at focus_distance along the ideal ray; origin jittered on the aperture
+  disc (r = sqrt(rand())·aperture, θ = rand()·2π in the right/up plane).
+
+Whether DoF runs is static (the aperture is a host camera parameter), but
+RNG draws for it happen for every pixel when enabled, exactly like the
+uniform-control-flow WGSL.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from wgpu_path_tracing_tpu.ops import rng as RNG
+
+PI = 3.14159265359
+
+
+def _normalize(v):
+    return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+
+
+def pixel_grid(width: int, height: int, row_offset: int = 0):
+    """Pixel integer coords for a (height, width) tile, flattened row-major
+    (buffer index = y * width + x, pt.wgsl:753). ``row_offset`` shifts y for
+    sharded row tiles so RNG seeds stay globally consistent."""
+    y, x = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.int32) + row_offset,
+        jnp.arange(width, dtype=jnp.int32),
+        indexing="ij",
+    )
+    return x.reshape(-1), y.reshape(-1)
+
+
+def generate_rays(cam, x, y, frame, *, use_dof: bool, rng_mode: str = "reference"):
+    """Returns (ro (N,3), rd (N,3), rng state (N,))."""
+    if rng_mode == "reference":
+        state = RNG.seed_pixel(x, y, frame)
+    else:
+        state = RNG.hash_seed(x, y, frame)
+
+    jx, state = RNG.rand(state)
+    jy, state = RNG.rand(state)
+    px = x.astype(jnp.float32) + jx
+    py = y.astype(jnp.float32) + jy
+
+    width = cam["width_f"]
+    height = cam["height_f"]
+    u = (px / width) * 2.0 - 1.0
+    v = (py / height) * 2.0 - 1.0
+
+    tan_half = jnp.tan(cam["fov"] * 0.5)
+    rd = _normalize(
+        cam["forward"][None, :]
+        + u[:, None] * cam["right"][None, :] * (tan_half * cam["aspect"])
+        + v[:, None] * cam["up"][None, :] * tan_half
+    )
+    ro = jnp.broadcast_to(cam["position"][None, :], rd.shape)
+
+    if use_dof:
+        focal = cam["position"][None, :] + rd * cam["focus_distance"]
+        r, state = RNG.rand(state)
+        theta, state = RNG.rand(state)
+        rr = jnp.sqrt(r) * cam["aperture"]
+        ang = theta * (2.0 * PI)
+        offset = (
+            cam["right"][None, :] * (rr * jnp.cos(ang))[:, None]
+            + cam["up"][None, :] * (rr * jnp.sin(ang))[:, None]
+        )
+        ro = ro + offset
+        rd = _normalize(focal - ro)
+
+    return ro, rd, state

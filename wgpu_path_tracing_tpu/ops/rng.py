@@ -1,0 +1,96 @@
+"""Per-ray random number generation (device-side, vectorized).
+
+Reimplements random.wgsl exactly, but functionally: the reference keeps one
+mutable u32 per GPU thread (random.wgsl:1); here the state is an explicit
+(N,) uint32 array threaded through the trace loop.
+
+* seed = pixel.x + pixel.y * 1000 + frame * 100000 (random.wgsl:3-5) —
+  note this collides for width > 1000 exactly as the reference does; the
+  "hash" rng mode (cfg.rng) decorrelates it for production use.
+* rand(): state = state * 747796405 + 2891336453;
+  word = ((state >> ((state >> 28) + 4)) ^ state) * 277803737;
+  word = (word >> 22) ^ word; return f32(word) / 4294967295.0
+  (random.wgsl:7-12). Note f32(0xFFFFFFFF) rounds to 4294967296.0 so the
+  divisor is effectively 2^32 and rand() can return exactly 1.0.
+* rand_int(lo, hi) = lo + u32(rand() * f32(hi - lo + 1)) (random.wgsl:14-16).
+
+Masked advancement: the reference draws a data-dependent NUMBER of randoms
+per bounce (branches in sampleLight / sampleBSDF each call rand() a different
+number of times). To reproduce the exact per-pixel stream in vectorized form,
+every draw site takes a lane mask and only advances the state where the mask
+is set — lanes outside the mask keep their state (and the returned value for
+them is unspecified/unused).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_MUL = jnp.uint32(747796405)
+_INC = jnp.uint32(2891336453)
+_XSH = jnp.uint32(277803737)
+
+# f32(4294967295u) rounds to 4294967296.0 — match WGSL's constant conversion.
+_INV = jnp.float32(1.0) / jnp.float32(4294967295.0)
+
+
+def seed_pixel(x: jnp.ndarray, y: jnp.ndarray, frame: jnp.ndarray) -> jnp.ndarray:
+    """initRNG (random.wgsl:3-5). x, y: int pixel coords; frame: frame index."""
+    x = x.astype(jnp.uint32)
+    y = y.astype(jnp.uint32)
+    frame = jnp.asarray(frame).astype(jnp.uint32)
+    return x + y * jnp.uint32(1000) + frame * jnp.uint32(100000)
+
+
+def _pcg(state: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One PCG step; returns (new_state, u32 output word)."""
+    state = state * _MUL + _INC
+    shift = (state >> jnp.uint32(28)) + jnp.uint32(4)
+    word = ((state >> shift) ^ state) * _XSH
+    word = (word >> jnp.uint32(22)) ^ word
+    return state, word
+
+
+def rand(state: jnp.ndarray, mask: jnp.ndarray | None = None):
+    """rand() (random.wgsl:7-12) with optional masked state advancement.
+
+    Returns (value in [0, 1], new_state). Where ``mask`` is False the state
+    is left untouched (the value there is still computed but meaningless).
+    """
+    new_state, word = _pcg(state)
+    value = word.astype(jnp.float32) * _INV
+    if mask is not None:
+        new_state = jnp.where(mask, new_state, state)
+    return value, new_state
+
+
+def rand_int(state: jnp.ndarray, lo: int, hi: int, mask: jnp.ndarray | None = None):
+    """randInt(lo, hi) inclusive (random.wgsl:14-16).
+
+    The result is clamped to ``hi`` to guard the 2^-32 edge where rand()
+    returns exactly 1.0 (WGSL robust buffer access clamps the subsequent
+    array index; we clamp the index itself).
+    """
+    value, new_state = rand(state, mask)
+    span = jnp.float32(hi - lo + 1)
+    idx = jnp.uint32(lo) + (value * span).astype(jnp.uint32)
+    idx = jnp.minimum(idx, jnp.uint32(hi))
+    return idx.astype(jnp.int32), new_state
+
+
+def hash_seed(x, y, frame, stream: int = 0) -> jnp.ndarray:
+    """"hash" rng mode: a well-mixed seed (no y*1000 collisions).
+
+    Uses two rounds of PCG output hashing over a 2^24-stride layout so every
+    (pixel, frame, stream) gets a decorrelated stream. Not part of reference
+    parity; selected by RenderConfig.rng == "hash".
+    """
+    v = (
+        x.astype(jnp.uint32)
+        + y.astype(jnp.uint32) * jnp.uint32(9781)
+        + jnp.asarray(frame).astype(jnp.uint32) * jnp.uint32(6271)
+        + jnp.uint32(stream) * jnp.uint32(26699)
+    )
+    for _ in range(2):
+        _, v = _pcg(v)
+    return v

@@ -1,0 +1,175 @@
+"""Multi-chip rendering via jax.sharding.Mesh + shard_map.
+
+The reference is single-device (SURVEY.md §2.4: the only parallelism is
+per-pixel SIMT on one GPU). The TPU-native scale-out design:
+
+* a 2D logical mesh ("sample", "row"),
+* the scene is REPLICATED to every chip (it is small relative to HBM; the
+  reference likewise uploads the whole scene to its one device,
+  renderer.ts:242-355),
+* the pixel grid is sharded by row blocks along "row" (each chip renders
+  rows [r·H/nr, (r+1)·H/nr) — RNG seeds use GLOBAL pixel coordinates so a
+  sharded render equals the single-chip render),
+* frames (1-spp passes) are round-robined along "sample"; each chip
+  accumulates a local sum and one ``psum`` over "sample" merges the chunk —
+  tiles are otherwise fully independent (no other collectives, matching
+  SURVEY.md §2.4's psum-free tile analysis).
+
+All communication is a single psum per chunk riding ICI; there is no
+host-side gather until the caller fetches the final image.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from wgpu_path_tracing_tpu.ops import camera_rays as CAM
+from wgpu_path_tracing_tpu.ops import trace as TRACE
+from wgpu_path_tracing_tpu.ops.intersect import make_closest_hit
+
+
+def make_mesh(devices=None, sample_shards: int | None = None) -> Mesh:
+    """Build a ("sample", "row") mesh over the given devices.
+
+    With n devices and sample_shards s (default: 2 if n is even and > 2,
+    else 1), the mesh is (s, n // s).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if sample_shards is None:
+        sample_shards = 2 if (n > 2 and n % 2 == 0) else 1
+    assert n % sample_shards == 0, (n, sample_shards)
+    arr = np.asarray(devices).reshape(sample_shards, n // sample_shards)
+    return Mesh(arr, ("sample", "row"))
+
+
+def replicate_scene(scene, mesh: Mesh):
+    """Place every scene table replicated across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), scene)
+
+
+def shard_accum(accum, mesh: Mesh):
+    """Shard the (H*W, 3) accumulation buffer by row blocks."""
+    return jax.device_put(accum, NamedSharding(mesh, P("row", None)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "n_frames",
+        "width",
+        "height",
+        "use_dof",
+        "rng_mode",
+        "max_bounces",
+        "do_mis",
+        "num_lights",
+        "firefly_clamp",
+        "intersector",
+        "brute_max_tris",
+        "leaf_size",
+    ),
+    donate_argnames=("accum",),
+)
+def render_chunk_sharded(
+    scene,
+    cam,
+    accum,
+    frame_start,
+    *,
+    mesh: Mesh,
+    n_frames: int,
+    width: int,
+    height: int,
+    use_dof: bool,
+    rng_mode: str = "reference",
+    max_bounces: int = 8,
+    do_mis: bool = True,
+    num_lights: int = 0,
+    firefly_clamp: float = 2.5,
+    intersector: str = "auto",
+    brute_max_tris: int = 512,
+    leaf_size: int = 4,
+):
+    """Sharded equivalent of render/pipeline.py::render_chunk.
+
+    accum: (H*W, 3) sharded P("row", None). Renders ``n_frames`` 1-spp
+    frames (must divide by the sample axis) and folds them into the running
+    mean. Returns (accum, counters[2] int32).
+    """
+    ns = mesh.shape["sample"]
+    nr = mesh.shape["row"]
+    assert n_frames % ns == 0, (n_frames, ns)
+    assert height % nr == 0, (height, nr)
+    local_frames = n_frames // ns
+    local_rows = height // nr
+
+    scene_specs = jax.tree.map(lambda _: P(), scene)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(scene_specs, P(), P("row", None), P()),
+        out_specs=(P("row", None), P()),
+        check_vma=False,
+    )
+    def fn(scene, cam, accum_tile, frame_start):
+        s_idx = jax.lax.axis_index("sample")
+        r_idx = jax.lax.axis_index("row")
+        x, y = CAM.pixel_grid(width, local_rows)
+        y = y + r_idx * local_rows  # global pixel rows -> global RNG seeds
+        closest_hit = make_closest_hit(scene, intersector, brute_max_tris, leaf_size)
+
+        def step(carry, k):
+            local_sum, counters = carry
+            frame = frame_start + k * ns + s_idx
+            ro, rd, state = CAM.generate_rays(
+                cam, x, y, frame, use_dof=use_dof, rng_mode=rng_mode
+            )
+            radiance, state, stats = TRACE.trace(
+                scene, closest_hit, ro, rd, state,
+                max_bounces=max_bounces, do_mis=do_mis, num_lights=num_lights,
+            )
+            color = jnp.minimum(radiance, jnp.float32(firefly_clamp))
+            counters = counters + jnp.stack([stats["closest"], stats["shadow"]])
+            return (local_sum + color, counters), None
+
+        init = (
+            jnp.zeros((local_rows * width, 3), jnp.float32),
+            jnp.zeros((2,), jnp.int32),
+        )
+        (local_sum, counters), _ = jax.lax.scan(
+            step, init, jnp.arange(local_frames, dtype=jnp.int32)
+        )
+
+        chunk_sum = jax.lax.psum(local_sum, "sample")
+        counters = jax.lax.psum(counters, ("sample", "row"))
+        chunk_mean = chunk_sum / jnp.float32(n_frames)
+
+        # Fold the chunk into the running mean: with F old frames and C new,
+        # new_mean = old*(F/(F+C)) + chunk*(C/(F+C)) — reduces to overwrite
+        # at frame_start == 0 (pt.wgsl:754-759 semantics).
+        fs = frame_start.astype(jnp.float32)
+        t = jnp.float32(n_frames) / (fs + jnp.float32(n_frames))
+        new_accum = accum_tile * (1.0 - t) + chunk_mean * t
+        return new_accum, counters
+
+    return fn(scene, cam, accum, frame_start)
+
+
+def gather_image(accum) -> np.ndarray:
+    """Fetch the (possibly sharded) accumulation buffer to host."""
+    return np.asarray(jax.device_get(accum))

@@ -1,0 +1,108 @@
+"""Jitted progressive render pipeline.
+
+Equivalent of the reference's per-frame dispatch (renderer.ts:415-454): each
+"frame" is one sample per pixel, accumulated into an HDR running mean
+(pt.wgsl:753-761: output = mix(prev, color, 1/(frameIndex+1)) — at frame 0
+the mix weight is 1, which IS the reference's overwrite branch).
+
+TPU-natively, ``n_frames`` samples are folded into one jit dispatch via
+``lax.scan`` with the accumulation buffer donated, so the device never syncs
+with the host between samples. Ray counters ride along for Mrays/s metrics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from wgpu_path_tracing_tpu.ops import camera_rays as CAM
+from wgpu_path_tracing_tpu.ops import trace as TRACE
+from wgpu_path_tracing_tpu.ops.intersect import make_closest_hit
+
+
+def camera_device(cam_pytree: dict, width: int, height: int) -> dict:
+    """Extend the dynamic camera pytree with f32 dims (static per pipeline)."""
+    cam = dict(cam_pytree)
+    cam["width_f"] = jnp.float32(width)
+    cam["height_f"] = jnp.float32(height)
+    return cam
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_frames",
+        "width",
+        "height",
+        "row_offset",
+        "use_dof",
+        "rng_mode",
+        "max_bounces",
+        "do_mis",
+        "num_lights",
+        "firefly_clamp",
+        "intersector",
+        "brute_max_tris",
+        "leaf_size",
+    ),
+    donate_argnames=("accum",),
+)
+def render_chunk(
+    scene,
+    cam,
+    accum,
+    frame_start,
+    *,
+    n_frames: int,
+    width: int,
+    height: int,
+    row_offset: int = 0,
+    use_dof: bool,
+    rng_mode: str,
+    max_bounces: int,
+    do_mis: bool,
+    num_lights: int,
+    firefly_clamp: float,
+    intersector: str,
+    brute_max_tris: int,
+    leaf_size: int,
+):
+    """Accumulate ``n_frames`` 1-spp frames starting at ``frame_start``.
+
+    accum: (N, 3) HDR running mean (N = width*height rays, row-major).
+    Returns (accum, counters) with counters = int64 [closest, shadow] rays.
+    """
+    x, y = CAM.pixel_grid(width, height, row_offset)
+    closest_hit = make_closest_hit(scene, intersector, brute_max_tris, leaf_size)
+
+    def step(carry, k):
+        accum, counters = carry
+        frame = frame_start + k
+        ro, rd, state = CAM.generate_rays(
+            cam, x, y, frame, use_dof=use_dof, rng_mode=rng_mode
+        )
+        radiance, state, stats = TRACE.trace(
+            scene,
+            closest_hit,
+            ro,
+            rd,
+            state,
+            max_bounces=max_bounces,
+            do_mis=do_mis,
+            num_lights=num_lights,
+        )
+        color = jnp.minimum(radiance, jnp.float32(firefly_clamp))  # pt.wgsl:751
+        # Primary rays also count toward throughput metrics.
+        counters = counters + jnp.stack([stats["closest"], stats["shadow"]])
+        # Running mean (pt.wgsl:753-761).
+        t = 1.0 / (frame.astype(jnp.float32) + 1.0)
+        accum = accum * (1.0 - t) + color * t
+        return (accum, counters), None
+
+    counters0 = jnp.zeros((2,), jnp.int32)
+    (accum, counters), _ = jax.lax.scan(
+        step, (accum, counters0), jnp.arange(n_frames, dtype=jnp.int32)
+    )
+    return accum, counters

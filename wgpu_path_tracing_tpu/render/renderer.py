@@ -1,0 +1,199 @@
+"""Renderer orchestration — the equivalent of class Renderer
+(renderer.ts:18-511) for a headless TPU.
+
+API parity map (reference -> here):
+
+* ``loadModel(url)`` (renderer.ts:130-134) -> ``load_model(path)`` /
+  ``load_scene(SceneArrays)``
+* the rAF loop + renderFrame (renderer.ts:415-473) -> ``render(spp)``:
+  progressive 1-spp frames accumulated on device in jit-scanned chunks
+* ``resetOutputBuffer`` (renderer.ts:357-366) -> ``reset()`` (frame 0
+  overwrites the accumulator because the running-mean weight is 1)
+* ``moveCamera`` / ``rotateCamera`` (renderer.ts:152-201) -> ``move_camera``
+  / ``rotate_camera`` (both reset accumulation, as in the reference)
+* ``resize`` (renderer.ts:496-510) -> ``resize`` (reallocates, resets)
+* ``stop``/``start`` buttons -> just call ``render`` again; accumulation
+  continues from ``self.frame_index``
+* tweakpane/profiler stats (renderer.ts:63-123) -> ``stats()`` dict +
+  utils/profiler.py
+
+Debug render modes (the reference's swap-in kernels pt_bvh.wgsl /
+pt_debug.wgsl) are exposed via RenderConfig.mode ("bvh_depth" / "normal");
+see debug/modes.py.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wgpu_path_tracing_tpu.models.types import SceneArrays, pack_device_scene
+from wgpu_path_tracing_tpu.render.camera import Camera
+from wgpu_path_tracing_tpu.render.config import RenderConfig
+from wgpu_path_tracing_tpu.render import pipeline
+from wgpu_path_tracing_tpu.utils import image as imageio
+
+
+class Renderer:
+    def __init__(self, config: RenderConfig | None = None, camera: Camera | None = None):
+        self.config = (config or RenderConfig()).validate()
+        self.camera = camera or Camera(
+            width=self.config.width,
+            height=self.config.height,
+            aspect=self.config.width / self.config.height,
+        )
+        self.scene: SceneArrays | None = None
+        self._scene_dev = None
+        self.frame_index: int = 0
+        self._accum = None
+        self._counters = np.zeros(2, np.int64)
+        self._last_counters = np.zeros(2, np.int64)
+        self._on_update = []
+        self._last_render_seconds = 0.0
+
+    # --- scene loading -----------------------------------------------------
+    def load_scene(self, scene: SceneArrays) -> None:
+        self.scene = scene
+        self._scene_dev = jax.device_put(pack_device_scene(scene))
+        self.reset()
+
+    def load_model(self, path: str) -> None:
+        """Load a .glb/.gltf file (loader.ts:19-46 / gpu.ts:67-150 parity)."""
+        from wgpu_path_tracing_tpu.models.gltf import load_model
+
+        self.load_scene(
+            load_model(
+                path,
+                texture_pixel_ratio=self.config.texture_pixel_ratio,
+                max_leaf_size=self.config.max_leaf_size,
+                num_bins=self.config.num_bins,
+            )
+        )
+
+    # --- interaction (controller.ts + renderer.ts:152-201) ------------------
+    def add_on_update(self, callback) -> None:
+        self._on_update.append(callback)
+
+    def move_camera(self, forward: float, right: float, up: float) -> None:
+        self.camera.move(forward, right, up)
+        self.reset()
+
+    def rotate_camera(self, yaw: float, pitch: float) -> None:
+        self.camera.rotate(yaw, pitch)
+        self.reset()
+
+    def resize(self, width: int, height: int) -> None:
+        self.config.width = width
+        self.config.height = height
+        self.camera.resize(width, height)
+        self._accum = None
+        self.reset()
+
+    def reset(self) -> None:
+        """resetOutputBuffer (renderer.ts:357-366): restart accumulation."""
+        self.frame_index = 0
+        self._counters = np.zeros(2, np.int64)
+
+    # --- rendering ----------------------------------------------------------
+    def _ensure_accum(self):
+        n = self.config.width * self.config.height
+        if self._accum is None or self._accum.shape[0] != n:
+            self._accum = jnp.zeros((n, 3), jnp.float32)
+
+    def render(self, spp: int, on_chunk=None) -> np.ndarray:
+        """Accumulate ``spp`` more samples per pixel; returns the HDR buffer
+        as (H, W, 3) NumPy (row 0 = bottom of view, as in the reference's
+        output buffer)."""
+        if self._scene_dev is None:
+            raise RuntimeError("No scene loaded — call load_model/load_scene first")
+        cfg = self.config
+        if cfg.mode != "pt":
+            return self.render_debug()
+        self._ensure_accum()
+        cam = pipeline.camera_device(self.camera.as_pytree(), cfg.width, cfg.height)
+        use_dof = float(self.camera.aperture) > 0.0
+
+        t0 = time.perf_counter()
+        remaining = spp
+        render_counters = np.zeros(2, np.int64)
+        while remaining > 0:
+            for task in self._on_update:
+                task(0.0)
+            chunk = min(cfg.frames_per_chunk, remaining)
+            self._accum, counters = pipeline.render_chunk(
+                self._scene_dev,
+                cam,
+                self._accum,
+                jnp.int32(self.frame_index),
+                n_frames=chunk,
+                width=cfg.width,
+                height=cfg.height,
+                use_dof=use_dof,
+                rng_mode=cfg.rng,
+                max_bounces=cfg.max_bounces,
+                do_mis=cfg.do_mis,
+                num_lights=self.scene.num_lights,
+                firefly_clamp=cfg.firefly_clamp,
+                intersector=cfg.intersector,
+                brute_max_tris=cfg.brute_force_max_tris,
+                leaf_size=cfg.max_leaf_size,
+            )
+            self.frame_index += chunk
+            remaining -= chunk
+            render_counters = render_counters + np.asarray(counters, np.int64)
+            if on_chunk is not None:
+                on_chunk(self.frame_index)
+        self._accum.block_until_ready()
+        self._last_counters = render_counters
+        self._counters = self._counters + render_counters
+        self._last_render_seconds = time.perf_counter() - t0
+
+        return np.asarray(self._accum).reshape(cfg.height, cfg.width, 3)
+
+    def render_debug(self) -> np.ndarray:
+        from wgpu_path_tracing_tpu.debug import modes
+
+        cfg = self.config
+        cam = pipeline.camera_device(self.camera.as_pytree(), cfg.width, cfg.height)
+        if cfg.mode == "bvh_depth":
+            buf = modes.render_bvh_depth(self._scene_dev, cam, cfg.width, cfg.height)
+        else:
+            buf = modes.render_normal(
+                self._scene_dev, cam, cfg.width, cfg.height,
+                intersector=cfg.intersector,
+                brute_max_tris=cfg.brute_force_max_tris,
+                leaf_size=cfg.max_leaf_size,
+            )
+        return np.asarray(buf).reshape(cfg.height, cfg.width, 3)
+
+    # --- output --------------------------------------------------------------
+    def image(self) -> np.ndarray:
+        """Tonemapped display image (H, W, 3) in [0,1], top row first."""
+        if self._accum is None:
+            raise RuntimeError("Nothing rendered yet")
+        return imageio.buffer_to_srgb(
+            np.asarray(self._accum),
+            self.config.width,
+            self.config.height,
+            self.config.exposure,
+        )
+
+    def save_png(self, path: str) -> None:
+        imageio.write_png(path, self.image())
+
+    # --- metrics (profiler.ts / fps-meter.tsx equivalents) -------------------
+    def stats(self) -> dict:
+        closest, shadow = (int(c) for c in self._counters)
+        last_total = int(self._last_counters.sum())
+        secs = max(self._last_render_seconds, 1e-9)
+        return {
+            "frame_index": self.frame_index,
+            "rays_closest": closest,
+            "rays_shadow": shadow,
+            "rays_total": closest + shadow,
+            "last_render_seconds": self._last_render_seconds,
+            "mrays_per_sec": last_total / secs / 1e6 if last_total else 0.0,
+        }
