@@ -27,7 +27,12 @@ BASELINE_MRAYS = 100.0  # browser-WebGPU-class anchor (no published numbers)
 
 
 def main():
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
     import jax
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from wgpu_path_tracing_tpu import Renderer, RenderConfig, cornell_box
 

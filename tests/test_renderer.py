@@ -1,0 +1,111 @@
+"""Renderer orchestration: progressive accumulation, reset semantics,
+checkpoint/resume, camera controls, CLI, GLB loading."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from wgpu_path_tracing_tpu import Camera, Renderer, RenderConfig, cornell_box
+
+MODELS = "/root/reference/public/models"
+
+
+@pytest.fixture(scope="module")
+def small_renderer():
+    r = Renderer(RenderConfig(width=16, height=16, frames_per_chunk=4))
+    r.load_scene(cornell_box())
+    return r
+
+
+def test_progressive_equals_batch(small_renderer):
+    r = small_renderer
+    r.reset()
+    a = r.render(spp=4)
+    a = r.render(spp=4)
+    r2 = Renderer(RenderConfig(width=16, height=16, frames_per_chunk=8))
+    r2.load_scene(cornell_box())
+    b = r2.render(spp=8)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_camera_move_resets_accumulation(small_renderer):
+    r = small_renderer
+    r.reset()
+    r.render(spp=4)
+    assert r.frame_index == 4
+    r.move_camera(0.1, 0.0, 0.0)
+    assert r.frame_index == 0
+    r.camera.position = np.array([0.0, 1.0, 2.8], np.float32)  # restore
+
+
+def test_rotate_camera_semantics():
+    cam = Camera()
+    cam.rotate(math.pi / 2, 0.0)  # yaw 90° left
+    np.testing.assert_allclose(cam.forward, [-1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(cam.right, [0, 0, -1], atol=1e-6)
+    # Pitch clamp at ±89% of pi/2 (renderer.ts:180-183)
+    cam2 = Camera()
+    cam2.rotate(0.0, 10.0)
+    assert math.asin(cam2.forward[1]) <= (math.pi / 2) * 0.99 + 1e-6
+
+
+def test_checkpoint_resume(tmp_path, small_renderer):
+    r = small_renderer
+    r.reset()
+    r.render(spp=4)
+    ckpt = str(tmp_path / "ck.npz")
+    r.save_checkpoint(ckpt)
+    full = r.render(spp=4)  # 8 spp total
+
+    r2 = Renderer(RenderConfig(width=16, height=16, frames_per_chunk=4))
+    r2.load_scene(cornell_box())
+    r2.load_checkpoint(ckpt)
+    assert r2.frame_index == 4
+    resumed = r2.render(spp=4)
+    np.testing.assert_array_equal(full, resumed)
+
+
+def test_image_and_png(tmp_path, small_renderer):
+    r = small_renderer
+    img = r.image()
+    assert img.shape == (16, 16, 3)
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    p = str(tmp_path / "out.png")
+    r.save_png(p)
+    from wgpu_path_tracing_tpu.utils.image import read_png
+
+    back = read_png(p)
+    assert back.shape == (16, 16, 3)
+    np.testing.assert_allclose(back, img, atol=1 / 255 + 1e-6)
+
+
+def test_debug_modes():
+    for mode in ("normal", "bvh_depth"):
+        r = Renderer(RenderConfig(width=16, height=16, mode=mode))
+        r.load_scene(cornell_box())
+        img = r.render_debug()
+        assert img.shape == (16, 16, 3)
+        assert np.isfinite(img).all()
+        assert img.max() > 0  # something visible
+
+
+@pytest.mark.skipif(not os.path.exists(MODELS), reason="reference models absent")
+def test_render_glb_scene():
+    r = Renderer(RenderConfig(width=12, height=12, frames_per_chunk=2))
+    r.load_model(f"{MODELS}/transform.glb")  # smallest model (40 tris)
+    buf = r.render(spp=2)
+    assert np.isfinite(buf).all()
+
+
+def test_cli_render_and_info(tmp_path, capsys):
+    from wgpu_path_tracing_tpu.cli import main
+
+    out = str(tmp_path / "cli.png")
+    rc = main(["render", "cornell", "-o", out, "--spp", "2",
+               "--width", "12", "--height", "12", "--chunk", "2"])
+    assert rc == 0 and os.path.exists(out)
+    rc = main(["info", "cornell"])
+    assert rc == 0
+    assert '"triangles": 36' in capsys.readouterr().out

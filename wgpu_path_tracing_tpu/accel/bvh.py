@@ -69,6 +69,37 @@ def _surface_area(mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
     return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0])
 
 
+def build_links(meta: np.ndarray) -> np.ndarray:
+    """Thread the BVH for stackless traversal: (B, 2) i32 [hit, miss] links.
+
+    ``hit``  = next node when this node's AABB is hit (first child for
+    interior nodes; for leaves, same as miss), ``miss`` = next node when it
+    is missed or its subtree is done. -1 terminates.
+
+    The thread order is left-first depth-first — exactly the visit order of
+    the reference's explicit stack (pt.wgsl:281-287 pushes right then left,
+    so left pops first), so closest-hit tie-breaking is identical while the
+    TPU traversal needs no per-ray stack (and so no scatters).
+    """
+    b = meta.shape[0]
+    hit = np.full(b, -1, np.int32)
+    miss = np.full(b, -1, np.int32)
+    # Iterative DFS carrying the "next node after my subtree" continuation.
+    stack = [(0, -1)]
+    while stack:
+        node, cont = stack.pop()
+        miss[node] = cont
+        left, right, _off, count = meta[node]
+        if count > 0:  # leaf
+            hit[node] = cont
+        else:
+            hit[node] = left
+            # visit left subtree first, then right, then cont
+            stack.append((right, cont))
+            stack.append((left, right))
+    return np.stack([hit, miss], axis=1).astype(np.int32)
+
+
 def build_bvh(
     v0: np.ndarray,
     v1: np.ndarray,

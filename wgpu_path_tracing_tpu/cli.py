@@ -1,0 +1,190 @@
+"""Command-line interface.
+
+The reference's entry points are browser interactions (drag-drop a .glb,
+fly camera, live tweakpane stats — App.tsx:12-34, controller.ts); headless
+on TPU the equivalents are subcommands:
+
+    python -m wgpu_path_tracing_tpu.cli render scene.glb --spp 512 \\
+        --width 512 --height 512 -o out.png
+    python -m wgpu_path_tracing_tpu.cli render scene.glb --mode normal ...
+    python -m wgpu_path_tracing_tpu.cli info scene.glb
+    python -m wgpu_path_tracing_tpu.cli bench [--spp 64 ...]
+
+``render`` supports progressive checkpointing (--checkpoint/--resume, the
+spp-stamped upgrade of the reference's restartable accumulation) and camera
+overrides matching the reference defaults (renderer.ts:136-150).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+
+
+def _add_camera_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--cam-pos", type=float, nargs=3, default=[0.0, 1.0, 2.8],
+                   metavar=("X", "Y", "Z"))
+    p.add_argument("--cam-yaw", type=float, default=0.0,
+                   help="yaw in degrees applied to the default forward (0,0,-1)")
+    p.add_argument("--cam-pitch", type=float, default=0.0, help="pitch in degrees")
+    p.add_argument("--fov", type=float, default=60.0, help="vertical fov, degrees")
+    p.add_argument("--aperture", type=float, default=0.001)
+    p.add_argument("--focus-distance", type=float, default=5.0)
+
+
+def _build_renderer(args):
+    from wgpu_path_tracing_tpu import Camera, Renderer, RenderConfig
+
+    cfg = RenderConfig(
+        width=args.width,
+        height=args.height,
+        max_bounces=args.bounces,
+        do_mis=not args.no_mis,
+        frames_per_chunk=args.chunk,
+        mode=args.mode,
+        rng=args.rng,
+        intersector=args.intersector,
+    )
+    cam = Camera(
+        width=args.width,
+        height=args.height,
+        aspect=args.width / args.height,
+        fov=math.radians(args.fov),
+        aperture=args.aperture,
+        focus_distance=args.focus_distance,
+    )
+    import numpy as np
+
+    cam.position = np.asarray(args.cam_pos, np.float32)
+    r = Renderer(cfg, cam)
+    if args.cam_yaw or args.cam_pitch:
+        r.camera.rotate(math.radians(args.cam_yaw), math.radians(args.cam_pitch))
+    return r
+
+
+def cmd_render(args) -> int:
+    from wgpu_path_tracing_tpu import cornell_box
+
+    r = _build_renderer(args)
+    if args.scene == "cornell":
+        r.load_scene(cornell_box())
+    else:
+        r.load_model(args.scene)
+
+    if args.resume and args.checkpoint:
+        try:
+            r.load_checkpoint(args.checkpoint)
+            print(f"resumed at {r.frame_index} spp", file=sys.stderr)
+        except FileNotFoundError:
+            pass
+
+    if args.mode != "pt":
+        img = r.render_debug()
+        from wgpu_path_tracing_tpu.utils.image import write_png
+        import numpy as np
+
+        write_png(args.output, np.clip(img, 0, 1)[::-1])
+        print(f"wrote {args.output} ({args.mode} mode)")
+        return 0
+
+    t0 = time.perf_counter()
+
+    def progress(frames):
+        if args.verbose:
+            dt = time.perf_counter() - t0
+            print(f"  {frames}/{args.spp + (r.frame_index - frames)} spp "
+                  f"({dt:.1f}s)", file=sys.stderr)
+
+    remaining = args.spp - (r.frame_index if args.resume else 0)
+    if remaining > 0:
+        r.render(remaining, on_chunk=progress if args.verbose else None)
+    r.save_png(args.output)
+    if args.checkpoint:
+        r.save_checkpoint(args.checkpoint)
+    s = r.stats()
+    print(
+        f"wrote {args.output}: {r.frame_index} spp, "
+        f"{s['last_render_seconds']:.2f}s, {s['mrays_per_sec']:.1f} Mrays/s"
+    )
+    return 0
+
+
+def cmd_info(args) -> int:
+    from wgpu_path_tracing_tpu import cornell_box
+    from wgpu_path_tracing_tpu.accel.bvh import BVH
+
+    if args.scene == "cornell":
+        s = cornell_box()
+    else:
+        from wgpu_path_tracing_tpu.models.gltf import load_model
+
+        s = load_model(args.scene)
+    import numpy as np
+
+    bvh = BVH(s.bvh_aabb_min, s.bvh_aabb_max, s.bvh_meta, np.arange(s.num_triangles))
+    leaf = s.bvh_meta[:, 3] > 0
+    print(json.dumps({
+        "triangles": s.num_triangles,
+        "materials": s.num_materials,
+        "lights": s.num_lights,
+        "light_types": {
+            "emissive": int((s.light_type == 0).sum()),
+            "directional": int((s.light_type == 1).sum()),
+            "point": int((s.light_type == 2).sum()),
+        },
+        "bvh_nodes": int(s.bvh_meta.shape[0]),
+        "bvh_leaves": int(leaf.sum()),
+        "bvh_max_depth": bvh.max_depth(),
+        "atlas": None if s.atlas is None else list(s.atlas.shape),
+        "transmission_materials": int((s.mat_transmission > 0).sum()),
+    }, indent=2))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench  # repo-root bench harness
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="wgpu_path_tracing_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    pr = sub.add_parser("render", help="path-trace a scene to a PNG")
+    pr.add_argument("scene", help=".glb/.gltf path, or 'cornell' for the built-in box")
+    pr.add_argument("-o", "--output", default="out.png")
+    pr.add_argument("--spp", type=int, default=64)
+    pr.add_argument("--width", type=int, default=512)
+    pr.add_argument("--height", type=int, default=512)
+    pr.add_argument("--bounces", type=int, default=8)
+    pr.add_argument("--no-mis", action="store_true",
+                    help="disable NEE+MIS (pt.wgsl:636 DO_MIS)")
+    pr.add_argument("--chunk", type=int, default=16,
+                    help="samples per jit dispatch")
+    pr.add_argument("--mode", choices=("pt", "normal", "bvh_depth"), default="pt")
+    pr.add_argument("--rng", choices=("reference", "hash"), default="reference")
+    pr.add_argument("--intersector", choices=("auto", "brute", "bvh"), default="auto")
+    pr.add_argument("--checkpoint", help="npz accumulation checkpoint path")
+    pr.add_argument("--resume", action="store_true")
+    pr.add_argument("-v", "--verbose", action="store_true")
+    _add_camera_args(pr)
+    pr.set_defaults(func=cmd_render)
+
+    pi = sub.add_parser("info", help="scene statistics (triangles/BVH/lights)")
+    pi.add_argument("scene")
+    pi.set_defaults(func=cmd_info)
+
+    pb = sub.add_parser("bench", help="run the headline benchmark")
+    pb.set_defaults(func=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -85,7 +85,7 @@ def cornell_box(
     # left wall (+X normal, red)
     quads.append((_quad((-1, 0, 1), (-1, 0, -1), (-1, 2, -1), (-1, 2, 1)), red))
     # right wall (-X normal, green)
-    quads.append((_quad((1, 0, 1), (1, 0, -1), (1, 2, -1), (1, 2, 1)), green))
+    quads.append((_quad((1, 0, -1), (1, 0, 1), (1, 2, 1), (1, 2, -1)), green))
     # light quad just below the ceiling (-Y normal)
     ly = 1.98
     quads.append(

@@ -72,6 +72,49 @@ LGT_INTENSITY = 7
 LGT_TRI = 8
 LGT_COLS = 9
 
+# DeviceScene.tri_full — triangle row with its material DENORMALIZED in, so
+# one row fetch per bounce yields every shading attribute (the reference
+# instead chases Triangle.materialIndex -> materials[] per hit,
+# pt.wgsl:199-213; joining host-side turns two dynamic lookups into one).
+TF_V0 = 0  # 3
+TF_V1 = 3  # 3
+TF_V2 = 6  # 3
+TF_N0 = 9  # 3
+TF_N1 = 12  # 3
+TF_N2 = 15  # 3
+TF_UV0 = 18  # 2
+TF_UV1 = 20  # 2
+TF_UV2 = 22  # 2
+TF_MAT = 24
+TF_BASE_COLOR = 25  # 3
+TF_METALLIC = 28
+TF_ROUGHNESS = 29
+TF_EMISSION = 30  # 3
+TF_EMISSIVE_STRENGTH = 33
+TF_IOR = 34
+TF_TRANSMISSION = 35
+TF_ALBEDO_RECT = 36  # 4
+TF_NORMAL_RECT = 40  # 4
+TF_PBR_RECT = 44  # 4
+TF_EMISSIVE_RECT = 48  # 4
+TF_COLS = 52
+
+# DeviceScene.light_full — light row with its emissive triangle's geometry
+# denormalized in (sampleLight fetches triangles[light.triangleIndex],
+# pt.wgsl:441-454; joining host-side removes that dynamic lookup).
+LF_POSITION = 0  # 3
+LF_TYPE = 3
+LF_COLOR = 4  # 3
+LF_INTENSITY = 7
+LF_TRI = 8
+LF_V0 = 9  # 3
+LF_V1 = 12  # 3
+LF_V2 = 15  # 3
+LF_N0 = 18  # 3
+LF_N1 = 21  # 3
+LF_N2 = 24  # 3
+LF_COLS = 27
+
 
 @dataclasses.dataclass
 class SceneArrays:
@@ -204,21 +247,46 @@ def pack_device_scene(scene: SceneArrays):
     b = scene.bvh_meta.shape[0]
     bvh_aabb = np.zeros((max(b, 1), 6), np.float32)
     bvh_meta = np.zeros((max(b, 1), 4), np.int32)
+    bvh_links = np.full((max(b, 1), 2), -1, np.int32)
     if b:
+        from wgpu_path_tracing_tpu.accel.bvh import build_links
+
         bvh_aabb[:b, 0:3] = scene.bvh_aabb_min
         bvh_aabb[:b, 3:6] = scene.bvh_aabb_max
         bvh_meta[:b] = scene.bvh_meta.astype(np.int32)
+        bvh_links[:b] = build_links(bvh_meta[:b])
 
     atlas = scene.atlas
     if atlas is None:
         atlas = np.zeros((1, 1, 4), np.float32)
 
+    # Denormalized join tables (see TF_* / LF_* column maps above).
+    tri_full = np.zeros((max(t, 1), TF_COLS), np.float32)
+    tri_full[:, :TRI_COLS] = tri_shade
+    if t:
+        mat_of_tri = scene.tri_mat.astype(np.int32)
+        tri_full[:t, TF_BASE_COLOR:] = materials[mat_of_tri]
+
+    n_l = max(n_lights, 1)
+    light_full = np.zeros((n_l, LF_COLS), np.float32)
+    light_full[:, :LGT_COLS] = lights
+    if n_lights and t:
+        ltri = np.clip(scene.light_tri.astype(np.int32), 0, t - 1)
+        light_full[:n_lights, LF_V0 : LF_V0 + 3] = tri_shade[ltri, TRI_V0 : TRI_V0 + 3]
+        light_full[:n_lights, LF_V1 : LF_V1 + 3] = tri_shade[ltri, TRI_V1 : TRI_V1 + 3]
+        light_full[:n_lights, LF_V2 : LF_V2 + 3] = tri_shade[ltri, TRI_V2 : TRI_V2 + 3]
+        light_full[:n_lights, LF_N0 : LF_N0 + 3] = tri_shade[ltri, TRI_N0 : TRI_N0 + 3]
+        light_full[:n_lights, LF_N1 : LF_N1 + 3] = tri_shade[ltri, TRI_N1 : TRI_N1 + 3]
+        light_full[:n_lights, LF_N2 : LF_N2 + 3] = tri_shade[ltri, TRI_N2 : TRI_N2 + 3]
+
     return {
         "tri_isect": tri_isect,
-        "tri_shade": tri_shade,
+        "tri_full": tri_full,
+        "light_full": light_full,
         "materials": materials,
         "lights": lights,
         "bvh_aabb": bvh_aabb,
         "bvh_meta": bvh_meta,
+        "bvh_links": bvh_links,
         "atlas": np.asarray(atlas, np.float32),
     }

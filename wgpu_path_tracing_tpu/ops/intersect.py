@@ -225,6 +225,85 @@ def closest_hit_bvh(
     return best_t, best_idx
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("leaf_size", "any_hit", "max_steps"),
+)
+def closest_hit_bvh_linked(
+    bvh_aabb,
+    bvh_nodes,
+    tri_isect,
+    ro,
+    rd,
+    active=None,
+    t_max=None,
+    leaf_size: int = 4,
+    any_hit: bool = False,
+    max_steps: int = 4_000_000,
+):
+    """Stackless threaded-BVH traversal — the TPU-native default.
+
+    Each ray walks the tree through precomputed hit/miss links
+    (accel/bvh.py::build_links) in left-first DFS order — the same visit
+    order as the reference's explicit stack (pt.wgsl:260-287), with zero
+    per-ray state beyond the current node index: no stacks, no scatters,
+    every step is two row gathers + vector math. Adds best-t culling
+    (children's AABB entry >= parent's, so skipping a culled subtree is
+    exact).
+
+    bvh_nodes: (B, 4) i32 [hit_link, miss_link, triangleOffset,
+    triangleCount]; node -1 terminates a lane.
+    """
+    n = ro.shape[0]
+    if active is None:
+        active = jnp.ones((n,), bool)
+    has_tmax = t_max is not None
+
+    node0 = jnp.where(active, 0, -1).astype(jnp.int32)
+    best_t0 = jnp.full((n,), INF)
+    best_idx0 = jnp.full((n,), -1, jnp.int32)
+
+    def cond(carry):
+        node, _, _, steps = carry
+        return jnp.any(node >= 0) & (steps < max_steps)
+
+    def body(carry):
+        node, best_t, best_idx, steps = carry
+        valid = node >= 0
+        safe = jnp.maximum(node, 0)
+
+        aabb = bvh_aabb[safe]
+        box_hit, t_near = slab_test(ro, rd, aabb[:, 0:3], aabb[:, 3:6])
+        limit = jnp.minimum(best_t, t_max) if has_tmax else best_t
+        box_hit = valid & box_hit & (t_near <= limit)
+
+        meta = bvh_nodes[safe]
+        count = meta[:, 3]
+        do_leaf = box_hit & (count > 0)
+        for i in range(leaf_size):
+            do = do_leaf & (i < count)
+            tri = jnp.where(do, meta[:, 2] + i, 0)
+            tdata = tri_isect[tri]
+            t, _, _, tri_valid = moller_trumbore(
+                ro, rd, tdata[:, 0:3], tdata[:, 3:6], tdata[:, 6:9]
+            )
+            better = do & tri_valid & (t < best_t)
+            best_t = jnp.where(better, t, best_t)
+            best_idx = jnp.where(better, tri, best_idx)
+
+        next_node = jnp.where(box_hit, meta[:, 0], meta[:, 1])
+        next_node = jnp.where(valid, next_node, -1)
+        if any_hit:
+            found = best_t < (t_max if has_tmax else INF)
+            next_node = jnp.where(found, -1, next_node)
+        return next_node, best_t, best_idx, steps + 1
+
+    _, best_t, best_idx, _ = jax.lax.while_loop(
+        cond, body, (node0, best_t0, best_idx0, jnp.int32(0))
+    )
+    return best_t, best_idx
+
+
 def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: int):
     """Pick the intersection strategy for this scene (static decision).
 
@@ -236,17 +315,29 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
     )
 
     if use_brute:
+        # The fused Pallas kernel is ~8-400x faster than the XLA fusion on
+        # TPU (bit-identical results); plain XLA remains for CPU tests.
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
 
         def closest_hit(ro, rd, active=None, t_max=None, any_hit=False):
             del active, t_max, any_hit
+            if on_tpu:
+                from wgpu_path_tracing_tpu.ops.pallas_kernels import (
+                    closest_hit_brute_pallas,
+                )
+
+                return closest_hit_brute_pallas(scene["tri_isect"], ro, rd)
             return closest_hit_brute(scene["tri_isect"], ro, rd)
 
     else:
+        bvh_nodes = jnp.concatenate(
+            [scene["bvh_links"], scene["bvh_meta"][:, 2:4]], axis=1
+        )
 
         def closest_hit(ro, rd, active=None, t_max=None, any_hit=False):
-            return closest_hit_bvh(
+            return closest_hit_bvh_linked(
                 scene["bvh_aabb"],
-                scene["bvh_meta"],
+                bvh_nodes,
                 scene["tri_isect"],
                 ro,
                 rd,

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from wgpu_path_tracing_tpu.models import types as T
 from wgpu_path_tracing_tpu.ops import rng as RNG
+from wgpu_path_tracing_tpu.ops.gathers import fetch_rows
 
 EPSILON = 1e-6
 
@@ -55,15 +56,16 @@ def sample_light(scene, closest_hit, hit_position, state, mask, num_lights: int)
     ``closest_hit(ro, rd, active, t_max, any_hit)`` is the scene's
     intersection function; ``num_lights`` is the static true light count.
     """
-    n = hit_position.shape[0]
     count = max(num_lights, 1)
 
     idx, state = RNG.rand_int(state, 0, count - 1, mask)
-    light = scene["lights"][idx]  # (N, 9)
-    ltype = light[:, T.LGT_TYPE].astype(jnp.int32)
-    lcolor = light[:, T.LGT_COLOR : T.LGT_COLOR + 3]
-    lint = light[:, T.LGT_INTENSITY]
-    lpos = light[:, T.LGT_POSITION : T.LGT_POSITION + 3]
+    # One denormalized row: light params + its emissive triangle's geometry
+    # (models/types.py LF_* layout) via an exact one-hot MXU fetch.
+    light = fetch_rows(scene["light_full"], idx)  # (N, LF_COLS)
+    ltype = light[:, T.LF_TYPE].astype(jnp.int32)
+    lcolor = light[:, T.LF_COLOR : T.LF_COLOR + 3]
+    lint = light[:, T.LF_INTENSITY]
+    lpos = light[:, T.LF_POSITION : T.LF_POSITION + 3]
 
     is_dir = ltype == T.LIGHT_TYPE_DIRECTIONAL
     is_point = ltype == T.LIGHT_TYPE_POINT
@@ -82,15 +84,13 @@ def sample_light(scene, closest_hit, hit_position, state, mask, num_lights: int)
     point_far = is_point & (dist_p > 100.0)
     wi_point = to_light_p / jnp.maximum(dist_p, 1e-30)[:, None]
 
-    # --- Emissive (pt.wgsl:439-486)
-    tri_idx = light[:, T.LGT_TRI].astype(jnp.int32)
-    tri = scene["tri_shade"][tri_idx]
-    v0 = tri[:, T.TRI_V0 : T.TRI_V0 + 3]
-    v1 = tri[:, T.TRI_V1 : T.TRI_V1 + 3]
-    v2 = tri[:, T.TRI_V2 : T.TRI_V2 + 3]
-    n0 = tri[:, T.TRI_N0 : T.TRI_N0 + 3]
-    n1 = tri[:, T.TRI_N1 : T.TRI_N1 + 3]
-    n2 = tri[:, T.TRI_N2 : T.TRI_N2 + 3]
+    # --- Emissive (pt.wgsl:439-486) — triangle geometry rides in the row.
+    v0 = light[:, T.LF_V0 : T.LF_V0 + 3]
+    v1 = light[:, T.LF_V1 : T.LF_V1 + 3]
+    v2 = light[:, T.LF_V2 : T.LF_V2 + 3]
+    n0 = light[:, T.LF_N0 : T.LF_N0 + 3]
+    n1 = light[:, T.LF_N1 : T.LF_N1 + 3]
+    n2 = light[:, T.LF_N2 : T.LF_N2 + 3]
     su = 1.0 - jnp.sqrt(r1)
     sv = r2 * jnp.sqrt(r1)
     sw = 1.0 - su - sv

@@ -1,0 +1,157 @@
+"""Pallas TPU kernels for the hot intersection path.
+
+``closest_hit_brute_pallas`` fuses the dense all-rays x all-triangles
+Möller-Trumbore sweep (the TPU replacement for the reference's per-thread
+BVH walk, pt.wgsl:248-296) into one VMEM-resident kernel:
+
+* rays are passed SoA as (3, N) so the ray axis sits on the 128-lane minor
+  dimension,
+* triangles stream through VMEM in (BT, 9) blocks; every (triangle, ray)
+  pair is evaluated as (BT, BN) broadcasts on the VPU — zero gathers, zero
+  divergence, no HBM round-trips for the ~12 intermediate pair matrices
+  (XLA's fused version spills them, measured ~7% VPU efficiency; this
+  kernel keeps them in VMEM/vregs),
+* the running (best_t, best_index) lives in the output block, which is
+  revisited across the triangle-block grid axis (index_map constant in j),
+* first-hit-wins tie-breaking matches the reference's strict ``<``
+  (pt.wgsl:275): within a block via a first-index min trick, across blocks
+  via strict comparison in ascending j.
+
+Intersection math is the same f32 Möller-Trumbore as ops/intersect.py
+(pt.wgsl:123-157, EPSILON = 1e-6).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPSILON = 1e-6
+BN = 1024  # rays per block (minor / lane axis)
+BT = 256  # triangles per block (major / sublane axis)
+
+
+def _brute_kernel(ray_ref, tri_ref, t_ref, idx_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        t_ref[...] = jnp.full_like(t_ref, jnp.inf)
+        idx_ref[...] = jnp.full_like(idx_ref, -1)
+
+    # Rays: (1, BN) rows.
+    ox = ray_ref[0:1, :]
+    oy = ray_ref[1:2, :]
+    oz = ray_ref[2:3, :]
+    dx = ray_ref[3:4, :]
+    dy = ray_ref[4:5, :]
+    dz = ray_ref[5:6, :]
+
+    # Triangles: (BT, 1) columns [v0, e1, e2].
+    v0x = tri_ref[:, 0:1]
+    v0y = tri_ref[:, 1:2]
+    v0z = tri_ref[:, 2:3]
+    e1x = tri_ref[:, 3:4]
+    e1y = tri_ref[:, 4:5]
+    e1z = tri_ref[:, 5:6]
+    e2x = tri_ref[:, 6:7]
+    e2y = tri_ref[:, 7:8]
+    e2z = tri_ref[:, 8:9]
+
+    # h = cross(d, e2) -> (BT, BN)
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    f = 1.0 / a
+    # s = o - v0
+    sx = ox - v0x
+    sy = oy - v0y
+    sz = oz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    # q = cross(s, e1)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+
+    valid = (
+        (jnp.abs(a) >= EPSILON)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > EPSILON)
+    )
+    t_masked = jnp.where(valid, t, jnp.inf)
+
+    # Per-ray min over the triangle axis; first index wins ties.
+    min_t = jnp.min(t_masked, axis=0, keepdims=True)  # (1, BN)
+    rows = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 0)
+    min_row = jnp.min(
+        jnp.where(t_masked == min_t, rows, 2**30), axis=0, keepdims=True
+    )
+
+    cur_t = t_ref[...]
+    better = min_t < cur_t  # strict: earlier block wins ties
+    t_ref[...] = jnp.where(better, min_t, cur_t)
+    idx_ref[...] = jnp.where(better, j * BT + min_row, idx_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def closest_hit_brute_pallas(tri_isect, ro, rd, interpret: bool = False):
+    """Dense closest hit. tri_isect: (T, 9); ro/rd: (N, 3).
+
+    Returns (t, idx) with t=inf, idx=-1 for misses. Pads N to BN and T to
+    BT internally.
+    """
+    n = ro.shape[0]
+    num_tris = tri_isect.shape[0]
+    n_pad = (-n) % BN
+    t_pad = (-num_tris) % BT
+
+    rays = jnp.concatenate([ro.T, rd.T], axis=0)  # (6, N)
+    if n_pad:
+        rays = jnp.pad(rays, ((0, 0), (0, n_pad)))
+    tri = tri_isect
+    if t_pad:
+        tri = jnp.pad(tri, ((0, t_pad), (0, 0)))  # zero tris: a == 0 -> invalid
+
+    np_ = rays.shape[1]
+    tp = tri.shape[0]
+    grid = (np_ // BN, tp // BT)
+
+    t_out, idx_out = pl.pallas_call(
+        _brute_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((6, BN), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 9), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BN), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, np_), jnp.float32),
+            jax.ShapeDtypeStruct((1, np_), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=55 * np_ * tp, bytes_accessed=np_ * 32 + tp * 36, transcendentals=0
+        ),
+        interpret=interpret,
+    )(rays, tri)
+
+    t = t_out[0, :n]
+    idx = idx_out[0, :n]
+    # Padded triangles can never win (a == 0 -> invalid), but clamp for safety.
+    idx = jnp.where(idx >= num_tris, -1, idx)
+    return t, idx

@@ -3,9 +3,11 @@
 The reference computes the full HitInfo struct inside every ray-triangle test
 (pt.wgsl:157-227) even though only the closest hit survives. The TPU design
 separates concerns: traversal returns only (t, triangle index); this module
-then gathers the winning triangle + material ONCE per bounce and rebuilds the
-exact same attributes — barycentrics recomputed with the identical
-Möller-Trumbore expressions so floats match the reference bit-for-bit.
+then fetches ONE denormalized row (triangle geometry + its material joined
+host-side, models/types.py TF_* layout) per ray via an exact one-hot MXU
+matmul (ops/gathers.py) and rebuilds the same attributes — barycentrics
+recomputed with the identical Möller-Trumbore expressions so floats match the
+reference.
 
 Covers pt.wgsl:157-227: barycentric normal/uv interpolation, UV-derivative
 tangent basis, texture-atlas fetches with per-slot fallbacks
@@ -21,6 +23,7 @@ import typing
 import jax.numpy as jnp
 
 from wgpu_path_tracing_tpu.models import types as T
+from wgpu_path_tracing_tpu.ops.gathers import fetch_rows
 from wgpu_path_tracing_tpu.ops.intersect import _cross, _dot
 
 
@@ -65,25 +68,26 @@ def sample_atlas(atlas, rect, uv, fallback):
     )
 
 
-def hit_attributes(scene, ro, rd, t, idx) -> Hit:
+def hit_attributes(scene, ro, rd, t, idx, textured: bool | None = None) -> Hit:
     """Build Hit for rays with best triangle ``idx`` at distance ``t``.
 
     Lanes with idx < 0 (miss) get found=False and arbitrary (masked) values.
+    ``textured``: statically skip atlas sampling when the scene has no atlas
+    (1x1 dummy); None = autodetect from the atlas shape.
     """
     found = idx >= 0
     safe = jnp.maximum(idx, 0)
 
-    tri = scene["tri_shade"][safe]  # (N, TRI_COLS)
-    v0 = tri[:, T.TRI_V0 : T.TRI_V0 + 3]
-    v1 = tri[:, T.TRI_V1 : T.TRI_V1 + 3]
-    v2 = tri[:, T.TRI_V2 : T.TRI_V2 + 3]
-    n0 = tri[:, T.TRI_N0 : T.TRI_N0 + 3]
-    n1 = tri[:, T.TRI_N1 : T.TRI_N1 + 3]
-    n2 = tri[:, T.TRI_N2 : T.TRI_N2 + 3]
-    uv0 = tri[:, T.TRI_UV0 : T.TRI_UV0 + 2]
-    uv1 = tri[:, T.TRI_UV1 : T.TRI_UV1 + 2]
-    uv2 = tri[:, T.TRI_UV2 : T.TRI_UV2 + 2]
-    mat_idx = tri[:, T.TRI_MAT].astype(jnp.int32)
+    row = fetch_rows(scene["tri_full"], safe)  # (N, TF_COLS)
+    v0 = row[:, T.TF_V0 : T.TF_V0 + 3]
+    v1 = row[:, T.TF_V1 : T.TF_V1 + 3]
+    v2 = row[:, T.TF_V2 : T.TF_V2 + 3]
+    n0 = row[:, T.TF_N0 : T.TF_N0 + 3]
+    n1 = row[:, T.TF_N1 : T.TF_N1 + 3]
+    n2 = row[:, T.TF_N2 : T.TF_N2 + 3]
+    uv0 = row[:, T.TF_UV0 : T.TF_UV0 + 2]
+    uv1 = row[:, T.TF_UV1 : T.TF_UV1 + 2]
+    uv2 = row[:, T.TF_UV2 : T.TF_UV2 + 2]
 
     # Recompute barycentrics with the traversal's exact expressions
     # (pt.wgsl:128-156) so u/v/t match the reference bit-for-bit.
@@ -106,54 +110,73 @@ def hit_attributes(scene, ro, rd, t, idx) -> Hit:
     )
     is_front = _dot(geom_normal, rd) < 0.0  # pt.wgsl:196-197
 
-    # Tangent basis from UV derivatives (pt.wgsl:176-189). No degenerate-UV
-    # guard, as in the reference — the NaN basis is only consumed when a
-    # normal-map texel is actually sampled.
-    duv1 = uv1 - uv0
-    duv2 = uv2 - uv0
-    r = 1.0 / (duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
-    tangent = _normalize(
-        (e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * r[:, None]
-    )
-    tn = interp_normal
-    tvec = _normalize(tangent - tn * _dot(tn, tangent)[:, None])
-    bvec = _normalize(_cross(tn, tvec))
-
     uv = uv0 * w[:, None] + uv1 * u[:, None] + uv2 * v[:, None]
 
-    mat = scene["materials"][mat_idx]  # (N, MAT_COLS)
-    base_color = mat[:, T.MAT_BASE_COLOR : T.MAT_BASE_COLOR + 3]
-    atlas = scene["atlas"]
+    base_color = row[:, T.TF_BASE_COLOR : T.TF_BASE_COLOR + 3]
+    metallic_f = row[:, T.TF_METALLIC]
+    roughness_f = row[:, T.TF_ROUGHNESS]
+    emission_f = row[:, T.TF_EMISSION : T.TF_EMISSION + 3]
 
-    albedo_rect = mat[:, T.MAT_ALBEDO_RECT : T.MAT_ALBEDO_RECT + 4]
-    pbr_rect = mat[:, T.MAT_PBR_RECT : T.MAT_PBR_RECT + 4]
-    emissive_rect = mat[:, T.MAT_EMISSIVE_RECT : T.MAT_EMISSIVE_RECT + 4]
-    normal_rect = mat[:, T.MAT_NORMAL_RECT : T.MAT_NORMAL_RECT + 4]
+    if textured is None:
+        textured = scene["atlas"].shape[0] > 1 or scene["atlas"].shape[1] > 1
 
-    albedo_value = sample_atlas(atlas, albedo_rect, uv, (1.0, 1.0, 1.0, 1.0))
-    albedo = albedo_value[:, 0:3] * base_color
-    alpha = albedo_value[:, 3]
+    if textured:
+        atlas = scene["atlas"]
+        albedo_value = sample_atlas(
+            atlas, row[:, T.TF_ALBEDO_RECT : T.TF_ALBEDO_RECT + 4], uv,
+            (1.0, 1.0, 1.0, 1.0),
+        )
+        albedo = albedo_value[:, 0:3] * base_color
+        alpha = albedo_value[:, 3]
+        pbr_value = sample_atlas(
+            atlas, row[:, T.TF_PBR_RECT : T.TF_PBR_RECT + 4], uv,
+            (1.0, 1.0, 1.0, 1.0),
+        )
+        metallic = pbr_value[:, 2] * metallic_f
+        roughness = jnp.maximum(pbr_value[:, 1] * roughness_f, 0.04)
+        emissive_value = sample_atlas(
+            atlas, row[:, T.TF_EMISSIVE_RECT : T.TF_EMISSIVE_RECT + 4], uv,
+            (1.0, 1.0, 1.0, 1.0),
+        )
+        emission = emissive_value[:, 0:3] * emission_f
 
-    pbr_value = sample_atlas(atlas, pbr_rect, uv, (1.0, 1.0, 1.0, 1.0))
-    metallic = pbr_value[:, 2] * mat[:, T.MAT_METALLIC]
-    roughness = jnp.maximum(pbr_value[:, 1] * mat[:, T.MAT_ROUGHNESS], 0.04)
+        # Tangent basis from UV derivatives (pt.wgsl:176-189). No
+        # degenerate-UV guard, as in the reference — the NaN basis is only
+        # consumed when a normal-map texel is actually sampled.
+        duv1 = uv1 - uv0
+        duv2 = uv2 - uv0
+        r = 1.0 / (duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
+        tangent = _normalize(
+            (e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * r[:, None]
+        )
+        tn = interp_normal
+        tvec = _normalize(tangent - tn * _dot(tn, tangent)[:, None])
+        bvec = _normalize(_cross(tn, tvec))
 
-    emissive_value = sample_atlas(atlas, emissive_rect, uv, (1.0, 1.0, 1.0, 1.0))
-    emission = emissive_value[:, 0:3] * mat[:, T.MAT_EMISSION : T.MAT_EMISSION + 3]
-
-    normal_map = sample_atlas(atlas, normal_rect, uv, (0.5, 0.5, 1.0, 1.0))[:, 0:3]
-    use_nm = (
-        (normal_map[:, 0] != 0.5)
-        | (normal_map[:, 1] != 0.5)
-        | (normal_map[:, 2] != 1.0)
-    )
-    tangent_normal = normal_map * 2.0 - 1.0
-    world_normal = _normalize(
-        tvec * tangent_normal[:, 0:1]
-        + bvec * tangent_normal[:, 1:2]
-        + tn * tangent_normal[:, 2:3]
-    )
-    normal = jnp.where(use_nm[:, None], world_normal, interp_normal)
+        normal_map = sample_atlas(
+            atlas, row[:, T.TF_NORMAL_RECT : T.TF_NORMAL_RECT + 4], uv,
+            (0.5, 0.5, 1.0, 1.0),
+        )[:, 0:3]
+        use_nm = (
+            (normal_map[:, 0] != 0.5)
+            | (normal_map[:, 1] != 0.5)
+            | (normal_map[:, 2] != 1.0)
+        )
+        tangent_normal = normal_map * 2.0 - 1.0
+        world_normal = _normalize(
+            tvec * tangent_normal[:, 0:1]
+            + bvec * tangent_normal[:, 1:2]
+            + tn * tangent_normal[:, 2:3]
+        )
+        normal = jnp.where(use_nm[:, None], world_normal, interp_normal)
+    else:
+        # Untextured: every slot takes its fallback (w == 0 rects).
+        albedo = base_color
+        alpha = jnp.ones_like(u)
+        metallic = metallic_f
+        roughness = jnp.maximum(roughness_f, 0.04)
+        emission = emission_f
+        normal = interp_normal
 
     return Hit(
         t=t,
@@ -164,10 +187,10 @@ def hit_attributes(scene, ro, rd, t, idx) -> Hit:
         alpha=alpha,
         roughness=roughness,
         metallic=metallic,
-        transmission=mat[:, T.MAT_TRANSMISSION],
-        ior=mat[:, T.MAT_IOR],
+        transmission=row[:, T.TF_TRANSMISSION],
+        ior=row[:, T.TF_IOR],
         emission=emission,
-        emissive_strength=mat[:, T.MAT_EMISSIVE_STRENGTH],
+        emissive_strength=row[:, T.TF_EMISSIVE_STRENGTH],
         uv=uv,
         is_front=is_front,
     )

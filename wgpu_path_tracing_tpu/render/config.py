@@ -56,7 +56,7 @@ class RenderConfig:
     # TPU execution
     rng: str = "reference"  # "reference" | "hash"
     intersector: str = "auto"  # "auto" | "brute" | "bvh"
-    brute_force_max_tris: int = 512  # "auto" threshold
+    brute_force_max_tris: int = 4096  # "auto" threshold (Pallas dense wins up to here)
     frames_per_chunk: int = 16
     dtype: str = "float32"
 

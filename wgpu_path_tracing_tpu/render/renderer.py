@@ -169,6 +169,42 @@ class Renderer:
             )
         return np.asarray(buf).reshape(cfg.height, cfg.width, 3)
 
+    # --- checkpoint / resume --------------------------------------------------
+    # The reference's accumulation is restart-only (renderer.ts:357-366);
+    # SURVEY.md §5 calls out an spp-stamped checkpoint as the natural upgrade.
+    def save_checkpoint(self, path: str) -> None:
+        if self._accum is None:
+            raise RuntimeError("Nothing to checkpoint")
+        np.savez(
+            path,
+            accum=np.asarray(self._accum),
+            frame_index=self.frame_index,
+            width=self.config.width,
+            height=self.config.height,
+            camera_position=self.camera.position,
+            camera_forward=self.camera.forward,
+            camera_right=self.camera.right,
+            camera_up=self.camera.up,
+            camera_fov=self.camera.fov,
+            camera_aperture=self.camera.aperture,
+            camera_focus_distance=self.camera.focus_distance,
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        data = np.load(path)
+        w, h = int(data["width"]), int(data["height"])
+        if (w, h) != (self.config.width, self.config.height):
+            self.resize(w, h)
+        self.camera.position = data["camera_position"].astype(np.float32)
+        self.camera.forward = data["camera_forward"].astype(np.float32)
+        self.camera.right = data["camera_right"].astype(np.float32)
+        self.camera.up = data["camera_up"].astype(np.float32)
+        self.camera.fov = float(data["camera_fov"])
+        self.camera.aperture = float(data["camera_aperture"])
+        self.camera.focus_distance = float(data["camera_focus_distance"])
+        self._accum = jnp.asarray(data["accum"])
+        self.frame_index = int(data["frame_index"])
+
     # --- output --------------------------------------------------------------
     def image(self) -> np.ndarray:
         """Tonemapped display image (H, W, 3) in [0,1], top row first."""
