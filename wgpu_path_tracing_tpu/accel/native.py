@@ -1,0 +1,129 @@
+"""ctypes bridge to the native C++ BVH builder (accel/cbvh/bvh_builder.cpp).
+
+The reference's host preprocessing is TypeScript; here the hot host path (SAH
+BVH over 100k+ triangle scenes) has a native implementation, compiled lazily
+with g++ into a cached shared object. Falls back to the NumPy builder
+(accel/bvh.py) when no toolchain is available; outputs are bit-identical by
+construction (tests/test_cbvh.py enforces it).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+import threading
+
+import numpy as np
+
+from wgpu_path_tracing_tpu.accel.bvh import BVH, build_bvh as build_bvh_numpy
+
+_SRC = os.path.join(os.path.dirname(__file__), "cbvh", "bvh_builder.cpp")
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_LIB_FAILED = False
+
+
+def _compile_library() -> ctypes.CDLL | None:
+    cache_dir = os.environ.get(
+        "WPT_TPU_NATIVE_CACHE", os.path.join(tempfile.gettempdir(), "wpt_tpu_native")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, "libwptbvh.so")
+    if not (
+        os.path.exists(so_path)
+        and os.path.getmtime(so_path) >= os.path.getmtime(_SRC)
+    ):
+        cmd = [
+            "g++", "-O3", "-march=native", "-shared", "-fPIC",
+            "-o", so_path + ".tmp", _SRC,
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(so_path + ".tmp", so_path)
+        except (OSError, subprocess.SubprocessError):
+            return None
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        return None
+    lib.wpt_build_bvh.restype = ctypes.c_int64
+    lib.wpt_build_bvh.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    return lib
+
+
+def native_available() -> bool:
+    global _LIB, _LIB_FAILED
+    with _LOCK:
+        if _LIB is not None:
+            return True
+        if _LIB_FAILED:
+            return False
+        _LIB = _compile_library()
+        _LIB_FAILED = _LIB is None
+        return not _LIB_FAILED
+
+
+def build_bvh_native(
+    v0: np.ndarray,
+    v1: np.ndarray,
+    v2: np.ndarray,
+    max_leaf_size: int = 4,
+    num_bins: int = 12,
+) -> BVH:
+    """Native build; raises RuntimeError if the library is unavailable."""
+    if not native_available():
+        raise RuntimeError("native BVH builder unavailable (g++ failed?)")
+    num_tris = int(np.asarray(v0).shape[0])
+    if num_tris == 0:
+        return build_bvh_numpy(v0, v1, v2, max_leaf_size, num_bins)
+
+    v0 = np.ascontiguousarray(v0, np.float32)
+    v1 = np.ascontiguousarray(v1, np.float32)
+    v2 = np.ascontiguousarray(v2, np.float32)
+    max_nodes = 2 * num_tris + 1
+    aabb_min = np.empty((max_nodes, 3), np.float32)
+    aabb_max = np.empty((max_nodes, 3), np.float32)
+    meta = np.empty((max_nodes, 4), np.int32)
+    order = np.empty((num_tris,), np.int64)
+
+    fptr = ctypes.POINTER(ctypes.c_float)
+    count = _LIB.wpt_build_bvh(
+        v0.ctypes.data_as(fptr),
+        v1.ctypes.data_as(fptr),
+        v2.ctypes.data_as(fptr),
+        num_tris,
+        max_leaf_size,
+        num_bins,
+        aabb_min.ctypes.data_as(fptr),
+        aabb_max.ctypes.data_as(fptr),
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if count <= 0:
+        raise RuntimeError(f"native BVH build failed (rc={count})")
+    return BVH(
+        aabb_min=aabb_min[:count].copy(),
+        aabb_max=aabb_max[:count].copy(),
+        meta=meta[:count].copy(),
+        order=order,
+    )
+
+
+def build_bvh(v0, v1, v2, max_leaf_size: int = 4, num_bins: int = 12) -> BVH:
+    """Best-available builder: native when it compiles, NumPy otherwise."""
+    if np.asarray(v0).shape[0] >= 1 and native_available():
+        return build_bvh_native(v0, v1, v2, max_leaf_size, num_bins)
+    return build_bvh_numpy(v0, v1, v2, max_leaf_size, num_bins)

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from wgpu_path_tracing_tpu.accel.bvh import build_bvh
+from wgpu_path_tracing_tpu.accel.native import build_bvh
 from wgpu_path_tracing_tpu.models.types import (
     LIGHT_TYPE_EMISSIVE,
     SceneArrays,

@@ -24,11 +24,20 @@ see debug/modes.py.
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Kernel programs here take O(minutes) to build on remote-compile TPU
+# setups; a persistent cache makes scene/shape revisits instant.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+try:  # pragma: no cover
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 from wgpu_path_tracing_tpu.models.types import SceneArrays, pack_device_scene
 from wgpu_path_tracing_tpu.render.camera import Camera
@@ -53,6 +62,12 @@ class Renderer:
         self._last_counters = np.zeros(2, np.int64)
         self._on_update = []
         self._last_render_seconds = 0.0
+        # Pass-level profiler + frame meter (profiler.ts / fps-meter.tsx
+        # equivalents; labels mirror renderer.ts:422,443).
+        from wgpu_path_tracing_tpu.utils.profiler import FrameMeter, PassProfiler
+
+        self.profiler = PassProfiler()
+        self.frame_meter = FrameMeter()
 
     # --- scene loading -----------------------------------------------------
     def load_scene(self, scene: SceneArrays) -> None:
@@ -123,6 +138,7 @@ class Renderer:
             for task in self._on_update:
                 task(0.0)
             chunk = min(cfg.frames_per_chunk, remaining)
+            chunk_t0 = time.perf_counter()
             self._accum, counters = pipeline.render_chunk(
                 self._scene_dev,
                 cam,
@@ -141,6 +157,10 @@ class Renderer:
                 brute_max_tris=cfg.brute_force_max_tris,
                 leaf_size=cfg.max_leaf_size,
             )
+            self._accum.block_until_ready()
+            self.profiler.add("path-trace-pass", (time.perf_counter() - chunk_t0) / chunk)
+            for _ in range(chunk):
+                self.frame_meter.tick()
             self.frame_index += chunk
             remaining -= chunk
             render_counters = render_counters + np.asarray(counters, np.int64)
@@ -210,12 +230,13 @@ class Renderer:
         """Tonemapped display image (H, W, 3) in [0,1], top row first."""
         if self._accum is None:
             raise RuntimeError("Nothing rendered yet")
-        return imageio.buffer_to_srgb(
-            np.asarray(self._accum),
-            self.config.width,
-            self.config.height,
-            self.config.exposure,
-        )
+        with self.profiler.section("blit-pass"):
+            return imageio.buffer_to_srgb(
+                np.asarray(self._accum),
+                self.config.width,
+                self.config.height,
+                self.config.exposure,
+            )
 
     def save_png(self, path: str) -> None:
         imageio.write_png(path, self.image())
@@ -232,4 +253,6 @@ class Renderer:
             "rays_total": closest + shadow,
             "last_render_seconds": self._last_render_seconds,
             "mrays_per_sec": last_total / secs / 1e6 if last_total else 0.0,
+            "passes": self.profiler.stats(),
+            "frames": self.frame_meter.stats(),
         }
