@@ -1,5 +1,10 @@
 """Multi-chip sharding: the sharded renderer must equal the single-chip
-renderer (rows use global RNG seeds; sample-axis frames partition exactly)."""
+renderer (rows use global RNG seeds; sample-axis frames partition exactly).
+
+Buffers live in tile-coherent lane order on device (utils/tiling.py); both
+sides are converted to row-major before comparison. The 64x64 image size
+makes the tile permutation non-trivial for every mesh shape tested.
+"""
 
 import numpy as np
 import jax
@@ -11,9 +16,15 @@ from wgpu_path_tracing_tpu.models.types import pack_device_scene
 from wgpu_path_tracing_tpu.parallel import shard as SH
 from wgpu_path_tracing_tpu.render import pipeline
 from wgpu_path_tracing_tpu.render.camera import Camera
+from wgpu_path_tracing_tpu.utils.tiling import inverse_permutation, tile_permutation
 
-WIDTH = HEIGHT = 32
+WIDTH = HEIGHT = 64
 SPP = 4
+
+
+def _row_major_single(buf):
+    inv = inverse_permutation(tile_permutation(WIDTH, HEIGHT))
+    return np.asarray(buf)[inv]
 
 
 @pytest.fixture(scope="module")
@@ -41,12 +52,12 @@ def setup():
     ref, ref_counters = pipeline.render_chunk(
         dev, cam, accum0, jnp.int32(0), **kwargs
     )
-    return scene, dev, cam, kwargs, np.asarray(ref), np.asarray(ref_counters)
+    return scene, dev, cam, kwargs, _row_major_single(ref), np.asarray(ref_counters)
 
 
 @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (4, 2), (1, 1)])
 def test_sharded_matches_single_chip(setup, mesh_shape):
-    scene, dev, cam, kwargs, ref, ref_counters = setup
+    scene, dev, cam, kwargs, ref_rm, ref_counters = setup
     s, r = mesh_shape
     if s * r > len(jax.devices()):
         pytest.skip("not enough devices")
@@ -57,10 +68,12 @@ def test_sharded_matches_single_chip(setup, mesh_shape):
     out, counters = SH.render_chunk_sharded(
         scene_rep, cam, accum, jnp.int32(0), mesh=mesh, **kwargs
     )
-    out = SH.gather_image(out)
+    out_rm = SH.untile_image(
+        SH.gather_image(out), WIDTH, HEIGHT, mesh.shape["row"]
+    )
 
     # Same frames, same seeds -> same image up to f32 summation order.
-    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out_rm, ref_rm, rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(counters), ref_counters)
 
 
@@ -77,10 +90,12 @@ def test_sharded_accumulation_across_chunks(setup):
     out, _ = SH.render_chunk_sharded(
         scene_rep, cam, out, jnp.int32(SPP), mesh=mesh, **kwargs
     )
-    out = SH.gather_image(out)
+    out_rm = SH.untile_image(
+        SH.gather_image(out), WIDTH, HEIGHT, mesh.shape["row"]
+    )
 
     kwargs2 = dict(kwargs, n_frames=2 * SPP)
     ref2, _ = pipeline.render_chunk(
         dev, cam, jnp.zeros((WIDTH * HEIGHT, 3), jnp.float32), jnp.int32(0), **kwargs2
     )
-    np.testing.assert_allclose(out, np.asarray(ref2), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out_rm, _row_major_single(ref2), rtol=1e-4, atol=1e-5)

@@ -108,7 +108,11 @@ def render_normal(
     closest_hit = make_closest_hit(scene, intersector, brute_max_tris, leaf_size)
     t, idx = closest_hit(ro, rd)
     hit = SHADE.hit_attributes(scene, ro, rd, t, idx)
-    normal_color = (hit.normal + 1.0) * 0.5
+    normal_color = jnp.stack(
+        [(hit.normal.x + 1.0) * 0.5, (hit.normal.y + 1.0) * 0.5,
+         (hit.normal.z + 1.0) * 0.5],
+        axis=-1,
+    )
     red = jnp.array([1.0, 0.0, 0.0], jnp.float32)
     color = jnp.where(hit.is_front[:, None], normal_color, red[None, :])
     return jnp.where(hit.found[:, None], color, 0.0)

@@ -18,17 +18,35 @@ from wgpu_path_tracing_tpu.models.assemble import finalize_scene
 from wgpu_path_tracing_tpu.models.types import SceneArrays
 
 
-def _quad(p0, p1, p2, p3):
-    """Two CCW triangles for quad p0-p1-p2-p3 (normal by right-hand rule)."""
+def _quad(p0, p1, p2, p3, tess: int = 1):
+    """CCW triangles for quad p0-p1-p2-p3 (normal by right-hand rule),
+    optionally tessellated into a tess x tess grid (2·tess² triangles)."""
     p0, p1, p2, p3 = (np.asarray(p, np.float64) for p in (p0, p1, p2, p3))
     n = np.cross(p1 - p0, p3 - p0)
     n = n / np.linalg.norm(n)
-    tris = [(p0, p1, p2), (p0, p2, p3)]
-    uvs = [((0, 0), (1, 0), (1, 1)), ((0, 0), (1, 1), (0, 1))]
+    tris, uvs = [], []
+    for i in range(tess):
+        for j in range(tess):
+            u0, u1 = i / tess, (i + 1) / tess
+            v0_, v1_ = j / tess, (j + 1) / tess
+
+            def pt(u, v):
+                return (
+                    p0 * (1 - u) * (1 - v)
+                    + p1 * u * (1 - v)
+                    + p2 * u * v
+                    + p3 * (1 - u) * v
+                )
+
+            a, b, c, d = pt(u0, v0_), pt(u1, v0_), pt(u1, v1_), pt(u0, v1_)
+            tris.append((a, b, c))
+            uvs.append(((u0, v0_), (u1, v0_), (u1, v1_)))
+            tris.append((a, c, d))
+            uvs.append(((u0, v0_), (u1, v1_), (u0, v1_)))
     return tris, uvs, n
 
 
-def _box(center, size, yaw=0.0):
+def _box(center, size, yaw=0.0, tess: int = 1):
     """Axis-aligned box rotated by ``yaw`` about +Y, outward normals."""
     cx, cy, cz = center
     sx, sy, sz = (s / 2 for s in size)
@@ -55,7 +73,7 @@ def _box(center, size, yaw=0.0):
     ]
     out = []
     for f in faces:
-        out.append(_quad(*(rot(p) for p in f)))
+        out.append(_quad(*(rot(p) for p in f), tess=tess))
     return out
 
 
@@ -64,6 +82,7 @@ def cornell_box(
     light_strength: float = 5.0,
     max_leaf_size: int = 4,
     num_bins: int = 12,
+    tessellation: int = 1,
 ) -> SceneArrays:
     """A classic Cornell box: white floor/ceiling/back, red left wall, green
     right wall, one emissive ceiling quad, one tall and one short box.
@@ -76,16 +95,17 @@ def cornell_box(
     white, red, green = 0, 1, 2
     light_mat, tall_mat, short_mat = 3, 0, 0
 
+    ts = tessellation
     # floor (+Y normal)
-    quads.append((_quad((-1, 0, 1), (1, 0, 1), (1, 0, -1), (-1, 0, -1)), white))
+    quads.append((_quad((-1, 0, 1), (1, 0, 1), (1, 0, -1), (-1, 0, -1), ts), white))
     # ceiling (-Y normal)
-    quads.append((_quad((-1, 2, -1), (1, 2, -1), (1, 2, 1), (-1, 2, 1)), white))
+    quads.append((_quad((-1, 2, -1), (1, 2, -1), (1, 2, 1), (-1, 2, 1), ts), white))
     # back wall (+Z normal)
-    quads.append((_quad((-1, 0, -1), (1, 0, -1), (1, 2, -1), (-1, 2, -1)), white))
+    quads.append((_quad((-1, 0, -1), (1, 0, -1), (1, 2, -1), (-1, 2, -1), ts), white))
     # left wall (+X normal, red)
-    quads.append((_quad((-1, 0, 1), (-1, 0, -1), (-1, 2, -1), (-1, 2, 1)), red))
+    quads.append((_quad((-1, 0, 1), (-1, 0, -1), (-1, 2, -1), (-1, 2, 1), ts), red))
     # right wall (-X normal, green)
-    quads.append((_quad((1, 0, -1), (1, 0, 1), (1, 2, 1), (1, 2, -1)), green))
+    quads.append((_quad((1, 0, -1), (1, 0, 1), (1, 2, 1), (1, 2, -1), ts), green))
     # light quad just below the ceiling (-Y normal)
     ly = 1.98
     quads.append(
@@ -94,9 +114,11 @@ def cornell_box(
     )
 
     # Boxes
-    for face in _box((-0.4, 0.6, -0.35), (0.55, 1.2, 0.55), yaw=np.radians(18)):
+    for face in _box((-0.4, 0.6, -0.35), (0.55, 1.2, 0.55), yaw=np.radians(18),
+                     tess=ts):
         quads.append((face, tall_mat))
-    for face in _box((0.45, 0.3, 0.3), (0.55, 0.6, 0.55), yaw=np.radians(-17)):
+    for face in _box((0.45, 0.3, 0.3), (0.55, 0.6, 0.55), yaw=np.radians(-17),
+                     tess=ts):
         quads.append((face, short_mat))
 
     v0, v1, v2, n0, n1, n2, uv0, uv1, uv2, mat = [], [], [], [], [], [], [], [], [], []

@@ -279,6 +279,11 @@ def pack_device_scene(scene: SceneArrays):
         light_full[:n_lights, LF_N1 : LF_N1 + 3] = tri_shade[ltri, TRI_N1 : TRI_N1 + 3]
         light_full[:n_lights, LF_N2 : LF_N2 + 3] = tri_shade[ltri, TRI_N2 : TRI_N2 + 3]
 
+    # Cluster tables for the large-scene dispatch intersector.
+    from wgpu_path_tracing_tpu.ops.cluster import build_clusters
+
+    cluster_tris, cluster_aabb = build_clusters(tri_isect)
+
     return {
         "tri_isect": tri_isect,
         "tri_full": tri_full,
@@ -288,5 +293,7 @@ def pack_device_scene(scene: SceneArrays):
         "bvh_aabb": bvh_aabb,
         "bvh_meta": bvh_meta,
         "bvh_links": bvh_links,
+        "cluster_tris": cluster_tris,
+        "cluster_aabb": cluster_aabb,
         "atlas": np.asarray(atlas, np.float32),
     }

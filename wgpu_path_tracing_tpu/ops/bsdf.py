@@ -1,6 +1,8 @@
-"""BSDF evaluation and sampling (device-side, vectorized).
+"""BSDF evaluation and sampling (device-side, SoA).
 
-Reimplements pt.wgsl's metallic/roughness BSDF with transmission:
+Reimplements pt.wgsl's metallic/roughness BSDF with transmission over
+lane-shaped SoA arrays (ops/vec.py) — the same code runs in the plain-XLA
+path and inside Pallas bounce kernels:
 
 * GGX distribution / Smith geometry / Fresnel-Schlick — pt.wgsl:316-345
 * cosine-hemisphere sampling — pt.wgsl:299-307 (randomCosineDirection)
@@ -27,60 +29,49 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from wgpu_path_tracing_tpu.ops import rng as RNG
+from wgpu_path_tracing_tpu.ops import vec
+from wgpu_path_tracing_tpu.ops.vec import V3
 
-PI = 3.14159265359  # pt.wgsl:3 (f32 constant)
+PI = 3.14159265359  # pt.wgsl:3
 EPSILON = 1e-6
 
 
-def _dot(a, b):
-    return jnp.sum(a * b, axis=-1)
-
-
-def _cross(a, b):
-    ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
-    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
-    return jnp.stack(
-        [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=-1
-    )
-
-
-def _normalize(v):
-    return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
-
-
-def reflect(e, n):
+def reflect(e: V3, n: V3) -> V3:
     """WGSL reflect(e, n) = e - 2*dot(e, n)*n."""
-    return e - 2.0 * _dot(e, n)[..., None] * n
+    return e - n * (2.0 * vec.dot(e, n))
 
 
-def refract(e, n, eta):
+def refract(e: V3, n: V3, eta) -> V3:
     """WGSL refract(e, n, eta); returns 0-vector when k < 0."""
-    cos_i = _dot(n, e)
+    cos_i = vec.dot(n, e)
     k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
-    out = eta[..., None] * e - (eta * cos_i + jnp.sqrt(jnp.maximum(k, 0.0)))[
-        ..., None
-    ] * n
-    return jnp.where((k < 0.0)[..., None], 0.0, out)
-
-
-def construct_tbn(n):
-    """constructTBN (pt.wgsl:624-634): returns (T, B, N) basis vectors."""
-    use_y = jnp.abs(n[..., 0]) > 0.9
-    t0 = jnp.where(
-        use_y[..., None],
-        jnp.array([0.0, 1.0, 0.0], jnp.float32),
-        jnp.array([1.0, 0.0, 0.0], jnp.float32),
+    out = e * eta - n * (eta * cos_i + jnp.sqrt(jnp.maximum(k, 0.0)))
+    zero = V3(
+        jnp.zeros_like(out.x), jnp.zeros_like(out.y), jnp.zeros_like(out.z)
     )
-    b = _normalize(_cross(n, t0))
-    t = _normalize(_cross(b, n))
+    return vec.where(k < 0.0, zero, out)
+
+
+def construct_tbn(n: V3):
+    """constructTBN (pt.wgsl:624-634): returns (T, B, N) basis vectors."""
+    use_y = jnp.abs(n.x) > 0.9
+    zeros = jnp.zeros_like(n.x)
+    ones = jnp.ones_like(n.x)
+    t0 = V3(
+        jnp.where(use_y, zeros, ones),
+        jnp.where(use_y, ones, zeros),
+        zeros,
+    )
+    b = vec.normalize(vec.cross(n, t0))
+    t = vec.normalize(vec.cross(b, n))
     return t, b, n
 
 
-def distribution_ggx(n, h, roughness):
+def distribution_ggx(n: V3, h: V3, roughness):
     """pt.wgsl:316-325."""
     a = roughness * roughness
     a2 = a * a
-    ndoth = jnp.maximum(_dot(n, h), 0.0)
+    ndoth = jnp.maximum(vec.dot(n, h), 0.0)
     denom = ndoth * ndoth * (a2 - 1.0) + 1.0
     return jnp.maximum(a2 / (PI * denom * denom), 0.0)
 
@@ -92,18 +83,23 @@ def geometry_schlick_ggx(ndotv, roughness):
     return ndotv / (ndotv * (1.0 - k) + k)
 
 
-def geometry_smith(n, v, l, roughness):
+def geometry_smith(n: V3, v: V3, l: V3, roughness):
     """pt.wgsl:334-340."""
-    ndotv = jnp.maximum(_dot(n, v), 0.0)
-    ndotl = jnp.maximum(_dot(n, l), 0.0)
+    ndotv = jnp.maximum(vec.dot(n, v), 0.0)
+    ndotl = jnp.maximum(vec.dot(n, l), 0.0)
     return geometry_schlick_ggx(ndotv, roughness) * geometry_schlick_ggx(
         ndotl, roughness
     )
 
 
-def fresnel_schlick(cos_theta, f0):
+def fresnel_schlick(cos_theta, f0: V3) -> V3:
     """pt.wgsl:343-345."""
-    return f0 + (1.0 - f0) * jnp.power(1.0 - cos_theta, 5.0)[..., None]
+    p = jnp.power(1.0 - cos_theta, 5.0)
+    return V3(
+        f0.x + (1.0 - f0.x) * p,
+        f0.y + (1.0 - f0.y) * p,
+        f0.z + (1.0 - f0.z) * p,
+    )
 
 
 def reflectance(cos_theta, eta):
@@ -113,7 +109,7 @@ def reflectance(cos_theta, eta):
     return r0 + (1.0 - r0) * jnp.power(1.0 - cos_theta, 5.0)
 
 
-def cosine_direction(normal, r1, r2):
+def cosine_direction(normal: V3, r1, r2) -> V3:
     """randomCosineDirection rotated into the normal frame
     (pt.wgsl:299-307 + 513-514)."""
     z = jnp.sqrt(1.0 - r2)
@@ -122,10 +118,10 @@ def cosine_direction(normal, r1, r2):
     x = jnp.cos(phi) * sq
     y = jnp.sin(phi) * sq
     t, b, n = construct_tbn(normal)
-    return t * x[..., None] + b * y[..., None] + n * z[..., None]
+    return t * x + b * y + n * z
 
 
-def sample_ggx_normal(normal, roughness, r1, r2):
+def sample_ggx_normal(normal: V3, roughness, r1, r2) -> V3:
     """sampleGGXNormal (pt.wgsl:348-364)."""
     a = roughness * roughness
     phi = 2.0 * PI * r1
@@ -134,37 +130,43 @@ def sample_ggx_normal(normal, roughness, r1, r2):
     lx = sin_t * jnp.cos(phi)
     ly = sin_t * jnp.sin(phi)
     t, b, n = construct_tbn(normal)
-    return _normalize(
-        t * lx[..., None] + b * ly[..., None] + n * cos_t[..., None]
-    )
+    return vec.normalize(t * lx + b * ly + n * cos_t)
 
 
-def eval_bsdf(hit, normal, v, l, front):
-    """evalBSDF (pt.wgsl:548-614). Returns (bsdf (N,3), pdf (N,)).
+def eval_bsdf(hit, normal: V3, v: V3, l: V3, front):
+    """evalBSDF (pt.wgsl:548-614). Returns (bsdf V3, pdf).
 
-    ``hit`` needs .albedo, .metallic, .roughness, .transmission, .ior.
+    ``hit`` needs .albedo (V3), .metallic, .roughness, .transmission, .ior.
     """
-    h = _normalize(v + l)
-    ndotl = jnp.maximum(_dot(normal, l), 0.0)
-    ndotv = jnp.maximum(_dot(normal, v), 0.0)
-    ndoth = jnp.maximum(_dot(normal, h), 0.0)
-    vdoth = jnp.maximum(_dot(v, h), 0.0)
+    h = vec.normalize(v + l)
+    ndotl = jnp.maximum(vec.dot(normal, l), 0.0)
+    ndotv = jnp.maximum(vec.dot(normal, v), 0.0)
+    ndoth = jnp.maximum(vec.dot(normal, h), 0.0)
+    vdoth = jnp.maximum(vec.dot(v, h), 0.0)
 
-    f0 = (1.0 - hit.metallic[:, None]) * 0.04 + hit.albedo * hit.metallic[:, None]
+    m = hit.metallic
+    f0 = V3(
+        (1.0 - m) * 0.04 + hit.albedo.x * m,
+        (1.0 - m) * 0.04 + hit.albedo.y * m,
+        (1.0 - m) * 0.04 + hit.albedo.z * m,
+    )
     f = fresnel_schlick(vdoth, f0)
     g = geometry_smith(normal, v, l, hit.roughness)
     d = distribution_ggx(normal, h, hit.roughness)
 
-    kd = (1.0 - f) * (1.0 - hit.transmission[:, None])
-    diffuse = kd * hit.albedo / PI
-    specular = f * (g * d)[:, None] / jnp.maximum(4.0 * ndotv * ndotl, EPSILON)[
-        :, None
-    ]
+    kd_scale = 1.0 - hit.transmission
+    spec_scale = (g * d) / jnp.maximum(4.0 * ndotv * ndotl, EPSILON)
+    diffuse = V3(
+        (1.0 - f.x) * kd_scale * hit.albedo.x / PI,
+        (1.0 - f.y) * kd_scale * hit.albedo.y / PI,
+        (1.0 - f.z) * kd_scale * hit.albedo.z / PI,
+    )
+    specular = f * spec_scale
 
     # Reflective combination (pt.wgsl:595-610)
-    bsdf_r = (diffuse + specular) * ndotl[:, None]
-    diffuse_prob = (1.0 - hit.metallic) * (1.0 - hit.transmission)
-    specular_prob = hit.metallic
+    bsdf_r = (diffuse + specular) * ndotl
+    diffuse_prob = (1.0 - m) * (1.0 - hit.transmission)
+    specular_prob = m
     diffuse_pdf = ndotl / PI
     specular_pdf = d * ndoth / (4.0 * vdoth)
     pdf_r = diffuse_prob * diffuse_pdf + specular_prob * specular_pdf
@@ -172,26 +174,25 @@ def eval_bsdf(hit, normal, v, l, front):
     # Transmission branch (pt.wgsl:581-594): value identical front/back, pdf
     # = lobe probability.
     eta = jnp.where(front, 1.0 / hit.ior, hit.ior)
-    cos_theta = _dot(normal, v)
+    cos_theta = vec.dot(normal, v)
     f_trans = reflectance(jnp.abs(cos_theta), eta)
-    bsdf_t = (1.0 - f_trans)[:, None] * hit.albedo
-    pdf_t = (1.0 - hit.metallic) * hit.transmission
+    bsdf_t = hit.albedo * (1.0 - f_trans)
+    pdf_t = (1.0 - m) * hit.transmission
 
     is_trans = hit.transmission > 0.0
-    bsdf = jnp.where(is_trans[:, None], bsdf_t, bsdf_r)
+    bsdf = vec.where(is_trans, bsdf_t, bsdf_r)
     pdf = jnp.where(is_trans, pdf_t, pdf_r)
     return bsdf, jnp.maximum(pdf, EPSILON)  # pt.wgsl:613
 
 
-def sample_bsdf(hit, rd, front, state, mask):
-    """sampleBSDF (pt.wgsl:498-546). Returns (direction (N,3), new rng state).
+def sample_bsdf(hit, rd: V3, front, state, mask):
+    """sampleBSDF (pt.wgsl:498-546). Returns (direction V3, new rng state).
 
-    ``mask``: lanes that actually sample (the reference thread would reach
-    this call) — RNG advances only there. Draw schedule per lane in mask:
-    1 lobe-select + 2 (every lobe draws exactly two: cosine r1/r2 or GGX
-    r1/r2) + 1 Fresnel draw only on transmission lanes that can refract.
+    ``mask``: lanes that actually sample — RNG advances only there. Draw
+    schedule per lane in mask: 1 lobe-select + 2 (every lobe draws exactly
+    two) + 1 Fresnel draw only on transmission lanes that can refract.
     """
-    v = -_normalize(rd)
+    v = -vec.normalize(rd)
 
     diffuse_prob = (1.0 - hit.metallic) * (1.0 - hit.transmission)
     specular_prob = hit.metallic
@@ -215,21 +216,17 @@ def sample_bsdf(hit, rd, front, state, mask):
     # Transmission (pt.wgsl:522-545)
     eta = jnp.where(front, 1.0 / hit.ior, hit.ior)
     n_t = sample_ggx_normal(hit.normal, rough, r1, r2)
-    n_t = jnp.where(front[:, None], n_t, -n_t)
-    cos_theta = _dot(n_t, v)
+    n_t = vec.where(front, n_t, -n_t)
+    cos_theta = vec.dot(n_t, v)
     sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
     cannot_refract = eta * sin_theta > 1.0
     f = reflectance(jnp.abs(cos_theta), eta)
     # Fresnel draw only where the || short-circuit evaluates rand()
     r3, state = RNG.rand(state, mask & lobe_t & ~cannot_refract)
     do_reflect = cannot_refract | (r3 < f)
-    dir_t = jnp.where(
-        do_reflect[:, None], reflect(-v, n_t), refract(-v, n_t, eta)
-    )
+    dir_t = vec.where(do_reflect, reflect(-v, n_t), refract(-v, n_t, eta))
 
-    direction = jnp.where(
-        lobe_d[:, None], dir_d, jnp.where(lobe_s[:, None], dir_s, dir_t)
-    )
+    direction = vec.where(lobe_d, dir_d, vec.where(lobe_s, dir_s, dir_t))
     return direction, state
 
 

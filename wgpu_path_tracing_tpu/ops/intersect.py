@@ -329,6 +329,22 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
                 return closest_hit_brute_pallas(scene["tri_isect"], ro, rd)
             return closest_hit_brute(scene["tri_isect"], ro, rd)
 
+    elif intersector != "bvh" and jax.default_backend() not in ("cpu", "gpu"):
+        # Large scenes on TPU: cluster dispatch (ops/cluster.py).
+        from wgpu_path_tracing_tpu.ops.cluster import closest_hit_cluster
+
+        def closest_hit(ro, rd, active=None, t_max=None, any_hit=False):
+            return closest_hit_cluster(
+                scene["cluster_aabb"],
+                scene["cluster_tris"],
+                ro,
+                rd,
+                active=active,
+                t_max=t_max,
+                num_tris=num_tris,
+                any_hit=any_hit,
+            )
+
     else:
         bvh_nodes = jnp.concatenate(
             [scene["bvh_links"], scene["bvh_meta"][:, 2:4]], axis=1

@@ -1,0 +1,291 @@
+"""Pallas bounce megakernel.
+
+Between the two traversals of a bounce (closest hit in, shadow rays out),
+the reference's megakernel does ~300 scalar ops per thread (emissive
+accumulation, NEE light sampling, BSDF eval x2, BSDF sampling, Russian
+roulette — pt.wgsl:638-709). In the plain XLA path those ops stream every
+intermediate through HBM; this kernel runs the ENTIRE shading stage —
+ops/trace.py::bounce_core, the same code, not a copy — on (1, BN) VMEM
+blocks with the triangle/material and light tables resident in VMEM and
+winner rows selected by in-kernel one-hot MXU matmuls (exact: one-hot
+entries are 0/1).
+
+Scope: untextured scenes (atlas fetches are 2D texel gathers — XLA path) and
+scenes whose denormalized triangle table fits VMEM (<= ~4k triangles; larger
+scenes use the XLA bounce with cluster-dispatch traversal). The radiance and
+RNG streams are identical to the XLA path because the shading code is
+literally shared.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wgpu_path_tracing_tpu.models import types as T
+from wgpu_path_tracing_tpu.ops import trace as TRACE
+from wgpu_path_tracing_tpu.ops import vec
+from wgpu_path_tracing_tpu.ops.vec import V3
+
+BN = 1024
+SELECT_CHUNK = 512  # one-hot select chunk over table rows
+
+MAX_VMEM_TRIS = 4096
+
+
+def _select_rows(table_ref, idx_row, chunk: int = SELECT_CHUNK):
+    """rows (C, BN) = table_ref (Tp, C) selected by idx_row (1, BN), via
+    chunked one-hot MXU matmuls (Tp is a multiple of ``chunk``)."""
+    tp = table_ref.shape[0]
+    cols = table_ref.shape[1]
+    bn = idx_row.shape[1]
+    n_chunks = tp // chunk
+
+    def body(ci, acc):
+        base = ci * chunk
+        iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, bn), 0) + base
+        onehot = (iota == idx_row).astype(jnp.float32)  # (chunk, BN)
+        part = jax.lax.dot_general(
+            table_ref[pl.ds(base, chunk), :],
+            onehot,
+            dimension_numbers=((([0]), ([0])), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (C, BN)
+        return acc + part
+
+    acc0 = jnp.zeros((cols, bn), jnp.float32)
+    return jax.lax.fori_loop(0, n_chunks, body, acc0)
+
+
+def _bounce_kernel(do_mis, num_lights):
+    def kernel(
+        bounce_ref,  # scalar prefetch: (1,) int32
+        ray_ref, state_ref, thr_ref, res_ref, alive_ref, t_ref, idx_ref,
+        tri_ref, light_ref,
+        oray_ref, ostate_ref, othr_ref, ores_ref, oalive_ref,
+        shadow_ray_ref, stmax_ref, smask_ref, sdirect_ref, spdf_ref,
+    ):
+        rays_v = ray_ref[...]  # (6, BN)
+        thr_v = thr_ref[...]
+        res_v = res_ref[...]
+        st = TRACE.BounceState(
+            ro=V3(rays_v[0:1], rays_v[1:2], rays_v[2:3]),
+            rd=V3(rays_v[3:4], rays_v[4:5], rays_v[5:6]),
+            throughput=V3(thr_v[0:1], thr_v[1:2], thr_v[2:3]),
+            result=V3(res_v[0:1], res_v[1:2], res_v[2:3]),
+            alive=alive_ref[...] != 0,
+            state=state_ref[...],
+        )
+        t = t_ref[...]
+        idx = idx_ref[...]
+
+        def fetch_tri(safe_idx):
+            rows = _select_rows(tri_ref, safe_idx)
+            return lambda c: rows[c : c + 1, :]
+
+        def fetch_light(lidx):
+            rows = _select_rows(light_ref, lidx, chunk=light_ref.shape[0])
+            return lambda c: rows[c : c + 1, :]
+
+        new_st, shadow = TRACE.bounce_core(
+            st, t, idx, bounce_ref[0],
+            fetch_tri=fetch_tri, fetch_light=fetch_light, atlas=None,
+            do_mis=do_mis, num_lights=num_lights,
+        )
+
+        oray_ref[0:1, :] = new_st.ro.x
+        oray_ref[1:2, :] = new_st.ro.y
+        oray_ref[2:3, :] = new_st.ro.z
+        oray_ref[3:4, :] = new_st.rd.x
+        oray_ref[4:5, :] = new_st.rd.y
+        oray_ref[5:6, :] = new_st.rd.z
+        ostate_ref[...] = new_st.state
+        othr_ref[0:1, :] = new_st.throughput.x
+        othr_ref[1:2, :] = new_st.throughput.y
+        othr_ref[2:3, :] = new_st.throughput.z
+        ores_ref[0:1, :] = new_st.result.x
+        ores_ref[1:2, :] = new_st.result.y
+        ores_ref[2:3, :] = new_st.result.z
+        oalive_ref[...] = new_st.alive.astype(jnp.int32)
+        shadow_ray_ref[0:1, :] = shadow.origin.x
+        shadow_ray_ref[1:2, :] = shadow.origin.y
+        shadow_ray_ref[2:3, :] = shadow.origin.z
+        shadow_ray_ref[3:4, :] = shadow.direction.x
+        shadow_ray_ref[4:5, :] = shadow.direction.y
+        shadow_ray_ref[5:6, :] = shadow.direction.z
+        stmax_ref[...] = shadow.t_max
+        smask_ref[...] = shadow.mask.astype(jnp.int32)
+        sdirect_ref[0:1, :] = shadow.direct.x
+        sdirect_ref[1:2, :] = shadow.direct.y
+        sdirect_ref[2:3, :] = shadow.direct.z
+        spdf_ref[...] = shadow.pdf
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("do_mis", "num_lights", "interpret"),
+)
+def bounce_stage_pallas(
+    bounce_idx,
+    rays,  # (6, N)
+    state,  # (1, N) uint32
+    throughput,  # (3, N)
+    result,  # (3, N)
+    alive,  # (1, N) int32
+    t,  # (1, N)
+    idx,  # (1, N) int32
+    tri_table,  # (Tp, TF_COLS), Tp multiple of SELECT_CHUNK
+    light_table,  # (Lp, LF_COLS)
+    *,
+    do_mis: bool,
+    num_lights: int,
+    interpret: bool = False,
+):
+    n = rays.shape[1]
+    nb = n // BN
+    bidx = jnp.reshape(bounce_idx, (1,)).astype(jnp.int32)
+
+    def row_spec(rows):
+        return pl.BlockSpec((rows, BN), lambda i, b: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def table_spec(shape):
+        return pl.BlockSpec(shape, lambda i, b: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            row_spec(6), row_spec(1), row_spec(3), row_spec(3), row_spec(1),
+            row_spec(1), row_spec(1),
+            table_spec(tri_table.shape), table_spec(light_table.shape),
+        ],
+        out_specs=[
+            row_spec(6), row_spec(1), row_spec(3), row_spec(3), row_spec(1),
+            row_spec(6), row_spec(1), row_spec(1), row_spec(3), row_spec(1),
+        ],
+    )
+    outs = pl.pallas_call(
+        _bounce_kernel(do_mis, num_lights),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((6, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.uint32),
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((6, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bidx, rays, state, throughput, result, alive, t, idx,
+      tri_table, light_table)
+    return outs
+
+
+def prepare_tables(scene):
+    """Pad the denormalized tables for in-VMEM residency. Returns
+    (tri_table (Tp, TF_COLS), light_table (Lp, LF_COLS)) or None if the
+    scene is too large for the megakernel."""
+    tri = scene["tri_full"]
+    if tri.shape[0] > MAX_VMEM_TRIS:
+        return None
+    tp = -(-tri.shape[0] // SELECT_CHUNK) * SELECT_CHUNK
+    tri_p = jnp.pad(tri, ((0, tp - tri.shape[0]), (0, 0)))
+    light = scene["light_full"]
+    lp = max(8, -(-light.shape[0] // 8) * 8)
+    light_p = jnp.pad(light, ((0, lp - light.shape[0]), (0, 0)))
+    return tri_p, light_p
+
+
+def trace_pallas(
+    scene,
+    closest_hit,
+    ro,
+    rd,
+    state,
+    *,
+    max_bounces: int = 8,
+    do_mis: bool = True,
+    num_lights: int = 0,
+    interpret: bool = False,
+):
+    """Drop-in replacement for ops/trace.py::trace on TPU for untextured,
+    VMEM-sized scenes. Same signature, same semantics, same RNG streams."""
+    tables = prepare_tables(scene)
+    assert tables is not None, "scene too large for the bounce megakernel"
+    tri_table, light_table = tables
+
+    n = ro.shape[0]
+    pad = (-n) % BN
+    npad = n + pad
+
+    def pad_n(a, rows):
+        a = a.reshape(rows, -1) if a.ndim == 2 else a[None, :]
+        if pad:
+            a = jnp.pad(a, ((0, 0), (0, pad)))
+        return a
+
+    rays = jnp.concatenate([ro.T, rd.T], axis=0)
+    rays = jnp.pad(rays, ((0, 0), (0, pad))) if pad else rays
+    state_r = pad_n(state, 1).astype(jnp.uint32)
+    thr = jnp.ones((3, npad), jnp.float32)
+    res = jnp.zeros((3, npad), jnp.float32)
+    alive = jnp.concatenate(
+        [jnp.ones((1, n), jnp.int32), jnp.zeros((1, pad), jnp.int32)], axis=1
+    ) if pad else jnp.ones((1, n), jnp.int32)
+    counters0 = jnp.zeros((2,), jnp.int32)
+
+    def bounce(carry, bounce_idx):
+        rays, state_r, thr, res, alive, counters = carry
+        alive_b = alive[0] != 0
+        t, idx = closest_hit(
+            rays[0:3].T, rays[3:6].T, active=alive_b
+        )
+        counters = counters.at[0].add(jnp.sum(alive))
+        outs = bounce_stage_pallas(
+            bounce_idx, rays, state_r, thr, res, alive,
+            t[None, :], idx[None, :], tri_table, light_table,
+            do_mis=do_mis, num_lights=num_lights, interpret=interpret,
+        )
+        (rays, state_r, thr, res, alive,
+         srays, stmax, smask, sdirect, spdf) = outs
+        if do_mis:
+            counters = counters.at[1].add(jnp.sum(smask))
+            shadow_t, _ = closest_hit(
+                srays[0:3].T, srays[3:6].T,
+                active=smask[0] != 0, t_max=stmax[0], any_hit=True,
+            )
+            st = TRACE.BounceState(
+                ro=vec.from_rows(rays, 0), rd=vec.from_rows(rays, 3),
+                throughput=vec.from_rows(thr, 0), result=vec.from_rows(res, 0),
+                alive=alive[0:1] != 0, state=state_r,
+            )
+            shadow = TRACE.ShadowQuery(
+                origin=vec.from_rows(srays, 0),
+                direction=vec.from_rows(srays, 3),
+                t_max=stmax, mask=smask != 0,
+                direct=vec.from_rows(sdirect, 0), pdf=spdf,
+            )
+            st = TRACE.resolve_shadow(st, shadow, shadow_t[None, :])
+            res = jnp.concatenate([st.result.x, st.result.y, st.result.z], 0)
+        return (rays, state_r, thr, res, alive, counters), None
+
+    carry0 = (rays, state_r, thr, res, alive, counters0)
+    (rays, state_r, thr, res, alive, counters), _ = jax.lax.scan(
+        bounce, carry0, jnp.arange(max_bounces), unroll=1
+    )
+    radiance = res.T[:n]
+    out_state = state_r[0, :n]
+    stats = {"closest": counters[0], "shadow": counters[1]}
+    return radiance, out_state, stats

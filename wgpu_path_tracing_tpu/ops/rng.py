@@ -26,12 +26,14 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_MUL = jnp.uint32(747796405)
-_INC = jnp.uint32(2891336453)
-_XSH = jnp.uint32(277803737)
+import numpy as np
+
+_MUL = np.uint32(747796405)
+_INC = np.uint32(2891336453)
+_XSH = np.uint32(277803737)
 
 # f32(4294967295u) rounds to 4294967296.0 — match WGSL's constant conversion.
-_INV = jnp.float32(1.0) / jnp.float32(4294967295.0)
+_INV = np.float32(np.float32(1.0) / np.float32(4294967295.0))
 
 
 def seed_pixel(x: jnp.ndarray, y: jnp.ndarray, frame: jnp.ndarray) -> jnp.ndarray:
@@ -39,16 +41,28 @@ def seed_pixel(x: jnp.ndarray, y: jnp.ndarray, frame: jnp.ndarray) -> jnp.ndarra
     x = x.astype(jnp.uint32)
     y = y.astype(jnp.uint32)
     frame = jnp.asarray(frame).astype(jnp.uint32)
-    return x + y * jnp.uint32(1000) + frame * jnp.uint32(100000)
+    return x + y * np.uint32(1000) + frame * np.uint32(100000)
 
 
 def _pcg(state: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One PCG step; returns (new_state, u32 output word)."""
     state = state * _MUL + _INC
-    shift = (state >> jnp.uint32(28)) + jnp.uint32(4)
+    shift = (state >> np.uint32(28)) + np.uint32(4)
     word = ((state >> shift) ^ state) * _XSH
-    word = (word >> jnp.uint32(22)) ^ word
+    word = (word >> np.uint32(22)) ^ word
     return state, word
+
+
+def _u32_to_f32(word: jnp.ndarray) -> jnp.ndarray:
+    """Exact uint32 -> float32 (round-to-nearest) via 16-bit halves.
+
+    Mosaic (Pallas TPU) has no u32->f32 convert; hi·65536 and lo are both
+    f32-exact, so the single rounding happens in the add — bit-identical to
+    a direct conversion. Used by both the XLA and Pallas paths.
+    """
+    hi = (word >> np.uint32(16)).astype(jnp.int32).astype(jnp.float32)
+    lo = (word & np.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+    return hi * np.float32(65536.0) + lo
 
 
 def rand(state: jnp.ndarray, mask: jnp.ndarray | None = None):
@@ -58,7 +72,7 @@ def rand(state: jnp.ndarray, mask: jnp.ndarray | None = None):
     is left untouched (the value there is still computed but meaningless).
     """
     new_state, word = _pcg(state)
-    value = word.astype(jnp.float32) * _INV
+    value = _u32_to_f32(word) * _INV
     if mask is not None:
         new_state = jnp.where(mask, new_state, state)
     return value, new_state
@@ -72,10 +86,12 @@ def rand_int(state: jnp.ndarray, lo: int, hi: int, mask: jnp.ndarray | None = No
     array index; we clamp the index itself).
     """
     value, new_state = rand(state, mask)
-    span = jnp.float32(hi - lo + 1)
-    idx = jnp.uint32(lo) + (value * span).astype(jnp.uint32)
-    idx = jnp.minimum(idx, jnp.uint32(hi))
-    return idx.astype(jnp.int32), new_state
+    span = np.float32(hi - lo + 1)
+    # f32 -> i32 truncation (non-negative here) matches WGSL's u32() cast;
+    # i32 keeps the op Mosaic-lowerable inside Pallas kernels.
+    idx = np.int32(lo) + (value * span).astype(jnp.int32)
+    idx = jnp.minimum(idx, np.int32(hi))
+    return idx, new_state
 
 
 def hash_seed(x, y, frame, stream: int = 0) -> jnp.ndarray:
@@ -87,9 +103,9 @@ def hash_seed(x, y, frame, stream: int = 0) -> jnp.ndarray:
     """
     v = (
         x.astype(jnp.uint32)
-        + y.astype(jnp.uint32) * jnp.uint32(9781)
-        + jnp.asarray(frame).astype(jnp.uint32) * jnp.uint32(6271)
-        + jnp.uint32(stream) * jnp.uint32(26699)
+        + y.astype(jnp.uint32) * np.uint32(9781)
+        + jnp.asarray(frame).astype(jnp.uint32) * np.uint32(6271)
+        + np.uint32(np.uint32(stream) * np.uint32(26699))
     )
     for _ in range(2):
         _, v = _pcg(v)

@@ -1,19 +1,24 @@
-"""Hit attribute construction (device-side).
+"""Hit attribute construction (device-side, SoA).
 
 The reference computes the full HitInfo struct inside every ray-triangle test
-(pt.wgsl:157-227) even though only the closest hit survives. The TPU design
-separates concerns: traversal returns only (t, triangle index); this module
-then fetches ONE denormalized row (triangle geometry + its material joined
-host-side, models/types.py TF_* layout) per ray via an exact one-hot MXU
-matmul (ops/gathers.py) and rebuilds the same attributes — barycentrics
-recomputed with the identical Möller-Trumbore expressions so floats match the
-reference.
+(pt.wgsl:157-227) even though only the closest hit survives. Here traversal
+returns only (t, triangle index); the winning triangle's denormalized row
+(geometry + material, models/types.py TF_* layout) is fetched once and the
+attributes rebuilt — barycentrics recomputed with the identical
+Möller-Trumbore expressions so floats match the reference.
+
+``hit_attributes_from_cols`` is generic over a column accessor so the SAME
+code runs in the plain-XLA path (columns of a fetched (N, 52) row) and
+inside Pallas bounce kernels (rows of an in-VMEM (52, BN) select result).
 
 Covers pt.wgsl:157-227: barycentric normal/uv interpolation, UV-derivative
 tangent basis, texture-atlas fetches with per-slot fallbacks
 (pt.wgsl:112-120 getTextureColor), PBR attribute assembly (roughness floored
 at 0.04, pt.wgsl:208), and conditional normal mapping (applied only when the
 sampled texel differs from the flat default (0.5, 0.5, 1) — pt.wgsl:216-226).
+The atlas gather path is XLA-only (2D texel gathers); Pallas callers pass
+``atlas=None`` (untextured scenes take fallback values, exactly as rects
+with w == 0 do in the reference).
 """
 
 from __future__ import annotations
@@ -23,152 +28,127 @@ import typing
 import jax.numpy as jnp
 
 from wgpu_path_tracing_tpu.models import types as T
+from wgpu_path_tracing_tpu.ops import vec
 from wgpu_path_tracing_tpu.ops.gathers import fetch_rows
-from wgpu_path_tracing_tpu.ops.intersect import _cross, _dot
+from wgpu_path_tracing_tpu.ops.vec import V3
 
 
 class Hit(typing.NamedTuple):
-    t: jnp.ndarray  # (N,)
-    found: jnp.ndarray  # (N,) bool
-    position: jnp.ndarray  # (N, 3)
-    normal: jnp.ndarray  # (N, 3) shading normal (normal-mapped if applicable)
-    albedo: jnp.ndarray  # (N, 3)
-    alpha: jnp.ndarray  # (N,)
-    roughness: jnp.ndarray  # (N,)
-    metallic: jnp.ndarray  # (N,)
-    transmission: jnp.ndarray  # (N,)
-    ior: jnp.ndarray  # (N,)
-    emission: jnp.ndarray  # (N, 3)
-    emissive_strength: jnp.ndarray  # (N,)
-    uv: jnp.ndarray  # (N, 2)
-    is_front: jnp.ndarray  # (N,) bool
+    t: jnp.ndarray
+    found: jnp.ndarray
+    position: V3
+    normal: V3
+    albedo: V3
+    alpha: jnp.ndarray
+    roughness: jnp.ndarray
+    metallic: jnp.ndarray
+    transmission: jnp.ndarray
+    ior: jnp.ndarray
+    emission: V3
+    emissive_strength: jnp.ndarray
+    uv_u: jnp.ndarray
+    uv_v: jnp.ndarray
+    is_front: jnp.ndarray
 
 
-def _normalize(v):
-    return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+def sample_atlas(atlas, rect, u, v, fallback):
+    """getTextureColor (pt.wgsl:112-120) — XLA path only (texel gathers).
 
-
-def sample_atlas(atlas, rect, uv, fallback):
-    """getTextureColor (pt.wgsl:112-120).
-
-    atlas: (H, W, 4); rect: (N, 4) [x, y, w, h] in pixels (f32); uv: (N, 2);
-    fallback: (4,) constant. Nearest-neighbour mip-0 load; WGSL ``%`` is
+    atlas: (H, W, 4); rect: 4 lane-shaped cols [x, y, w, h] in pixels;
+    u, v: lane-shaped UV. Nearest-neighbour mip-0 load; WGSL ``%`` is
     sign-preserving fmod so negative UVs index backwards; the f32->u32
     conversion saturates at 0.
     """
     h, w = atlas.shape[0], atlas.shape[1]
-    ax = rect[:, 0] + jnp.fmod(uv[:, 0], 1.0) * rect[:, 2]
-    ay = rect[:, 1] + jnp.fmod(uv[:, 1], 1.0) * rect[:, 3]
+    rx, ry, rw, rh = rect
+    ax = rx + jnp.fmod(u, 1.0) * rw
+    ay = ry + jnp.fmod(v, 1.0) * rh
     ix = jnp.clip(ax, 0.0, w - 1).astype(jnp.int32)
     iy = jnp.clip(ay, 0.0, h - 1).astype(jnp.int32)
-    texel = atlas[iy, ix]  # (N, 4)
-    missing = (rect[:, 2] == 0.0) | (rect[:, 3] == 0.0)
-    return jnp.where(
-        missing[:, None], jnp.asarray(fallback, jnp.float32)[None, :], texel
-    )
+    texel = atlas[iy, ix]  # (..., 4)
+    missing = (rw == 0.0) | (rh == 0.0)
+    out = []
+    for c in range(4):
+        out.append(jnp.where(missing, fallback[c], texel[..., c]))
+    return out
 
 
-def hit_attributes(scene, ro, rd, t, idx, textured: bool | None = None) -> Hit:
-    """Build Hit for rays with best triangle ``idx`` at distance ``t``.
-
-    Lanes with idx < 0 (miss) get found=False and arbitrary (masked) values.
-    ``textured``: statically skip atlas sampling when the scene has no atlas
-    (1x1 dummy); None = autodetect from the atlas shape.
-    """
-    found = idx >= 0
-    safe = jnp.maximum(idx, 0)
-
-    row = fetch_rows(scene["tri_full"], safe)  # (N, TF_COLS)
-    v0 = row[:, T.TF_V0 : T.TF_V0 + 3]
-    v1 = row[:, T.TF_V1 : T.TF_V1 + 3]
-    v2 = row[:, T.TF_V2 : T.TF_V2 + 3]
-    n0 = row[:, T.TF_N0 : T.TF_N0 + 3]
-    n1 = row[:, T.TF_N1 : T.TF_N1 + 3]
-    n2 = row[:, T.TF_N2 : T.TF_N2 + 3]
-    uv0 = row[:, T.TF_UV0 : T.TF_UV0 + 2]
-    uv1 = row[:, T.TF_UV1 : T.TF_UV1 + 2]
-    uv2 = row[:, T.TF_UV2 : T.TF_UV2 + 2]
+def hit_attributes_from_cols(get, ro: V3, rd: V3, t, found, atlas=None) -> Hit:
+    """Build the Hit from a row-column accessor ``get(col) -> lane array``."""
+    v0 = V3(get(T.TF_V0), get(T.TF_V0 + 1), get(T.TF_V0 + 2))
+    v1 = V3(get(T.TF_V1), get(T.TF_V1 + 1), get(T.TF_V1 + 2))
+    v2 = V3(get(T.TF_V2), get(T.TF_V2 + 1), get(T.TF_V2 + 2))
+    n0 = V3(get(T.TF_N0), get(T.TF_N0 + 1), get(T.TF_N0 + 2))
+    n1 = V3(get(T.TF_N1), get(T.TF_N1 + 1), get(T.TF_N1 + 2))
+    n2 = V3(get(T.TF_N2), get(T.TF_N2 + 1), get(T.TF_N2 + 2))
 
     # Recompute barycentrics with the traversal's exact expressions
     # (pt.wgsl:128-156) so u/v/t match the reference bit-for-bit.
     e1 = v1 - v0
     e2 = v2 - v0
-    hvec = _cross(rd, e2)
-    a = _dot(e1, hvec)
+    hvec = vec.cross(rd, e2)
+    a = vec.dot(e1, hvec)
     f = 1.0 / a
     s = ro - v0
-    u = f * _dot(s, hvec)
-    q = _cross(s, e1)
-    v = f * _dot(rd, q)
+    u = f * vec.dot(s, hvec)
+    q = vec.cross(s, e1)
+    v = f * vec.dot(rd, q)
     w = 1.0 - u - v
 
-    position = ro + rd * t[:, None]
+    position = ro + rd * t
 
-    geom_normal = _normalize(_cross(e1, e2))
-    interp_normal = _normalize(
-        n0 * w[:, None] + n1 * u[:, None] + n2 * v[:, None]
+    geom_normal = vec.normalize(vec.cross(e1, e2))
+    interp_normal = vec.normalize(n0 * w + n1 * u + n2 * v)
+    is_front = vec.dot(geom_normal, rd) < 0.0  # pt.wgsl:196-197
+
+    uv_u = get(T.TF_UV0) * w + get(T.TF_UV1) * u + get(T.TF_UV2) * v
+    uv_v = get(T.TF_UV0 + 1) * w + get(T.TF_UV1 + 1) * u + get(T.TF_UV2 + 1) * v
+
+    base_color = V3(
+        get(T.TF_BASE_COLOR), get(T.TF_BASE_COLOR + 1), get(T.TF_BASE_COLOR + 2)
     )
-    is_front = _dot(geom_normal, rd) < 0.0  # pt.wgsl:196-197
+    metallic_f = get(T.TF_METALLIC)
+    roughness_f = get(T.TF_ROUGHNESS)
+    emission_f = V3(
+        get(T.TF_EMISSION), get(T.TF_EMISSION + 1), get(T.TF_EMISSION + 2)
+    )
 
-    uv = uv0 * w[:, None] + uv1 * u[:, None] + uv2 * v[:, None]
+    if atlas is not None:
+        albedo_rect = [get(T.TF_ALBEDO_RECT + i) for i in range(4)]
+        pbr_rect = [get(T.TF_PBR_RECT + i) for i in range(4)]
+        emissive_rect = [get(T.TF_EMISSIVE_RECT + i) for i in range(4)]
+        normal_rect = [get(T.TF_NORMAL_RECT + i) for i in range(4)]
 
-    base_color = row[:, T.TF_BASE_COLOR : T.TF_BASE_COLOR + 3]
-    metallic_f = row[:, T.TF_METALLIC]
-    roughness_f = row[:, T.TF_ROUGHNESS]
-    emission_f = row[:, T.TF_EMISSION : T.TF_EMISSION + 3]
-
-    if textured is None:
-        textured = scene["atlas"].shape[0] > 1 or scene["atlas"].shape[1] > 1
-
-    if textured:
-        atlas = scene["atlas"]
-        albedo_value = sample_atlas(
-            atlas, row[:, T.TF_ALBEDO_RECT : T.TF_ALBEDO_RECT + 4], uv,
-            (1.0, 1.0, 1.0, 1.0),
-        )
-        albedo = albedo_value[:, 0:3] * base_color
-        alpha = albedo_value[:, 3]
-        pbr_value = sample_atlas(
-            atlas, row[:, T.TF_PBR_RECT : T.TF_PBR_RECT + 4], uv,
-            (1.0, 1.0, 1.0, 1.0),
-        )
-        metallic = pbr_value[:, 2] * metallic_f
-        roughness = jnp.maximum(pbr_value[:, 1] * roughness_f, 0.04)
-        emissive_value = sample_atlas(
-            atlas, row[:, T.TF_EMISSIVE_RECT : T.TF_EMISSIVE_RECT + 4], uv,
-            (1.0, 1.0, 1.0, 1.0),
-        )
-        emission = emissive_value[:, 0:3] * emission_f
+        av = sample_atlas(atlas, albedo_rect, uv_u, uv_v, (1.0, 1.0, 1.0, 1.0))
+        albedo = V3(av[0], av[1], av[2]) * base_color
+        alpha = av[3]
+        pv = sample_atlas(atlas, pbr_rect, uv_u, uv_v, (1.0, 1.0, 1.0, 1.0))
+        metallic = pv[2] * metallic_f
+        roughness = jnp.maximum(pv[1] * roughness_f, 0.04)
+        ev = sample_atlas(atlas, emissive_rect, uv_u, uv_v, (1.0, 1.0, 1.0, 1.0))
+        emission = V3(ev[0], ev[1], ev[2]) * emission_f
 
         # Tangent basis from UV derivatives (pt.wgsl:176-189). No
         # degenerate-UV guard, as in the reference — the NaN basis is only
         # consumed when a normal-map texel is actually sampled.
-        duv1 = uv1 - uv0
-        duv2 = uv2 - uv0
-        r = 1.0 / (duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
-        tangent = _normalize(
-            (e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * r[:, None]
-        )
+        duv1u = get(T.TF_UV1) - get(T.TF_UV0)
+        duv1v = get(T.TF_UV1 + 1) - get(T.TF_UV0 + 1)
+        duv2u = get(T.TF_UV2) - get(T.TF_UV0)
+        duv2v = get(T.TF_UV2 + 1) - get(T.TF_UV0 + 1)
+        r = 1.0 / (duv1u * duv2v - duv1v * duv2u)
+        tangent = vec.normalize((e1 * duv2v - e2 * duv1v) * r)
         tn = interp_normal
-        tvec = _normalize(tangent - tn * _dot(tn, tangent)[:, None])
-        bvec = _normalize(_cross(tn, tvec))
+        tvec = vec.normalize(tangent - tn * vec.dot(tn, tangent))
+        bvec = vec.normalize(vec.cross(tn, tvec))
 
-        normal_map = sample_atlas(
-            atlas, row[:, T.TF_NORMAL_RECT : T.TF_NORMAL_RECT + 4], uv,
-            (0.5, 0.5, 1.0, 1.0),
-        )[:, 0:3]
-        use_nm = (
-            (normal_map[:, 0] != 0.5)
-            | (normal_map[:, 1] != 0.5)
-            | (normal_map[:, 2] != 1.0)
+        nm = sample_atlas(atlas, normal_rect, uv_u, uv_v, (0.5, 0.5, 1.0, 1.0))
+        use_nm = (nm[0] != 0.5) | (nm[1] != 0.5) | (nm[2] != 1.0)
+        world_normal = vec.normalize(
+            tvec * (nm[0] * 2.0 - 1.0)
+            + bvec * (nm[1] * 2.0 - 1.0)
+            + tn * (nm[2] * 2.0 - 1.0)
         )
-        tangent_normal = normal_map * 2.0 - 1.0
-        world_normal = _normalize(
-            tvec * tangent_normal[:, 0:1]
-            + bvec * tangent_normal[:, 1:2]
-            + tn * tangent_normal[:, 2:3]
-        )
-        normal = jnp.where(use_nm[:, None], world_normal, interp_normal)
+        normal = vec.where(use_nm, world_normal, interp_normal)
     else:
         # Untextured: every slot takes its fallback (w == 0 rects).
         albedo = base_color
@@ -187,10 +167,29 @@ def hit_attributes(scene, ro, rd, t, idx, textured: bool | None = None) -> Hit:
         alpha=alpha,
         roughness=roughness,
         metallic=metallic,
-        transmission=row[:, T.TF_TRANSMISSION],
-        ior=row[:, T.TF_IOR],
+        transmission=get(T.TF_TRANSMISSION),
+        ior=get(T.TF_IOR),
         emission=emission,
-        emissive_strength=row[:, T.TF_EMISSIVE_STRENGTH],
-        uv=uv,
+        emissive_strength=get(T.TF_EMISSIVE_STRENGTH),
+        uv_u=uv_u,
+        uv_v=uv_v,
         is_front=is_front,
+    )
+
+
+def hit_attributes(scene, ro, rd, t, idx, textured: bool | None = None) -> Hit:
+    """XLA-path wrapper: ro/rd (N, 3) arrays; fetches the winner row via the
+    exact one-hot MXU matmul (ops/gathers.py)."""
+    found = idx >= 0
+    safe = jnp.maximum(idx, 0)
+    row = fetch_rows(scene["tri_full"], safe)  # (N, TF_COLS)
+    if textured is None:
+        textured = scene["atlas"].shape[0] > 1 or scene["atlas"].shape[1] > 1
+    return hit_attributes_from_cols(
+        lambda c: row[:, c],
+        vec.from_cols(ro),
+        vec.from_cols(rd),
+        t,
+        found,
+        atlas=scene["atlas"] if textured else None,
     )

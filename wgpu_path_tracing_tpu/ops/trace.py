@@ -1,4 +1,4 @@
-"""The wavefront bounce loop (device-side).
+"""The wavefront bounce loop (device-side, SoA).
 
 Reimplements trace() (pt.wgsl:638-709) as a fixed-length ``lax.scan`` over
 bounces with masked lanes — the TPU-native replacement for the reference's
@@ -16,16 +16,21 @@ divergent per-thread loop with breaks:
 * Russian roulette from bounce 3 on the max throughput component
   (pt.wgsl:699-705).
 
+``bounce_core`` carries the whole shading stage between the two traversals
+(closest hit in, shadow query out) and is lane-shape generic: the plain XLA
+path feeds it (N,)-shaped SoA; the Pallas bounce megakernel feeds it (1, BN)
+blocks with in-VMEM table accessors — one implementation, two execution
+strategies.
+
 RNG draws occur in the reference's exact order with masked state
 advancement, so per-lane streams match random.wgsl's sequential semantics.
-
-Returns the radiance (pre-clamp; the caller applies the firefly clamp
-min(color, 2.5), pt.wgsl:751) and ray-count statistics for Mrays/s metrics.
+(The shadow traversal consumes no randomness, so resolving occlusion after
+the BSDF draws is stream-identical to the reference's inline order.)
 """
 
 from __future__ import annotations
 
-import functools
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -34,12 +39,131 @@ from wgpu_path_tracing_tpu.ops import bsdf as BSDF
 from wgpu_path_tracing_tpu.ops import lights as LIGHTS
 from wgpu_path_tracing_tpu.ops import rng as RNG
 from wgpu_path_tracing_tpu.ops import shade as SHADE
+from wgpu_path_tracing_tpu.ops import vec
+from wgpu_path_tracing_tpu.ops.gathers import fetch_rows
+from wgpu_path_tracing_tpu.ops.vec import V3
 
 EPSILON = 1e-6
 
 
-def _normalize(v):
-    return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+class BounceState(typing.NamedTuple):
+    ro: V3
+    rd: V3
+    throughput: V3
+    result: V3
+    alive: jnp.ndarray
+    state: jnp.ndarray  # rng
+
+
+class ShadowQuery(typing.NamedTuple):
+    origin: V3
+    direction: V3
+    t_max: jnp.ndarray
+    mask: jnp.ndarray
+    direct: V3  # premultiplied contribution, pending occlusion
+    pdf: jnp.ndarray
+
+
+def bounce_core(
+    st: BounceState,
+    t,
+    idx,
+    bounce_idx,
+    *,
+    fetch_tri,
+    fetch_light,
+    atlas,
+    do_mis: bool,
+    num_lights: int,
+) -> tuple[BounceState, ShadowQuery]:
+    """Shading stage of one bounce, between closest-hit and shadow resolve.
+
+    fetch_tri(idx) / fetch_light(idx) return column accessors for the
+    denormalized triangle / light rows.
+    """
+    found = st.alive & (idx >= 0)
+    safe = jnp.maximum(idx, 0)
+    hit = SHADE.hit_attributes_from_cols(
+        fetch_tri(safe), st.ro, st.rd, t, found, atlas=atlas
+    )
+
+    # Emissive termination with 1/(1+t²) attenuation (pt.wgsl:652-658)
+    emissive = found & vec.any_positive(hit.emission)
+    atten = hit.emissive_strength / (1.0 + t * t)
+    zero = jnp.zeros_like(t)
+    zero3 = V3(zero, zero, zero)
+    result = st.result + vec.where(
+        emissive, st.throughput * hit.emission * atten, zero3
+    )
+
+    cont = found & ~emissive
+
+    # --- NEE + MIS (pt.wgsl:661-677)
+    state = st.state
+    if do_mis:
+        nee = cont & (hit.transmission == 0.0) & hit.is_front
+        ls, state = LIGHTS.sample_light_from_fetch(
+            fetch_light, hit.position, state, nee, num_lights
+        )
+        v = -vec.normalize(st.rd)
+        f_light, pdf_light_bsdf = BSDF.eval_bsdf(
+            hit, hit.normal, v, ls.wi, hit.is_front
+        )
+        mis_w = BSDF.power_heuristic(1.0, ls.pdf, 1.0, pdf_light_bsdf)
+        scale = mis_w / jnp.maximum(ls.pdf, EPSILON)
+        direct = st.throughput * ls.intensity * f_light * scale
+        direct = vec.where(nee & (ls.pdf > 0.0), direct, zero3)
+        shadow = ShadowQuery(
+            origin=ls.shadow_origin,
+            direction=ls.wi,
+            t_max=ls.shadow_t_max,
+            mask=ls.shadow_mask,
+            direct=direct,
+            pdf=ls.pdf,
+        )
+    else:
+        inf = jnp.full_like(t, jnp.inf)
+        shadow = ShadowQuery(zero3, zero3, inf, jnp.zeros_like(found), zero3, zero)
+
+    # --- BSDF sampling (pt.wgsl:680-696)
+    new_dir, state = BSDF.sample_bsdf(hit, st.rd, hit.is_front, state, cont)
+    f_val, pdf = BSDF.eval_bsdf(
+        hit, hit.normal, -vec.normalize(st.rd), new_dir, hit.is_front
+    )
+    ok = cont & (pdf > 0.0)
+
+    ro = vec.where(ok, hit.position + new_dir * EPSILON, st.ro)
+    rd = vec.where(ok, vec.normalize(new_dir), st.rd)
+    inv_pdf = 1.0 / jnp.maximum(pdf, EPSILON)
+    throughput = vec.where(
+        ok, st.throughput * f_val * inv_pdf, st.throughput
+    )
+    alive = ok
+
+    # --- Russian roulette from bounce 3 (pt.wgsl:699-705)
+    rr = alive & (bounce_idx > 2)
+    u, state = RNG.rand(state, rr)
+    p = vec.maxcomp(throughput)
+    die = rr & (u > p)
+    throughput = vec.where(rr & ~die, throughput * (1.0 / p), throughput)
+    alive = alive & ~die
+
+    return (
+        BounceState(ro=ro, rd=rd, throughput=throughput, result=result,
+                    alive=alive, state=state),
+        shadow,
+    )
+
+
+def resolve_shadow(st: BounceState, shadow: ShadowQuery, shadow_t) -> BounceState:
+    """Fold the NEE contribution in, zeroed where occluded
+    (pt.wgsl:663-676 via lights.apply_occlusion semantics)."""
+    occluded = shadow_t < shadow.t_max
+    take = shadow.mask & ~occluded & (shadow.pdf > 0.0)
+    zero3 = V3(*(jnp.zeros_like(shadow_t) for _ in range(3)))
+    return st._replace(
+        result=st.result + vec.where(take, shadow.direct, zero3)
+    )
 
 
 def trace(
@@ -52,89 +176,62 @@ def trace(
     max_bounces: int = 8,
     do_mis: bool = True,
     num_lights: int = 0,
+    textured: bool | None = None,
 ):
-    """Trace a batch of rays. ro, rd: (N, 3); state: (N,) uint32 RNG.
+    """Trace a batch of rays (plain-XLA path). ro, rd: (N, 3) arrays.
 
-    Returns (radiance (N, 3), new rng state, stats) where stats counts rays:
-    {"closest": scalar, "shadow": scalar}.
+    Returns (radiance (N, 3), new rng state, stats with int32 ray counters).
     """
     n = ro.shape[0]
-    throughput0 = jnp.ones((n, 3), jnp.float32)
-    result0 = jnp.zeros((n, 3), jnp.float32)
-    alive0 = jnp.ones((n,), bool)
+    if textured is None:
+        textured = scene["atlas"].shape[0] > 1 or scene["atlas"].shape[1] > 1
+    atlas = scene["atlas"] if textured else None
+
+    def fetch_tri(idx):
+        row = fetch_rows(scene["tri_full"], idx)
+        return lambda c: row[:, c]
+
+    def fetch_light(idx):
+        row = fetch_rows(scene["light_full"], idx)
+        return lambda c: row[:, c]
+
+    zero = jnp.zeros((n,), jnp.float32)
+    one = jnp.ones((n,), jnp.float32)
+    st0 = BounceState(
+        ro=vec.from_cols(ro),
+        rd=vec.from_cols(rd),
+        throughput=V3(one, one, one),
+        result=V3(zero, zero, zero),
+        alive=jnp.ones((n,), bool),
+        state=state,
+    )
     counters0 = jnp.zeros((2,), jnp.int32)
 
     def bounce(carry, bounce_idx):
-        ro, rd, throughput, result, alive, state, counters = carry
-
-        t, idx = closest_hit(ro, rd, active=alive)
-        counters = counters.at[0].add(jnp.sum(alive.astype(jnp.int32)))
-        hit = SHADE.hit_attributes(scene, ro, rd, t, idx)
-        found = alive & hit.found
-
-        # Emissive termination with 1/(1+t²) attenuation (pt.wgsl:652-658)
-        emissive = found & jnp.any(hit.emission > 0.0, axis=-1)
-        atten = 1.0 / (1.0 + t * t)
-        result = result + jnp.where(
-            emissive[:, None],
-            throughput
-            * hit.emission
-            * (hit.emissive_strength * atten)[:, None],
-            0.0,
+        st, counters = carry
+        t, idx = closest_hit(
+            vec.stack_cols(st.ro), vec.stack_cols(st.rd), active=st.alive
         )
-
-        cont = found & ~emissive
-
-        # --- NEE + MIS (pt.wgsl:661-677)
+        counters = counters.at[0].add(jnp.sum(st.alive.astype(jnp.int32)))
+        st, shadow = bounce_core(
+            st, t, idx, bounce_idx,
+            fetch_tri=fetch_tri, fetch_light=fetch_light, atlas=atlas,
+            do_mis=do_mis, num_lights=num_lights,
+        )
         if do_mis:
-            nee = cont & (hit.transmission == 0.0) & hit.is_front
-            ls, state = LIGHTS.sample_light(
-                scene, closest_hit, hit.position, state, nee, num_lights
+            counters = counters.at[1].add(jnp.sum(shadow.mask.astype(jnp.int32)))
+            shadow_t, _ = closest_hit(
+                vec.stack_cols(shadow.origin),
+                vec.stack_cols(shadow.direction),
+                active=shadow.mask,
+                t_max=shadow.t_max,
+                any_hit=True,
             )
-            counters = counters.at[1].add(jnp.sum(nee.astype(jnp.int32)))
-            v = -_normalize(rd)
-            f_light, pdf_light_bsdf = BSDF.eval_bsdf(
-                hit, hit.normal, v, ls.wi, hit.is_front
-            )
-            mis_w = BSDF.power_heuristic(1.0, ls.pdf, 1.0, pdf_light_bsdf)
-            direct = (
-                ls.intensity
-                * f_light
-                * (mis_w / jnp.maximum(ls.pdf, EPSILON))[:, None]
-            )
-            result = result + jnp.where(
-                (nee & (ls.pdf > 0.0))[:, None], throughput * direct, 0.0
-            )
+            st = resolve_shadow(st, shadow, shadow_t)
+        return (st, counters), None
 
-        # --- BSDF sampling (pt.wgsl:680-696)
-        new_dir, state = BSDF.sample_bsdf(hit, rd, hit.is_front, state, cont)
-        f_val, pdf = BSDF.eval_bsdf(
-            hit, hit.normal, -_normalize(rd), new_dir, hit.is_front
-        )
-        ok = cont & (pdf > 0.0)
-
-        ro = jnp.where(ok[:, None], hit.position + new_dir * EPSILON, ro)
-        rd = jnp.where(ok[:, None], _normalize(new_dir), rd)
-        throughput = jnp.where(
-            ok[:, None],
-            throughput * f_val / jnp.maximum(pdf, EPSILON)[:, None],
-            throughput,
-        )
-        alive = ok
-
-        # --- Russian roulette from bounce 3 (pt.wgsl:699-705)
-        rr = alive & (bounce_idx > 2)
-        u, state = RNG.rand(state, rr)
-        p = jnp.max(throughput, axis=-1)
-        die = rr & (u > p)
-        throughput = jnp.where((rr & ~die)[:, None], throughput / p[:, None], throughput)
-        alive = alive & ~die
-
-        return (ro, rd, throughput, result, alive, state, counters), None
-
-    carry0 = (ro, rd, throughput0, result0, alive0, state, counters0)
-    (ro, rd, throughput, result, alive, state, counters), _ = jax.lax.scan(
-        bounce, carry0, jnp.arange(max_bounces), unroll=1
+    (st, counters), _ = jax.lax.scan(
+        bounce, (st0, counters0), jnp.arange(max_bounces), unroll=1
     )
     stats = {"closest": counters[0], "shadow": counters[1]}
-    return result, state, stats
+    return vec.stack_cols(st.result), st.state, stats

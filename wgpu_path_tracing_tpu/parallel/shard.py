@@ -127,10 +127,16 @@ def render_chunk_sharded(
         check_vma=False,
     )
     def fn(scene, cam, accum_tile, frame_start):
+        from wgpu_path_tracing_tpu.utils.tiling import tile_permutation
+
         s_idx = jax.lax.axis_index("sample")
         r_idx = jax.lax.axis_index("row")
         x, y = CAM.pixel_grid(width, local_rows)
-        y = y + r_idx * local_rows  # global pixel rows -> global RNG seeds
+        # Tile-coherent lane order within the shard's row band (matching
+        # render/pipeline.py; un-permute with untile_image on readout).
+        perm = jnp.asarray(tile_permutation(width, local_rows))
+        x = x[perm]
+        y = y[perm] + r_idx * local_rows  # global rows -> global RNG seeds
         closest_hit = make_closest_hit(scene, intersector, brute_max_tris, leaf_size)
 
         def step(carry, k):
@@ -173,3 +179,16 @@ def render_chunk_sharded(
 def gather_image(accum) -> np.ndarray:
     """Fetch the (possibly sharded) accumulation buffer to host."""
     return np.asarray(jax.device_get(accum))
+
+
+def untile_image(buf: np.ndarray, width: int, height: int, row_shards: int):
+    """Convert a sharded, per-shard tile-ordered buffer (H*W, 3) to row-major."""
+    from wgpu_path_tracing_tpu.utils.tiling import (
+        inverse_permutation,
+        tile_permutation,
+    )
+
+    local_rows = height // row_shards
+    inv = inverse_permutation(tile_permutation(width, local_rows))
+    out = buf.reshape(row_shards, local_rows * width, 3)[:, inv]
+    return out.reshape(height * width, 3)

@@ -71,10 +71,17 @@ def render_chunk(
 ):
     """Accumulate ``n_frames`` 1-spp frames starting at ``frame_start``.
 
-    accum: (N, 3) HDR running mean (N = width*height rays, row-major).
+    accum: (N, 3) HDR running mean (N = width*height rays, TILE-major lane
+    order — see utils/tiling.py; un-permute with ``inverse_permutation``
+    when reading the image out).
     Returns (accum, counters) with counters = int64 [closest, shadow] rays.
     """
+    from wgpu_path_tracing_tpu.utils.tiling import tile_permutation
+
     x, y = CAM.pixel_grid(width, height, row_offset)
+    perm = jnp.asarray(tile_permutation(width, height))
+    x = x[perm]
+    y = y[perm]
     closest_hit = make_closest_hit(scene, intersector, brute_max_tris, leaf_size)
 
     def step(carry, k):

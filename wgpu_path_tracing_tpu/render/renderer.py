@@ -118,6 +118,22 @@ class Renderer:
         if self._accum is None or self._accum.shape[0] != n:
             self._accum = jnp.zeros((n, 3), jnp.float32)
 
+    def _row_major(self, accum) -> np.ndarray:
+        """Device buffers are tile-ordered (utils/tiling.py); convert back."""
+        from wgpu_path_tracing_tpu.utils.tiling import (
+            inverse_permutation,
+            tile_permutation,
+        )
+
+        perm = tile_permutation(self.config.width, self.config.height)
+        return np.asarray(accum)[inverse_permutation(perm)]
+
+    def _tile_order(self, accum_row_major: np.ndarray):
+        from wgpu_path_tracing_tpu.utils.tiling import tile_permutation
+
+        perm = tile_permutation(self.config.width, self.config.height)
+        return jnp.asarray(accum_row_major[perm])
+
     def render(self, spp: int, on_chunk=None) -> np.ndarray:
         """Accumulate ``spp`` more samples per pixel; returns the HDR buffer
         as (H, W, 3) NumPy (row 0 = bottom of view, as in the reference's
@@ -171,7 +187,7 @@ class Renderer:
         self._counters = self._counters + render_counters
         self._last_render_seconds = time.perf_counter() - t0
 
-        return np.asarray(self._accum).reshape(cfg.height, cfg.width, 3)
+        return self._row_major(self._accum).reshape(cfg.height, cfg.width, 3)
 
     def render_debug(self) -> np.ndarray:
         from wgpu_path_tracing_tpu.debug import modes
@@ -197,7 +213,7 @@ class Renderer:
             raise RuntimeError("Nothing to checkpoint")
         np.savez(
             path,
-            accum=np.asarray(self._accum),
+            accum=self._row_major(self._accum),
             frame_index=self.frame_index,
             width=self.config.width,
             height=self.config.height,
@@ -222,7 +238,7 @@ class Renderer:
         self.camera.fov = float(data["camera_fov"])
         self.camera.aperture = float(data["camera_aperture"])
         self.camera.focus_distance = float(data["camera_focus_distance"])
-        self._accum = jnp.asarray(data["accum"])
+        self._accum = self._tile_order(data["accum"])
         self.frame_index = int(data["frame_index"])
 
     # --- output --------------------------------------------------------------
@@ -232,7 +248,7 @@ class Renderer:
             raise RuntimeError("Nothing rendered yet")
         with self.profiler.section("blit-pass"):
             return imageio.buffer_to_srgb(
-                np.asarray(self._accum),
+                self._row_major(self._accum),
                 self.config.width,
                 self.config.height,
                 self.config.exposure,
