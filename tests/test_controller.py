@@ -1,0 +1,77 @@
+"""Headless controller (controller.ts semantics) and async loading."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from wgpu_path_tracing_tpu import Renderer, RenderConfig, cornell_box
+from wgpu_path_tracing_tpu.render.controller import Controller
+
+MODELS = "/root/reference/public/models"
+
+
+@pytest.fixture()
+def renderer():
+    r = Renderer(RenderConfig(width=8, height=8, frames_per_chunk=2))
+    r.load_scene(cornell_box())
+    return r
+
+
+def test_wasd_translation(renderer):
+    c = Controller(renderer)
+    start = renderer.camera.position.copy()
+    c.key_down("w")
+    c.update(0.5)  # 2.0 units/s * 0.5 s forward
+    np.testing.assert_allclose(
+        renderer.camera.position, start + np.array([0, 0, -1.0]), atol=1e-6
+    )
+    c.key_up("w")
+    c.key_down("d")
+    c.update(0.25)  # right 0.5
+    np.testing.assert_allclose(
+        renderer.camera.position,
+        start + np.array([0.5, 0, -1.0]),
+        atol=1e-6,
+    )
+
+
+def test_vertical_and_shift(renderer):
+    c = Controller(renderer)
+    start = renderer.camera.position.copy()
+    c.key_down(" ")
+    c.update(1.0)
+    c.key_up(" ")
+    c.key_down("Shift")
+    c.update(0.5)
+    np.testing.assert_allclose(
+        renderer.camera.position, start + np.array([0, 1.0, 0]), atol=1e-6
+    )
+
+
+def test_mouse_look_resets_accumulation(renderer):
+    renderer.render(spp=2)
+    assert renderer.frame_index == 2
+    c = Controller(renderer)
+    c.mouse_move(10.0, 0.0)
+    c.update(0.1)
+    # yaw = 10 * -pi/18 * 0.1 (controller.ts:163-166)
+    expected_yaw = 10 * -(math.pi / 18) * 0.1
+    assert renderer.frame_index == 0
+    # rotating (0,0,-1) about +Y by yaw: x' = -sin(yaw)
+    np.testing.assert_allclose(
+        renderer.camera.forward[0], -math.sin(expected_yaw), atol=1e-5
+    )
+    # deltas were consumed
+    c.update(0.1)
+    assert renderer.frame_index == 0
+
+
+@pytest.mark.skipif(not os.path.exists(MODELS), reason="reference models absent")
+def test_load_model_async():
+    r = Renderer(RenderConfig(width=8, height=8, frames_per_chunk=2))
+    fut = r.load_model_async(f"{MODELS}/transform.glb")
+    scene = fut.result(timeout=120)
+    assert scene.num_triangles == 40
+    assert r.scene is scene

@@ -1,0 +1,53 @@
+"""Pallas bounce megakernel parity (interpret mode): shares bounce_core with
+the XLA path, so radiance, RNG states, and counters must match bit-for-bit
+in interpret mode (on real TPUs only Mosaic's transcendental approximations
+differ — statistically equivalent Monte Carlo)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wgpu_path_tracing_tpu.models.procedural import cornell_box
+from wgpu_path_tracing_tpu.models.types import pack_device_scene
+from wgpu_path_tracing_tpu.ops import camera_rays as CAM
+from wgpu_path_tracing_tpu.ops import trace as TRACE
+from wgpu_path_tracing_tpu.ops.intersect import make_closest_hit
+from wgpu_path_tracing_tpu.ops.pallas_bounce import trace_pallas
+from wgpu_path_tracing_tpu.render.camera import Camera
+from wgpu_path_tracing_tpu.render.pipeline import camera_device
+
+W = H = 32  # 1024 rays == exactly one kernel block
+
+
+@pytest.fixture(scope="module")
+def setup():
+    sc = cornell_box()
+    scene = jax.device_put(pack_device_scene(sc))
+    cam = camera_device(Camera(width=W, height=H).as_pytree(), W, H)
+    x, y = CAM.pixel_grid(W, H)
+    ro, rd, state = CAM.generate_rays(cam, x, y, jnp.int32(0), use_dof=True)
+    ch = make_closest_hit(scene, "brute", 4096, 4)
+    return sc, scene, ch, ro, rd, state
+
+
+@pytest.mark.parametrize("do_mis", [True, False])
+def test_pallas_bounce_bit_identical(setup, do_mis):
+    sc, scene, ch, ro, rd, state = setup
+    rad_x, st_x, stats_x = TRACE.trace(
+        scene, ch, ro, rd, state,
+        max_bounces=4, do_mis=do_mis, num_lights=sc.num_lights,
+    )
+    rad_p, st_p, stats_p = trace_pallas(
+        scene, ch, ro, rd, state,
+        max_bounces=4, do_mis=do_mis, num_lights=sc.num_lights,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(st_x), np.asarray(st_p))
+    # Identical draw schedules; radiance may differ by FMA contraction
+    # (compiled XLA fuses multiply-adds, the interpreter does not) — ulps.
+    np.testing.assert_allclose(
+        np.asarray(rad_x), np.asarray(rad_p), rtol=1e-5, atol=1e-6
+    )
+    assert int(stats_x["closest"]) == int(stats_p["closest"])
+    assert int(stats_x["shadow"]) == int(stats_p["shadow"])

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from wgpu_path_tracing_tpu.models.procedural import cornell_box
+from wgpu_path_tracing_tpu.models.procedural import cornell_box, material_test_box
 from wgpu_path_tracing_tpu.models.types import pack_device_scene
 from wgpu_path_tracing_tpu.ops import camera_rays as CAM
 from wgpu_path_tracing_tpu.ops import trace as TRACE
@@ -80,6 +80,41 @@ def test_radiance_and_rng_schedule_match_oracle(setup, frame):
             mismatched += 1
     # f32 reassociation can flip a rare branch; allow at most one outlier.
     assert mismatched <= 1, f"{mismatched} pixels mismatched oracle radiance"
+
+
+@pytest.mark.parametrize("frame", [0, 3])
+def test_material_branches_match_oracle(frame):
+    """Metallic (GGX sampling), glass (transmission/TIR/Fresnel), plus point
+    and directional light NEE — every BSDF lobe and light type against the
+    scalar oracle with exact RNG schedules."""
+    scene = material_test_box()
+    camera = Camera(width=WIDTH, height=HEIGHT, aspect=1.0)
+    cam_np = {
+        "position": camera.position, "forward": camera.forward,
+        "right": camera.right, "up": camera.up,
+        "fov": np.float32(camera.fov), "aspect": np.float32(camera.aspect),
+        "aperture": np.float32(camera.aperture),
+        "focus_distance": np.float32(camera.focus_distance),
+    }
+    oracle = Oracle(scene, cam_np, WIDTH, HEIGHT)
+    dev = jax.device_put(pack_device_scene(scene))
+    cam_dev = camera_device(camera.as_pytree(), WIDTH, HEIGHT)
+    radiance, end_state = _run_jax(scene, dev, cam_dev, frame)
+
+    state_mismatch = 0
+    value_mismatch = 0
+    for (px, py) in SAMPLE_PIXELS:
+        lane = py * WIDTH + px
+        expected = oracle.render_pixel(px, py, frame)
+        got = np.minimum(radiance[lane], 2.5)
+        if int(end_state[lane]) != int(oracle.rng.state):
+            state_mismatch += 1
+        elif not np.allclose(got, expected, rtol=2e-3, atol=2e-3):
+            value_mismatch += 1
+    # Specular/transmission paths are knife-edge sensitive (TIR boundaries,
+    # GGX lobes): allow a couple of f32-reassociation divergences.
+    assert state_mismatch <= 2, f"{state_mismatch} RNG schedules diverged"
+    assert value_mismatch <= 2, f"{value_mismatch} radiances diverged"
 
 
 def test_bvh_path_matches_brute_path(setup):

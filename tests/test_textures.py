@@ -1,0 +1,206 @@
+"""Texture-atlas path tests.
+
+None of the reference's surviving sample scenes carry textures (sponza.glb is
+stripped), so the atlas sampling path needs synthetic coverage:
+
+* device texture sampling (rect math, sign-preserving fmod wrap, fallbacks,
+  normal-map conditional) against the scalar oracle with exact RNG parity,
+* a synthetic GLB with an embedded PNG texture through the full
+  load_model -> atlas build -> render pipeline.
+"""
+
+import base64
+import io
+import json
+import struct
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wgpu_path_tracing_tpu.models.procedural import cornell_box
+from wgpu_path_tracing_tpu.models.types import pack_device_scene
+from wgpu_path_tracing_tpu.ops import camera_rays as CAM
+from wgpu_path_tracing_tpu.ops import trace as TRACE
+from wgpu_path_tracing_tpu.ops.intersect import make_closest_hit
+from wgpu_path_tracing_tpu.render.camera import Camera
+from wgpu_path_tracing_tpu.render.pipeline import camera_device
+
+from tests.oracle import Oracle
+
+WIDTH = HEIGHT = 16
+
+
+def _textured_cornell():
+    """Cornell scene with a synthetic atlas: checkerboard albedo + rough/metal
+    map on the white material, normal map on the red wall."""
+    scene = cornell_box()
+    rng = np.random.default_rng(3)
+    atlas = np.zeros((32, 32, 4), np.float32)
+    atlas[..., 3] = 1.0
+    # albedo checker at (0, 0, 16, 16)
+    yy, xx = np.mgrid[0:16, 0:16]
+    checker = ((xx // 4 + yy // 4) % 2).astype(np.float32)
+    atlas[0:16, 0:16, 0] = 0.2 + 0.6 * checker
+    atlas[0:16, 0:16, 1] = 0.8 - 0.5 * checker
+    atlas[0:16, 0:16, 2] = 0.4
+    # pbr map at (16, 0, 8, 8): g = roughness, b = metallic
+    atlas[0:8, 16:24, 1] = rng.uniform(0.2, 1.0, (8, 8)).astype(np.float32)
+    atlas[0:8, 16:24, 2] = rng.uniform(0.0, 1.0, (8, 8)).astype(np.float32)
+    # normal map at (16, 8, 8, 8): perturbed tangent normals
+    nm = rng.uniform(0.3, 0.7, (8, 8, 2)).astype(np.float32)
+    atlas[8:16, 16:24, 0] = nm[..., 0]
+    atlas[8:16, 16:24, 1] = nm[..., 1]
+    atlas[8:16, 16:24, 2] = 1.0
+
+    scene.mat_albedo_rect[0] = [0, 0, 16, 16]
+    scene.mat_pbr_rect[0] = [16, 0, 8, 8]
+    scene.mat_normal_rect[1] = [16, 8, 8, 8]
+    scene.atlas = atlas
+    return scene
+
+
+def test_textured_scene_matches_oracle():
+    scene = _textured_cornell()
+    camera = Camera(width=WIDTH, height=HEIGHT, aspect=1.0)
+    cam_np = {
+        "position": camera.position, "forward": camera.forward,
+        "right": camera.right, "up": camera.up,
+        "fov": np.float32(camera.fov), "aspect": np.float32(camera.aspect),
+        "aperture": np.float32(camera.aperture),
+        "focus_distance": np.float32(camera.focus_distance),
+    }
+    oracle = Oracle(scene, cam_np, WIDTH, HEIGHT)
+    dev = jax.device_put(pack_device_scene(scene))
+    cam_dev = camera_device(camera.as_pytree(), WIDTH, HEIGHT)
+
+    x, y = CAM.pixel_grid(WIDTH, HEIGHT)
+    ro, rd, state = CAM.generate_rays(cam_dev, x, y, jnp.int32(0), use_dof=True)
+    ch = make_closest_hit(dev, "brute", 4096, 4)
+    radiance, end_state, _ = TRACE.trace(
+        dev, ch, ro, rd, state, max_bounces=8, do_mis=True,
+        num_lights=scene.num_lights,
+    )
+    radiance = np.asarray(radiance)
+    end_state = np.asarray(end_state)
+
+    pixels = [(2, 2), (8, 8), (13, 4), (4, 13), (12, 12), (6, 10)]
+    mismatched = 0
+    for (px, py) in pixels:
+        lane = py * WIDTH + px
+        expected = oracle.render_pixel(px, py, 0)
+        got = np.minimum(radiance[lane], 2.5)
+        assert int(end_state[lane]) == int(oracle.rng.state), (px, py)
+        if not np.allclose(got, expected, rtol=2e-3, atol=2e-3):
+            mismatched += 1
+    assert mismatched <= 1
+
+
+def _png_bytes(rgb: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(rgb, "RGB").save(buf, "PNG")
+    return buf.getvalue()
+
+
+def _synthetic_textured_glb(path: str):
+    """A single textured quad + emissive quad GLB with an embedded PNG."""
+    tex = np.empty((8, 8, 3), np.uint8)
+    tex[:] = (255, 64, 32)  # constant so the 0.5x bilinear downscale is exact
+    png = _png_bytes(tex)
+
+    pos = np.array(
+        [[-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1],  # floor quad
+         [-0.5, 1.9, -0.5], [0.5, 1.9, -0.5], [0.5, 1.9, 0.5], [-0.5, 1.9, 0.5]],
+        np.float32,
+    )
+    nrm = np.array([[0, 1, 0]] * 4 + [[0, -1, 0]] * 4, np.float32)
+    uv = np.array(
+        [[0, 0], [2, 0], [2, 2], [0, 2], [0, 0], [1, 0], [1, 1], [0, 1]],
+        np.float32,
+    )
+    idx = np.array([0, 1, 2, 0, 2, 3, 4, 6, 5, 4, 7, 6], np.uint16)
+
+    bin_parts = [pos.tobytes(), nrm.tobytes(), uv.tobytes(), idx.tobytes(), png]
+    offsets, off = [], 0
+    for p in bin_parts:
+        offsets.append(off)
+        off += len(p) + ((-len(p)) % 4)
+    bin_data = b"".join(
+        p + b"\x00" * ((-len(p)) % 4) for p in bin_parts
+    )
+
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{
+            "primitives": [
+                {"attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+                 "indices": 3, "material": 0},
+                {"attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+                 "indices": 4, "material": 1},
+            ]
+        }],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 8, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 8, "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5126, "count": 8, "type": "VEC2"},
+            {"bufferView": 3, "componentType": 5123, "count": 6, "type": "SCALAR"},
+            {"bufferView": 3, "byteOffset": 12, "componentType": 5123,
+             "count": 6, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": offsets[0], "byteLength": len(bin_parts[0])},
+            {"buffer": 0, "byteOffset": offsets[1], "byteLength": len(bin_parts[1])},
+            {"buffer": 0, "byteOffset": offsets[2], "byteLength": len(bin_parts[2])},
+            {"buffer": 0, "byteOffset": offsets[3], "byteLength": len(bin_parts[3])},
+            {"buffer": 0, "byteOffset": offsets[4], "byteLength": len(bin_parts[4])},
+        ],
+        "images": [{"bufferView": 4, "mimeType": "image/png"}],
+        "textures": [{"source": 0}],
+        "materials": [
+            {"pbrMetallicRoughness": {
+                "baseColorTexture": {"index": 0},
+                "metallicFactor": 0.0, "roughnessFactor": 1.0}},
+            {"emissiveFactor": [1.0, 1.0, 1.0],
+             "extensions": {"KHR_materials_emissive_strength":
+                            {"emissiveStrength": 5.0}}},
+        ],
+        "buffers": [{"byteLength": len(bin_data)}],
+    }
+    js = json.dumps(gltf).encode()
+    js += b" " * ((-len(js)) % 4)
+    total = 12 + 8 + len(js) + 8 + len(bin_data)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<III", 0x46546C67, 2, total))
+        f.write(struct.pack("<II", len(js), 0x4E4F534A))
+        f.write(js)
+        f.write(struct.pack("<II", len(bin_data), 0x004E4942))
+        f.write(bin_data)
+
+
+def test_textured_glb_load_and_render(tmp_path):
+    from wgpu_path_tracing_tpu import Renderer, RenderConfig
+    from wgpu_path_tracing_tpu.models.gltf import load_model
+
+    path = str(tmp_path / "textured.glb")
+    _synthetic_textured_glb(path)
+    scene = load_model(path, texture_pixel_ratio=0.5)
+    assert scene.atlas is not None
+    assert scene.num_triangles == 4
+    # 8x8 texture at 0.5 ratio -> 4x4 rect in a pow2-square atlas
+    assert tuple(scene.mat_albedo_rect[0][2:]) == (4, 4)
+    assert scene.num_lights == 2  # emissive quad triangles
+    # sRGB->linear happened on albedo (255 -> 1.0, 64 -> (64/255)^2.2-ish)
+    rect = scene.mat_albedo_rect[0]
+    texel = scene.atlas[rect[1], rect[0]]
+    assert texel[0] > 0.9
+
+    r = Renderer(RenderConfig(width=16, height=16, frames_per_chunk=2))
+    r.load_scene(scene)
+    buf = r.render(spp=2)
+    assert np.isfinite(buf).all()
+    assert buf.max() > 0

@@ -106,7 +106,7 @@ def render_normal(
     """Normal / backface view (pt_debug.wgsl:305-344)."""
     ro, rd = _center_rays(cam, width, height)
     closest_hit = make_closest_hit(scene, intersector, brute_max_tris, leaf_size)
-    t, idx = closest_hit(ro, rd)
+    t, idx = closest_hit(ro.T, rd.T)
     hit = SHADE.hit_attributes(scene, ro, rd, t, idx)
     normal_color = jnp.stack(
         [(hit.normal.x + 1.0) * 0.5, (hit.normal.y + 1.0) * 0.5,

@@ -162,6 +162,65 @@ def cornell_box(
     )
 
 
+def material_test_box(max_leaf_size: int = 4, num_bins: int = 12) -> SceneArrays:
+    """Cornell variant exercising every BSDF lobe and light type: metallic
+    tall box (GGX specular), glass short box (transmission + IOR), diffuse
+    walls, plus a point light and a directional light alongside the emissive
+    quad — used by parity tests to cover pt.wgsl:498-620's branches and all
+    three sampleLight cases (pt.wgsl:385-486)."""
+    quads = []
+    white, red, green, light_mat, metal, glass = 0, 1, 2, 3, 4, 5
+
+    quads.append((_quad((-1, 0, 1), (1, 0, 1), (1, 0, -1), (-1, 0, -1)), white))
+    quads.append((_quad((-1, 2, -1), (1, 2, -1), (1, 2, 1), (-1, 2, 1)), white))
+    quads.append((_quad((-1, 0, -1), (1, 0, -1), (1, 2, -1), (-1, 2, -1)), white))
+    quads.append((_quad((-1, 0, 1), (-1, 0, -1), (-1, 2, -1), (-1, 2, 1)), red))
+    quads.append((_quad((1, 0, -1), (1, 0, 1), (1, 2, 1), (1, 2, -1)), green))
+    ly = 1.98
+    quads.append(
+        (_quad((-0.3, ly, -0.3), (0.3, ly, -0.3), (0.3, ly, 0.3), (-0.3, ly, 0.3)),
+         light_mat)
+    )
+    for face in _box((-0.4, 0.6, -0.35), (0.55, 1.2, 0.55), yaw=np.radians(18)):
+        quads.append((face, metal))
+    for face in _box((0.45, 0.3, 0.3), (0.55, 0.6, 0.55), yaw=np.radians(-17)):
+        quads.append((face, glass))
+
+    v0, v1, v2, n0, n1, n2, uv0, uv1, uv2, mat = [], [], [], [], [], [], [], [], [], []
+    for (tris, uvs, n), m in quads:
+        for (a, b, c), (ua, ub, uc) in zip(tris, uvs):
+            v0.append(a); v1.append(b); v2.append(c)
+            n0.append(n); n1.append(n); n2.append(n)
+            uv0.append(ua); uv1.append(ub); uv2.append(uc)
+            mat.append(m)
+
+    f32 = np.float32
+    base = np.array(
+        [[0.73, 0.73, 0.73], [0.65, 0.05, 0.05], [0.12, 0.45, 0.15],
+         [0.0, 0.0, 0.0], [0.9, 0.85, 0.7], [1.0, 1.0, 1.0]], f32,
+    )
+    metallic = np.array([0.0, 0.0, 0.0, 0.0, 1.0, 0.0], f32)
+    roughness = np.array([1.0, 1.0, 1.0, 1.0, 0.2, 0.05], f32)
+    emission = np.zeros((6, 3), f32)
+    emission[3] = (1.0, 0.9, 0.7)
+    estrength = np.array([0, 0, 0, 4.0, 0, 0], f32)
+    ior = np.full(6, 1.5, f32)
+    transmission = np.array([0, 0, 0, 0, 0, 1.0], f32)
+
+    return finalize_scene(
+        np.array(v0, f32), np.array(v1, f32), np.array(v2, f32),
+        np.array(n0, f32), np.array(n1, f32), np.array(n2, f32),
+        np.array(uv0, f32), np.array(uv1, f32), np.array(uv2, f32),
+        np.array(mat, np.int32),
+        base, metallic, roughness, emission, estrength, ior, transmission,
+        light_position=np.array([[0.0, 1.8, 0.5], [-0.3, -1.0, -0.4]], f32),
+        light_type=np.array([2, 1], np.int32),  # point, directional
+        light_color=np.array([[1.0, 0.9, 0.8], [0.6, 0.7, 1.0]], f32),
+        light_intensity=np.array([0.8, 0.5], f32),
+        max_leaf_size=max_leaf_size, num_bins=num_bins,
+    )
+
+
 def single_triangle(
     v0=(-1.0, -1.0, -3.0),
     v1=(1.0, -1.0, -3.0),

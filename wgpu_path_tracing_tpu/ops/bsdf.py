@@ -92,9 +92,17 @@ def geometry_smith(n: V3, v: V3, l: V3, roughness):
     )
 
 
+def _pow5(x):
+    """x**5 as a multiply chain — exact, fast on the VPU, and identical
+    between the XLA and Mosaic lowerings (jnp.power would go through
+    exp/log approximations inside Pallas kernels)."""
+    x2 = x * x
+    return x2 * x2 * x
+
+
 def fresnel_schlick(cos_theta, f0: V3) -> V3:
     """pt.wgsl:343-345."""
-    p = jnp.power(1.0 - cos_theta, 5.0)
+    p = _pow5(1.0 - cos_theta)
     return V3(
         f0.x + (1.0 - f0.x) * p,
         f0.y + (1.0 - f0.y) * p,
@@ -106,7 +114,7 @@ def reflectance(cos_theta, eta):
     """Schlick dielectric reflectance (pt.wgsl:616-620)."""
     r0 = (1.0 - eta) / (1.0 + eta)
     r0 = r0 * r0
-    return r0 + (1.0 - r0) * jnp.power(1.0 - cos_theta, 5.0)
+    return r0 + (1.0 - r0) * _pow5(1.0 - cos_theta)
 
 
 def cosine_direction(normal: V3, r1, r2) -> V3:

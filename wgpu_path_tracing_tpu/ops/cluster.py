@@ -198,13 +198,17 @@ def closest_hit_cluster(
 ):
     """Cluster-dispatch closest hit. Returns (t, idx); idx == -1 on miss.
 
-    cluster_aabb: (C, 6); cluster_tris: (C*k, 9); ro/rd: (N, 3).
+    cluster_aabb: (C, 6); cluster_tris: (C*k, 9); ro/rd: (3, N) SoA or
+    (N, 3) AoS (detected by shape).
     """
     del any_hit  # the limit-based culling handles shadow rays uniformly
-    n = ro.shape[0]
+    if ro.shape[0] == 3 and ro.shape[1] != 3:
+        rays = jnp.concatenate([ro, rd], axis=0)
+    else:
+        rays = jnp.concatenate([ro.T, rd.T], axis=0)
+    n = rays.shape[1]
     c = cluster_aabb.shape[0]
     pad = (-n) % BN
-    rays = jnp.concatenate([ro.T, rd.T], axis=0)
     if active is None:
         active_l = jnp.ones((n,), bool)
     else:

@@ -307,7 +307,9 @@ def closest_hit_bvh_linked(
 def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: int):
     """Pick the intersection strategy for this scene (static decision).
 
-    Returns closest_hit(ro, rd, active=None, t_max=None, any_hit=False).
+    Returns closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False)
+    taking SoA (3, N) origin/direction arrays (cheap row concats at call
+    sites — no (N, 3) transposes on the hot path).
     """
     num_tris = scene["tri_isect"].shape[0]
     use_brute = intersector == "brute" or (
@@ -319,26 +321,28 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
         # TPU (bit-identical results); plain XLA remains for CPU tests.
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
 
-        def closest_hit(ro, rd, active=None, t_max=None, any_hit=False):
+        def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False):
             del active, t_max, any_hit
             if on_tpu:
                 from wgpu_path_tracing_tpu.ops.pallas_kernels import (
-                    closest_hit_brute_pallas,
+                    closest_hit_brute_pallas_soa,
                 )
 
-                return closest_hit_brute_pallas(scene["tri_isect"], ro, rd)
-            return closest_hit_brute(scene["tri_isect"], ro, rd)
+                return closest_hit_brute_pallas_soa(
+                    scene["tri_isect"], jnp.concatenate([ro3, rd3], axis=0)
+                )
+            return closest_hit_brute(scene["tri_isect"], ro3.T, rd3.T)
 
     elif intersector != "bvh" and jax.default_backend() not in ("cpu", "gpu"):
         # Large scenes on TPU: cluster dispatch (ops/cluster.py).
         from wgpu_path_tracing_tpu.ops.cluster import closest_hit_cluster
 
-        def closest_hit(ro, rd, active=None, t_max=None, any_hit=False):
+        def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False):
             return closest_hit_cluster(
                 scene["cluster_aabb"],
                 scene["cluster_tris"],
-                ro,
-                rd,
+                ro3,
+                rd3,
                 active=active,
                 t_max=t_max,
                 num_tris=num_tris,
@@ -350,13 +354,13 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
             [scene["bvh_links"], scene["bvh_meta"][:, 2:4]], axis=1
         )
 
-        def closest_hit(ro, rd, active=None, t_max=None, any_hit=False):
+        def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False):
             return closest_hit_bvh_linked(
                 scene["bvh_aabb"],
                 bvh_nodes,
                 scene["tri_isect"],
-                ro,
-                rd,
+                ro3.T,
+                rd3.T,
                 active=active,
                 t_max=t_max,
                 leaf_size=leaf_size,

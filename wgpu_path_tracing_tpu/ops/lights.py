@@ -164,8 +164,8 @@ def sample_light(scene, closest_hit, hit_position: V3, state, mask,
     sample, state = sample_light_from_fetch(
         fetch, hit_position, state, mask, num_lights
     )
-    sro = vec.stack_cols(sample.shadow_origin)
-    srd = vec.stack_cols(sample.wi)
+    sro = vec.stack_rows(sample.shadow_origin)
+    srd = vec.stack_rows(sample.wi)
     shadow_t, _ = closest_hit(
         sro, srd, active=sample.shadow_mask, t_max=sample.shadow_t_max,
         any_hit=True,

@@ -37,28 +37,30 @@ SELECT_CHUNK = 512  # one-hot select chunk over table rows
 MAX_VMEM_TRIS = 4096
 
 
-def _select_rows(table_ref, idx_row, chunk: int = SELECT_CHUNK):
-    """rows (C, BN) = table_ref (Tp, C) selected by idx_row (1, BN), via
-    chunked one-hot MXU matmuls (Tp is a multiple of ``chunk``)."""
+def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK):
+    """rows (C, 8, 128) = table_ref (Tp, C) selected by idx (8, 128), via
+    chunked one-hot MXU matmuls (Tp is a multiple of ``chunk``).
+
+    Lane blocks are (8, 128) — a full vreg — so every elementwise op in the
+    shared shading code uses all sublanes."""
     tp = table_ref.shape[0]
     cols = table_ref.shape[1]
-    bn = idx_row.shape[1]
     n_chunks = tp // chunk
 
     def body(ci, acc):
         base = ci * chunk
-        iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, bn), 0) + base
-        onehot = (iota == idx_row).astype(jnp.float32)  # (chunk, BN)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 8, 128), 0) + base
+        onehot = (iota == idx[None]).astype(jnp.float32).reshape(chunk, 1024)
         part = jax.lax.dot_general(
             table_ref[pl.ds(base, chunk), :],
             onehot,
             dimension_numbers=((([0]), ([0])), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (C, BN)
+        )  # (C, 1024)
         return acc + part
 
-    acc0 = jnp.zeros((cols, bn), jnp.float32)
-    return jax.lax.fori_loop(0, n_chunks, body, acc0)
+    acc0 = jnp.zeros((cols, 1024), jnp.float32)
+    return jax.lax.fori_loop(0, n_chunks, body, acc0).reshape(cols, 8, 128)
 
 
 def _bounce_kernel(do_mis, num_lights):
@@ -69,27 +71,28 @@ def _bounce_kernel(do_mis, num_lights):
         oray_ref, ostate_ref, othr_ref, ores_ref, oalive_ref,
         shadow_ray_ref, stmax_ref, smask_ref, sdirect_ref, spdf_ref,
     ):
-        rays_v = ray_ref[...]  # (6, BN)
+        rays_v = ray_ref[...]  # (6, 8, 128)
         thr_v = thr_ref[...]
         res_v = res_ref[...]
         st = TRACE.BounceState(
-            ro=V3(rays_v[0:1], rays_v[1:2], rays_v[2:3]),
-            rd=V3(rays_v[3:4], rays_v[4:5], rays_v[5:6]),
-            throughput=V3(thr_v[0:1], thr_v[1:2], thr_v[2:3]),
-            result=V3(res_v[0:1], res_v[1:2], res_v[2:3]),
-            alive=alive_ref[...] != 0,
-            state=state_ref[...],
+            ro=V3(rays_v[0], rays_v[1], rays_v[2]),
+            rd=V3(rays_v[3], rays_v[4], rays_v[5]),
+            throughput=V3(thr_v[0], thr_v[1], thr_v[2]),
+            result=V3(res_v[0], res_v[1], res_v[2]),
+            alive=alive_ref[0] != 0,
+            state=state_ref[0],
         )
-        t = t_ref[...]
-        idx = idx_ref[...]
+        t = t_ref[0]
+        idx = idx_ref[0]
 
         def fetch_tri(safe_idx):
-            rows = _select_rows(tri_ref, safe_idx)
-            return lambda c: rows[c : c + 1, :]
+            rows = _select_rows(tri_ref, safe_idx,
+                                chunk=min(SELECT_CHUNK, tri_ref.shape[0]))
+            return lambda c: rows[c]
 
         def fetch_light(lidx):
             rows = _select_rows(light_ref, lidx, chunk=light_ref.shape[0])
-            return lambda c: rows[c : c + 1, :]
+            return lambda c: rows[c]
 
         new_st, shadow = TRACE.bounce_core(
             st, t, idx, bounce_ref[0],
@@ -97,32 +100,32 @@ def _bounce_kernel(do_mis, num_lights):
             do_mis=do_mis, num_lights=num_lights,
         )
 
-        oray_ref[0:1, :] = new_st.ro.x
-        oray_ref[1:2, :] = new_st.ro.y
-        oray_ref[2:3, :] = new_st.ro.z
-        oray_ref[3:4, :] = new_st.rd.x
-        oray_ref[4:5, :] = new_st.rd.y
-        oray_ref[5:6, :] = new_st.rd.z
-        ostate_ref[...] = new_st.state
-        othr_ref[0:1, :] = new_st.throughput.x
-        othr_ref[1:2, :] = new_st.throughput.y
-        othr_ref[2:3, :] = new_st.throughput.z
-        ores_ref[0:1, :] = new_st.result.x
-        ores_ref[1:2, :] = new_st.result.y
-        ores_ref[2:3, :] = new_st.result.z
-        oalive_ref[...] = new_st.alive.astype(jnp.int32)
-        shadow_ray_ref[0:1, :] = shadow.origin.x
-        shadow_ray_ref[1:2, :] = shadow.origin.y
-        shadow_ray_ref[2:3, :] = shadow.origin.z
-        shadow_ray_ref[3:4, :] = shadow.direction.x
-        shadow_ray_ref[4:5, :] = shadow.direction.y
-        shadow_ray_ref[5:6, :] = shadow.direction.z
-        stmax_ref[...] = shadow.t_max
-        smask_ref[...] = shadow.mask.astype(jnp.int32)
-        sdirect_ref[0:1, :] = shadow.direct.x
-        sdirect_ref[1:2, :] = shadow.direct.y
-        sdirect_ref[2:3, :] = shadow.direct.z
-        spdf_ref[...] = shadow.pdf
+        oray_ref[0] = new_st.ro.x
+        oray_ref[1] = new_st.ro.y
+        oray_ref[2] = new_st.ro.z
+        oray_ref[3] = new_st.rd.x
+        oray_ref[4] = new_st.rd.y
+        oray_ref[5] = new_st.rd.z
+        ostate_ref[0] = new_st.state
+        othr_ref[0] = new_st.throughput.x
+        othr_ref[1] = new_st.throughput.y
+        othr_ref[2] = new_st.throughput.z
+        ores_ref[0] = new_st.result.x
+        ores_ref[1] = new_st.result.y
+        ores_ref[2] = new_st.result.z
+        oalive_ref[0] = new_st.alive.astype(jnp.int32)
+        shadow_ray_ref[0] = shadow.origin.x
+        shadow_ray_ref[1] = shadow.origin.y
+        shadow_ray_ref[2] = shadow.origin.z
+        shadow_ray_ref[3] = shadow.direction.x
+        shadow_ray_ref[4] = shadow.direction.y
+        shadow_ray_ref[5] = shadow.direction.z
+        stmax_ref[0] = shadow.t_max
+        smask_ref[0] = shadow.mask.astype(jnp.int32)
+        sdirect_ref[0] = shadow.direct.x
+        sdirect_ref[1] = shadow.direct.y
+        sdirect_ref[2] = shadow.direct.z
+        spdf_ref[0] = shadow.pdf
 
     return kernel
 
@@ -151,8 +154,13 @@ def bounce_stage_pallas(
     nb = n // BN
     bidx = jnp.reshape(bounce_idx, (1,)).astype(jnp.int32)
 
+    # Lane blocks are (8, 128) vregs: every (rows, N) array is viewed as
+    # (rows, NB*8, 128) — a free reshape — and blocked (rows, 8, 128).
+    def shape3(a, rows):
+        return a.reshape(rows, nb * 8, 128)
+
     def row_spec(rows):
-        return pl.BlockSpec((rows, BN), lambda i, b: (0, i),
+        return pl.BlockSpec((rows, 8, 128), lambda i, b: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
     def table_spec(shape):
@@ -172,25 +180,27 @@ def bounce_stage_pallas(
             row_spec(6), row_spec(1), row_spec(1), row_spec(3), row_spec(1),
         ],
     )
+    g = nb * 8
     outs = pl.pallas_call(
         _bounce_kernel(do_mis, num_lights),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((6, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.uint32),
-            jax.ShapeDtypeStruct((3, n), jnp.float32),
-            jax.ShapeDtypeStruct((3, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.int32),
-            jax.ShapeDtypeStruct((6, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.int32),
-            jax.ShapeDtypeStruct((3, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((6, g, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, g, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((3, g, 128), jnp.float32),
+            jax.ShapeDtypeStruct((3, g, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, g, 128), jnp.int32),
+            jax.ShapeDtypeStruct((6, g, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, g, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, g, 128), jnp.int32),
+            jax.ShapeDtypeStruct((3, g, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, g, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(bidx, rays, state, throughput, result, alive, t, idx,
+    )(bidx, shape3(rays, 6), shape3(state, 1), shape3(throughput, 3),
+      shape3(result, 3), shape3(alive, 1), shape3(t, 1), shape3(idx, 1),
       tri_table, light_table)
-    return outs
+    return [o.reshape(o.shape[0], n) for o in outs]
 
 
 def prepare_tables(scene):
@@ -200,7 +210,7 @@ def prepare_tables(scene):
     tri = scene["tri_full"]
     if tri.shape[0] > MAX_VMEM_TRIS:
         return None
-    tp = -(-tri.shape[0] // SELECT_CHUNK) * SELECT_CHUNK
+    tp = max(128, -(-tri.shape[0] // 128) * 128)
     tri_p = jnp.pad(tri, ((0, tp - tri.shape[0]), (0, 0)))
     light = scene["light_full"]
     lp = max(8, -(-light.shape[0] // 8) * 8)
@@ -249,9 +259,7 @@ def trace_pallas(
     def bounce(carry, bounce_idx):
         rays, state_r, thr, res, alive, counters = carry
         alive_b = alive[0] != 0
-        t, idx = closest_hit(
-            rays[0:3].T, rays[3:6].T, active=alive_b
-        )
+        t, idx = closest_hit(rays[0:3], rays[3:6], active=alive_b)
         counters = counters.at[0].add(jnp.sum(alive))
         outs = bounce_stage_pallas(
             bounce_idx, rays, state_r, thr, res, alive,
@@ -263,7 +271,7 @@ def trace_pallas(
         if do_mis:
             counters = counters.at[1].add(jnp.sum(smask))
             shadow_t, _ = closest_hit(
-                srays[0:3].T, srays[3:6].T,
+                srays[0:3], srays[3:6],
                 active=smask[0] != 0, t_max=stmax[0], any_hit=True,
             )
             st = TRACE.BounceState(

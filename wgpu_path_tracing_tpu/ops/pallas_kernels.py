@@ -104,18 +104,16 @@ def _brute_kernel(ray_ref, tri_ref, t_ref, idx_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def closest_hit_brute_pallas(tri_isect, ro, rd, interpret: bool = False):
-    """Dense closest hit. tri_isect: (T, 9); ro/rd: (N, 3).
+def closest_hit_brute_pallas_soa(tri_isect, rays, interpret: bool = False):
+    """Dense closest hit. tri_isect: (T, 9); rays: (6, N) SoA [o, d].
 
     Returns (t, idx) with t=inf, idx=-1 for misses. Pads N to BN and T to
     BT internally.
     """
-    n = ro.shape[0]
+    n = rays.shape[1]
     num_tris = tri_isect.shape[0]
     n_pad = (-n) % BN
     t_pad = (-num_tris) % BT
-
-    rays = jnp.concatenate([ro.T, rd.T], axis=0)  # (6, N)
     if n_pad:
         rays = jnp.pad(rays, ((0, 0), (0, n_pad)))
     tri = tri_isect
@@ -155,3 +153,9 @@ def closest_hit_brute_pallas(tri_isect, ro, rd, interpret: bool = False):
     # Padded triangles can never win (a == 0 -> invalid), but clamp for safety.
     idx = jnp.where(idx >= num_tris, -1, idx)
     return t, idx
+
+
+def closest_hit_brute_pallas(tri_isect, ro, rd, interpret: bool = False):
+    """(N, 3) AoS convenience wrapper around the SoA kernel."""
+    rays = jnp.concatenate([ro.T, rd.T], axis=0)
+    return closest_hit_brute_pallas_soa(tri_isect, rays, interpret=interpret)

@@ -210,7 +210,7 @@ def trace(
     def bounce(carry, bounce_idx):
         st, counters = carry
         t, idx = closest_hit(
-            vec.stack_cols(st.ro), vec.stack_cols(st.rd), active=st.alive
+            vec.stack_rows(st.ro), vec.stack_rows(st.rd), active=st.alive
         )
         counters = counters.at[0].add(jnp.sum(st.alive.astype(jnp.int32)))
         st, shadow = bounce_core(
@@ -221,8 +221,8 @@ def trace(
         if do_mis:
             counters = counters.at[1].add(jnp.sum(shadow.mask.astype(jnp.int32)))
             shadow_t, _ = closest_hit(
-                vec.stack_cols(shadow.origin),
-                vec.stack_cols(shadow.direction),
+                vec.stack_rows(shadow.origin),
+                vec.stack_rows(shadow.direction),
                 active=shadow.mask,
                 t_max=shadow.t_max,
                 any_hit=True,

@@ -103,6 +103,11 @@ def stack_cols(v: V3):
     return jnp.stack([v.x, v.y, v.z], axis=-1)
 
 
+def stack_rows(v: V3):
+    """(3, lanes) SoA array — a cheap row concat, no transpose."""
+    return jnp.stack([v.x, v.y, v.z], axis=0)
+
+
 def from_cols(arr) -> V3:
     """(lanes, 3) AoS array -> V3 (boundary helper)."""
     return V3(arr[..., 0], arr[..., 1], arr[..., 2])

@@ -46,6 +46,7 @@ def camera_device(cam_pytree: dict, width: int, height: int) -> dict:
         "intersector",
         "brute_max_tris",
         "leaf_size",
+        "bounce_kernel",
     ),
     donate_argnames=("accum",),
 )
@@ -68,6 +69,7 @@ def render_chunk(
     intersector: str,
     brute_max_tris: int,
     leaf_size: int,
+    bounce_kernel: str = "auto",
 ):
     """Accumulate ``n_frames`` 1-spp frames starting at ``frame_start``.
 
@@ -84,22 +86,40 @@ def render_chunk(
     y = y[perm]
     closest_hit = make_closest_hit(scene, intersector, brute_max_tris, leaf_size)
 
+    # Pick the bounce implementation: the Pallas megakernel runs the same
+    # bounce_core with VMEM-resident tables (TPU, untextured, VMEM-sized
+    # scenes); otherwise the plain XLA path.
+    textured = scene["atlas"].shape[0] > 1 or scene["atlas"].shape[1] > 1
+    use_pallas = bounce_kernel == "pallas"
+    if bounce_kernel == "auto":
+        from wgpu_path_tracing_tpu.ops.pallas_bounce import MAX_VMEM_TRIS
+
+        use_pallas = (
+            jax.default_backend() not in ("cpu", "gpu")
+            and not textured
+            and scene["tri_full"].shape[0] <= MAX_VMEM_TRIS
+        )
+
+    def trace_fn(ro, rd, state):
+        if use_pallas:
+            from wgpu_path_tracing_tpu.ops.pallas_bounce import trace_pallas
+
+            return trace_pallas(
+                scene, closest_hit, ro, rd, state,
+                max_bounces=max_bounces, do_mis=do_mis, num_lights=num_lights,
+            )
+        return TRACE.trace(
+            scene, closest_hit, ro, rd, state,
+            max_bounces=max_bounces, do_mis=do_mis, num_lights=num_lights,
+        )
+
     def step(carry, k):
         accum, counters = carry
         frame = frame_start + k
         ro, rd, state = CAM.generate_rays(
             cam, x, y, frame, use_dof=use_dof, rng_mode=rng_mode
         )
-        radiance, state, stats = TRACE.trace(
-            scene,
-            closest_hit,
-            ro,
-            rd,
-            state,
-            max_bounces=max_bounces,
-            do_mis=do_mis,
-            num_lights=num_lights,
-        )
+        radiance, state, stats = trace_fn(ro, rd, state)
         color = jnp.minimum(radiance, jnp.float32(firefly_clamp))  # pt.wgsl:751
         # Primary rays also count toward throughput metrics.
         counters = counters + jnp.stack([stats["closest"], stats["shadow"]])

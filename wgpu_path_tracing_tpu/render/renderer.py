@@ -88,6 +88,33 @@ class Renderer:
             )
         )
 
+    def load_model_async(self, path: str):
+        """Off-thread scene preparation — the headless equivalent of the
+        reference's Web Worker hand-off (loader.ts:23-37, scene.worker.ts):
+        parsing/flattening/BVH build run on a background thread while the
+        caller keeps rendering the previous scene. Returns a
+        ``concurrent.futures.Future``; the scene is installed (and
+        accumulation reset) when it resolves, on the waiting thread."""
+        import concurrent.futures
+
+        from wgpu_path_tracing_tpu.models.gltf import load_model
+
+        executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+
+        def job():
+            scene = load_model(
+                path,
+                texture_pixel_ratio=self.config.texture_pixel_ratio,
+                max_leaf_size=self.config.max_leaf_size,
+                num_bins=self.config.num_bins,
+            )
+            self.load_scene(scene)
+            return scene
+
+        future = executor.submit(job)
+        executor.shutdown(wait=False)
+        return future
+
     # --- interaction (controller.ts + renderer.ts:152-201) ------------------
     def add_on_update(self, callback) -> None:
         self._on_update.append(callback)
@@ -172,6 +199,7 @@ class Renderer:
                 intersector=cfg.intersector,
                 brute_max_tris=cfg.brute_force_max_tris,
                 leaf_size=cfg.max_leaf_size,
+                bounce_kernel=cfg.bounce_kernel,
             )
             self._accum.block_until_ready()
             self.profiler.add("path-trace-pass", (time.perf_counter() - chunk_t0) / chunk)
