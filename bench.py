@@ -22,7 +22,7 @@ import numpy as np
 
 WIDTH = HEIGHT = 512
 SPP = 512
-WARMUP_SPP = 16
+WARMUP_SPP = 128  # >= frames_per_chunk so the timed run hits the compile cache
 BASELINE_MRAYS = 100.0  # browser-WebGPU-class anchor (no published numbers)
 
 
@@ -38,7 +38,7 @@ def main():
 
     dev = jax.devices()[0]
 
-    cfg = RenderConfig(width=WIDTH, height=HEIGHT, frames_per_chunk=32)
+    cfg = RenderConfig(width=WIDTH, height=HEIGHT, frames_per_chunk=128)
     r = Renderer(cfg)
     r.load_scene(cornell_box())
 
