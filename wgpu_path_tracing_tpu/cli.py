@@ -70,7 +70,7 @@ def cmd_render(args) -> int:
 
     r = _build_renderer(args)
     if args.scene == "cornell":
-        r.load_scene(cornell_box())
+        r.load_scene(cornell_box(tessellation=args.tessellation))
     else:
         r.load_model(args.scene)
 
@@ -157,6 +157,9 @@ def main(argv=None) -> int:
 
     pr = sub.add_parser("render", help="path-trace a scene to a PNG")
     pr.add_argument("scene", help=".glb/.gltf path, or 'cornell' for the built-in box")
+    pr.add_argument("--tessellation", type=int, default=1,
+                    help="subdivide the built-in cornell quads NxN "
+                         "(large-triangle-count benchmarks)")
     pr.add_argument("-o", "--output", default="out.png")
     pr.add_argument("--spp", type=int, default=64)
     pr.add_argument("--width", type=int, default=512)
