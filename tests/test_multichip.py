@@ -77,6 +77,49 @@ def test_sharded_matches_single_chip(setup, mesh_shape):
     np.testing.assert_array_equal(np.asarray(counters), ref_counters)
 
 
+def test_renderer_multichip_surface():
+    """Renderer(devices=...) end-to-end: multi-chip render equals
+    single-chip render through the public API."""
+    from wgpu_path_tracing_tpu import Renderer, RenderConfig
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = dict(width=WIDTH, height=HEIGHT, frames_per_chunk=4)
+    r1 = Renderer(RenderConfig(**cfg))
+    r1.load_scene(cornell_box())
+    single = r1.render(spp=4)
+
+    r8 = Renderer(RenderConfig(**cfg), devices=jax.devices())
+    r8.load_scene(cornell_box())
+    multi = r8.render(spp=4)
+
+    np.testing.assert_allclose(multi, single, rtol=1e-4, atol=1e-5)
+    # image() and checkpoints work in sharded mode too
+    img = r8.image()
+    assert img.shape == (HEIGHT, WIDTH, 3)
+    assert np.isfinite(img).all()
+
+
+def test_renderer_multichip_checkpoint(tmp_path):
+    from wgpu_path_tracing_tpu import Renderer, RenderConfig
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = dict(width=WIDTH, height=HEIGHT, frames_per_chunk=4)
+    r8 = Renderer(RenderConfig(**cfg), devices=jax.devices())
+    r8.load_scene(cornell_box())
+    r8.render(spp=4)
+    ck = str(tmp_path / "mc.npz")
+    r8.save_checkpoint(ck)
+    full = r8.render(spp=4)
+
+    r2 = Renderer(RenderConfig(**cfg), devices=jax.devices())
+    r2.load_scene(cornell_box())
+    r2.load_checkpoint(ck)
+    resumed = r2.render(spp=4)
+    np.testing.assert_allclose(resumed, full, rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_accumulation_across_chunks(setup):
     scene, dev, cam, kwargs, _, _ = setup
     mesh = SH.make_mesh(jax.devices(), sample_shards=2)

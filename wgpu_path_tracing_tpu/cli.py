@@ -59,7 +59,7 @@ def _build_renderer(args):
     import numpy as np
 
     cam.position = np.asarray(args.cam_pos, np.float32)
-    r = Renderer(cfg, cam)
+    r = Renderer(cfg, cam, devices=True if getattr(args, "multichip", False) else None)
     if args.cam_yaw or args.cam_pitch:
         r.camera.rotate(math.radians(args.cam_yaw), math.radians(args.cam_pitch))
     return r
@@ -174,6 +174,9 @@ def main(argv=None) -> int:
     pr.add_argument("--intersector", choices=("auto", "brute", "bvh"), default="auto")
     pr.add_argument("--checkpoint", help="npz accumulation checkpoint path")
     pr.add_argument("--resume", action="store_true")
+    pr.add_argument("--multichip", action="store_true",
+                    help="shard the render over all visible devices "
+                         "(sample x row mesh via shard_map)")
     pr.add_argument("-v", "--verbose", action="store_true")
     _add_camera_args(pr)
     pr.set_defaults(func=cmd_render)

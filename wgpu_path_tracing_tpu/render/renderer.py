@@ -47,13 +47,34 @@ from wgpu_path_tracing_tpu.utils import image as imageio
 
 
 class Renderer:
-    def __init__(self, config: RenderConfig | None = None, camera: Camera | None = None):
+    def __init__(
+        self,
+        config: RenderConfig | None = None,
+        camera: Camera | None = None,
+        devices=None,
+        sample_shards: int | None = None,
+    ):
+        """``devices``: render across multiple chips via a
+        ("sample", "row") mesh (parallel/shard.py) — pass a device list, or
+        True for all of ``jax.devices()``. Default: single device."""
         self.config = (config or RenderConfig()).validate()
         self.camera = camera or Camera(
             width=self.config.width,
             height=self.config.height,
             aspect=self.config.width / self.config.height,
         )
+        self.mesh = None
+        if devices is not None and devices is not False:
+            from wgpu_path_tracing_tpu.parallel import shard as SH
+
+            if devices is True:
+                devices = jax.devices()
+            if len(devices) > 1:
+                self.mesh = SH.make_mesh(devices, sample_shards=sample_shards)
+                rows = self.mesh.shape["row"]
+                assert self.config.height % rows == 0, (
+                    f"height {self.config.height} must divide the row axis {rows}"
+                )
         self.scene: SceneArrays | None = None
         self._scene_dev = None
         self.frame_index: int = 0
@@ -72,7 +93,13 @@ class Renderer:
     # --- scene loading -----------------------------------------------------
     def load_scene(self, scene: SceneArrays) -> None:
         self.scene = scene
-        self._scene_dev = jax.device_put(pack_device_scene(scene))
+        packed = pack_device_scene(scene)
+        if self.mesh is not None:
+            from wgpu_path_tracing_tpu.parallel import shard as SH
+
+            self._scene_dev = SH.replicate_scene(packed, self.mesh)
+        else:
+            self._scene_dev = jax.device_put(packed)
         self.reset()
 
     def load_model(self, path: str) -> None:
@@ -143,7 +170,12 @@ class Renderer:
     def _ensure_accum(self):
         n = self.config.width * self.config.height
         if self._accum is None or self._accum.shape[0] != n:
-            self._accum = jnp.zeros((n, 3), jnp.float32)
+            accum = jnp.zeros((n, 3), jnp.float32)
+            if self.mesh is not None:
+                from wgpu_path_tracing_tpu.parallel import shard as SH
+
+                accum = SH.shard_accum(accum, self.mesh)
+            self._accum = accum
 
     def _row_major(self, accum) -> np.ndarray:
         """Device buffers are tile-ordered (utils/tiling.py); convert back."""
@@ -152,12 +184,33 @@ class Renderer:
             tile_permutation,
         )
 
+        if self.mesh is not None:
+            from wgpu_path_tracing_tpu.parallel import shard as SH
+
+            return SH.untile_image(
+                SH.gather_image(accum),
+                self.config.width,
+                self.config.height,
+                self.mesh.shape["row"],
+            )
         perm = tile_permutation(self.config.width, self.config.height)
         return np.asarray(accum)[inverse_permutation(perm)]
 
     def _tile_order(self, accum_row_major: np.ndarray):
         from wgpu_path_tracing_tpu.utils.tiling import tile_permutation
 
+        if self.mesh is not None:
+            from wgpu_path_tracing_tpu.utils.tiling import inverse_permutation
+            from wgpu_path_tracing_tpu.parallel import shard as SH
+
+            rows = self.mesh.shape["row"]
+            local = self.config.height // rows * self.config.width
+            perm_l = tile_permutation(self.config.width,
+                                      self.config.height // rows)
+            tiled = accum_row_major.reshape(rows, local, 3)[:, perm_l].reshape(
+                -1, 3
+            )
+            return SH.shard_accum(jnp.asarray(tiled), self.mesh)
         perm = tile_permutation(self.config.width, self.config.height)
         return jnp.asarray(accum_row_major[perm])
 
@@ -182,11 +235,7 @@ class Renderer:
                 task(0.0)
             chunk = min(cfg.frames_per_chunk, remaining)
             chunk_t0 = time.perf_counter()
-            self._accum, counters = pipeline.render_chunk(
-                self._scene_dev,
-                cam,
-                self._accum,
-                jnp.int32(self.frame_index),
+            common = dict(
                 n_frames=chunk,
                 width=cfg.width,
                 height=cfg.height,
@@ -199,8 +248,31 @@ class Renderer:
                 intersector=cfg.intersector,
                 brute_max_tris=cfg.brute_force_max_tris,
                 leaf_size=cfg.max_leaf_size,
-                bounce_kernel=cfg.bounce_kernel,
             )
+            if self.mesh is not None:
+                from wgpu_path_tracing_tpu.parallel import shard as SH
+
+                # The sample axis needs n_frames % sample_shards == 0.
+                ns = self.mesh.shape["sample"]
+                chunk = max(ns, chunk - chunk % ns)
+                common["n_frames"] = chunk
+                self._accum, counters = SH.render_chunk_sharded(
+                    self._scene_dev,
+                    cam,
+                    self._accum,
+                    jnp.int32(self.frame_index),
+                    mesh=self.mesh,
+                    **common,
+                )
+            else:
+                self._accum, counters = pipeline.render_chunk(
+                    self._scene_dev,
+                    cam,
+                    self._accum,
+                    jnp.int32(self.frame_index),
+                    bounce_kernel=cfg.bounce_kernel,
+                    **common,
+                )
             self._accum.block_until_ready()
             self.profiler.add("path-trace-pass", (time.perf_counter() - chunk_t0) / chunk)
             for _ in range(chunk):
