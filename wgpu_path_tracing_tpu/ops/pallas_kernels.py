@@ -35,85 +35,92 @@ BN = 1024  # rays per block (minor / lane axis)
 BT = 256  # triangles per block (major / sublane axis)
 
 
-def _brute_kernel(ray_ref, tri_ref, t_ref, idx_ref):
-    j = pl.program_id(1)
+def _brute_kernel(bt: int):
+  def kernel(ray_ref, tri_ref, t_ref, idx_ref):
+      j = pl.program_id(1)
 
-    @pl.when(j == 0)
-    def _():
-        t_ref[...] = jnp.full_like(t_ref, jnp.inf)
-        idx_ref[...] = jnp.full_like(idx_ref, -1)
+      @pl.when(j == 0)
+      def _():
+          t_ref[...] = jnp.full_like(t_ref, jnp.inf)
+          idx_ref[...] = jnp.full_like(idx_ref, -1)
 
-    # Rays: (1, BN) rows.
-    ox = ray_ref[0:1, :]
-    oy = ray_ref[1:2, :]
-    oz = ray_ref[2:3, :]
-    dx = ray_ref[3:4, :]
-    dy = ray_ref[4:5, :]
-    dz = ray_ref[5:6, :]
+      # Rays: (1, BN) rows.
+      ox = ray_ref[0:1, :]
+      oy = ray_ref[1:2, :]
+      oz = ray_ref[2:3, :]
+      dx = ray_ref[3:4, :]
+      dy = ray_ref[4:5, :]
+      dz = ray_ref[5:6, :]
 
-    # Triangles: (BT, 1) columns [v0, e1, e2].
-    v0x = tri_ref[:, 0:1]
-    v0y = tri_ref[:, 1:2]
-    v0z = tri_ref[:, 2:3]
-    e1x = tri_ref[:, 3:4]
-    e1y = tri_ref[:, 4:5]
-    e1z = tri_ref[:, 5:6]
-    e2x = tri_ref[:, 6:7]
-    e2y = tri_ref[:, 7:8]
-    e2z = tri_ref[:, 8:9]
+      # Triangles: (BT, 1) columns [v0, e1, e2].
+      v0x = tri_ref[:, 0:1]
+      v0y = tri_ref[:, 1:2]
+      v0z = tri_ref[:, 2:3]
+      e1x = tri_ref[:, 3:4]
+      e1y = tri_ref[:, 4:5]
+      e1z = tri_ref[:, 5:6]
+      e2x = tri_ref[:, 6:7]
+      e2y = tri_ref[:, 7:8]
+      e2z = tri_ref[:, 8:9]
 
-    # h = cross(d, e2) -> (BT, BN)
-    hx = dy * e2z - dz * e2y
-    hy = dz * e2x - dx * e2z
-    hz = dx * e2y - dy * e2x
-    a = e1x * hx + e1y * hy + e1z * hz
-    f = 1.0 / a
-    # s = o - v0
-    sx = ox - v0x
-    sy = oy - v0y
-    sz = oz - v0z
-    u = f * (sx * hx + sy * hy + sz * hz)
-    # q = cross(s, e1)
-    qx = sy * e1z - sz * e1y
-    qy = sz * e1x - sx * e1z
-    qz = sx * e1y - sy * e1x
-    v = f * (dx * qx + dy * qy + dz * qz)
-    t = f * (e2x * qx + e2y * qy + e2z * qz)
+      # h = cross(d, e2) -> (BT, BN)
+      hx = dy * e2z - dz * e2y
+      hy = dz * e2x - dx * e2z
+      hz = dx * e2y - dy * e2x
+      a = e1x * hx + e1y * hy + e1z * hz
+      f = 1.0 / a
+      # s = o - v0
+      sx = ox - v0x
+      sy = oy - v0y
+      sz = oz - v0z
+      u = f * (sx * hx + sy * hy + sz * hz)
+      # q = cross(s, e1)
+      qx = sy * e1z - sz * e1y
+      qy = sz * e1x - sx * e1z
+      qz = sx * e1y - sy * e1x
+      v = f * (dx * qx + dy * qy + dz * qz)
+      t = f * (e2x * qx + e2y * qy + e2z * qz)
 
-    valid = (
-        (jnp.abs(a) >= EPSILON)
-        & (u >= 0.0)
-        & (u <= 1.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
-        & (t > EPSILON)
-    )
-    t_masked = jnp.where(valid, t, jnp.inf)
+      valid = (
+          (jnp.abs(a) >= EPSILON)
+          & (u >= 0.0)
+          & (u <= 1.0)
+          & (v >= 0.0)
+          & (u + v <= 1.0)
+          & (t > EPSILON)
+      )
+      t_masked = jnp.where(valid, t, jnp.inf)
 
-    # Per-ray min over the triangle axis; first index wins ties.
-    min_t = jnp.min(t_masked, axis=0, keepdims=True)  # (1, BN)
-    rows = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 0)
-    min_row = jnp.min(
-        jnp.where(t_masked == min_t, rows, 2**30), axis=0, keepdims=True
-    )
+      # Per-ray min over the triangle axis; first index wins ties.
+      min_t = jnp.min(t_masked, axis=0, keepdims=True)  # (1, BN)
+      rows = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 0)
+      min_row = jnp.min(
+          jnp.where(t_masked == min_t, rows, 2**30), axis=0, keepdims=True
+      )
 
-    cur_t = t_ref[...]
-    better = min_t < cur_t  # strict: earlier block wins ties
-    t_ref[...] = jnp.where(better, min_t, cur_t)
-    idx_ref[...] = jnp.where(better, j * BT + min_row, idx_ref[...])
+      cur_t = t_ref[...]
+      better = min_t < cur_t  # strict: earlier block wins ties
+      t_ref[...] = jnp.where(better, min_t, cur_t)
+      idx_ref[...] = jnp.where(better, j * bt + min_row, idx_ref[...])
+
+
+  return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def closest_hit_brute_pallas_soa(tri_isect, rays, interpret: bool = False):
     """Dense closest hit. tri_isect: (T, 9); rays: (6, N) SoA [o, d].
 
-    Returns (t, idx) with t=inf, idx=-1 for misses. Pads N to BN and T to
-    BT internally.
+    Returns (t, idx) with t=inf, idx=-1 for misses. Pads N to BN; the
+    triangle block is the smallest sublane multiple covering the scene
+    (profiling showed padding a 36-triangle Cornell to a fixed 256-row block
+    made this kernel 86% of frame time — 7x wasted VPU work).
     """
     n = rays.shape[1]
     num_tris = tri_isect.shape[0]
+    bt = min(BT, -(-max(num_tris, 1) // 8) * 8)
     n_pad = (-n) % BN
-    t_pad = (-num_tris) % BT
+    t_pad = (-num_tris) % bt
     if n_pad:
         rays = jnp.pad(rays, ((0, 0), (0, n_pad)))
     tri = tri_isect
@@ -122,14 +129,14 @@ def closest_hit_brute_pallas_soa(tri_isect, rays, interpret: bool = False):
 
     np_ = rays.shape[1]
     tp = tri.shape[0]
-    grid = (np_ // BN, tp // BT)
+    grid = (np_ // BN, tp // bt)
 
     t_out, idx_out = pl.pallas_call(
-        _brute_kernel,
+        _brute_kernel(bt),
         grid=grid,
         in_specs=[
             pl.BlockSpec((6, BN), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BT, 9), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 9), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, BN), lambda i, j: (0, i), memory_space=pltpu.VMEM),
