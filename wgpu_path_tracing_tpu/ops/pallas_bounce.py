@@ -210,7 +210,10 @@ def prepare_tables(scene):
     tri = scene["tri_full"]
     if tri.shape[0] > MAX_VMEM_TRIS:
         return None
-    tp = max(128, -(-tri.shape[0] // 128) * 128)
+    # Smallest sublane multiple covering the scene: the one-hot selects
+    # scale with table rows (same lesson as the intersection kernel's
+    # triangle-block fix).
+    tp = max(8, -(-tri.shape[0] // 8) * 8)
     tri_p = jnp.pad(tri, ((0, tp - tri.shape[0]), (0, 0)))
     light = scene["light_full"]
     lp = max(8, -(-light.shape[0] // 8) * 8)
