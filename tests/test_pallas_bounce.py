@@ -31,6 +31,31 @@ def setup():
     return sc, scene, ch, ro, rd, state
 
 
+def test_pallas_bounce_mid_size_scene():
+    """Scenes with 512 < T <= 4096 exercise the multi-chunk one-hot select
+    (regression: the table must pad to a chunk multiple or tail triangles
+    are silently skipped)."""
+    sc = cornell_box(tessellation=5)  # 852 triangles
+    assert 512 < sc.num_triangles <= 4096
+    scene = jax.device_put(pack_device_scene(sc))
+    cam = camera_device(Camera(width=W, height=H).as_pytree(), W, H)
+    x, y = CAM.pixel_grid(W, H)
+    ro, rd, state = CAM.generate_rays(cam, x, y, jnp.int32(0), use_dof=True)
+    ch = make_closest_hit(scene, "brute", 4096, 4)
+    rad_x, st_x, _ = TRACE.trace(
+        scene, ch, ro, rd, state,
+        max_bounces=4, do_mis=True, num_lights=sc.num_lights,
+    )
+    rad_p, st_p, _ = trace_pallas(
+        scene, ch, ro, rd, state,
+        max_bounces=4, do_mis=True, num_lights=sc.num_lights, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(st_x), np.asarray(st_p))
+    np.testing.assert_allclose(
+        np.asarray(rad_x), np.asarray(rad_p), rtol=1e-5, atol=1e-6
+    )
+
+
 @pytest.mark.parametrize("do_mis", [True, False])
 def test_pallas_bounce_bit_identical(setup, do_mis):
     sc, scene, ch, ro, rd, state = setup

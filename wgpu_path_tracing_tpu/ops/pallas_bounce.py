@@ -212,8 +212,11 @@ def prepare_tables(scene):
         return None
     # Smallest sublane multiple covering the scene: the one-hot selects
     # scale with table rows (same lesson as the intersection kernel's
-    # triangle-block fix).
+    # triangle-block fix). The table must be a multiple of the select
+    # chunk, or _select_rows' fori_loop would skip the tail rows.
     tp = max(8, -(-tri.shape[0] // 8) * 8)
+    if tp > SELECT_CHUNK:
+        tp = -(-tp // SELECT_CHUNK) * SELECT_CHUNK
     tri_p = jnp.pad(tri, ((0, tp - tri.shape[0]), (0, 0)))
     light = scene["light_full"]
     lp = max(8, -(-light.shape[0] // 8) * 8)
