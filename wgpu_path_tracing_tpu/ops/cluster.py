@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 EPSILON = 1e-6
-INF = jnp.float32(jnp.inf)
+INF = np.float32(np.inf)  # np, not jnp: module-level jnp constants init the backend at import
 
 CLUSTER_K = 128  # triangles per cluster
 BN = 1024  # rays per block

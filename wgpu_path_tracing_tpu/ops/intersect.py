@@ -35,9 +35,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 EPSILON = 1e-6  # pt.wgsl:4
-INF = jnp.float32(jnp.inf)
+INF = np.float32(np.inf)  # np, not jnp: module-level jnp constants init the backend at import
 
 
 def _cross(a, b):
