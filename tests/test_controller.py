@@ -74,4 +74,10 @@ def test_load_model_async():
     fut = r.load_model_async(f"{MODELS}/transform.glb")
     scene = fut.result(timeout=120)
     assert scene.num_triangles == 40
+    # The background thread only STAGES the scene (no install race with a
+    # concurrent render); it is installed at the next chunk boundary /
+    # explicit poll.
+    assert r.scene is not scene
+    assert r.poll_pending_scene()
     assert r.scene is scene
+    assert not r.poll_pending_scene()

@@ -142,3 +142,27 @@ def test_sharded_accumulation_across_chunks(setup):
         dev, cam, jnp.zeros((WIDTH * HEIGHT, 3), jnp.float32), jnp.int32(0), **kwargs2
     )
     np.testing.assert_allclose(out_rm, _row_major_single(ref2), rtol=1e-4, atol=1e-5)
+
+
+def test_renderer_multichip_exact_spp():
+    """render(spp) must accumulate EXACTLY spp frames even when spp is not a
+    multiple of the sample axis (the padded tail frames are zero-weighted),
+    and match the single-chip render of the same spp."""
+    from wgpu_path_tracing_tpu import Renderer, RenderConfig
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = dict(width=WIDTH, height=HEIGHT, frames_per_chunk=4)
+    r1 = Renderer(RenderConfig(**cfg))
+    r1.load_scene(cornell_box())
+    single = r1.render(spp=3)
+    assert r1.frame_index == 3
+
+    r8 = Renderer(RenderConfig(**cfg), devices=jax.devices())  # sample=2
+    r8.load_scene(cornell_box())
+    multi = r8.render(spp=3)
+    assert r8.mesh.shape["sample"] == 2
+    assert r8.frame_index == 3
+    np.testing.assert_allclose(multi, single, rtol=1e-4, atol=1e-5)
+    # Ray counters also count only the active frames.
+    assert r8.stats()["rays_total"] == r1.stats()["rays_total"]

@@ -109,3 +109,44 @@ def test_cli_render_and_info(tmp_path, capsys):
     rc = main(["info", "cornell"])
     assert rc == 0
     assert '"triangles": 36' in capsys.readouterr().out
+
+
+def test_checkpoint_path_without_npz_suffix(tmp_path):
+    """np.savez appends '.npz'; save/load must agree on the real filename."""
+    from wgpu_path_tracing_tpu import Renderer, RenderConfig
+    from wgpu_path_tracing_tpu.models.procedural import cornell_box
+
+    r = Renderer(RenderConfig(width=32, height=32, frames_per_chunk=2))
+    r.load_scene(cornell_box())
+    r.render(spp=2)
+    ck = str(tmp_path / "ckpt")  # no .npz suffix
+    r.save_checkpoint(ck)
+    r2 = Renderer(RenderConfig(width=32, height=32, frames_per_chunk=2))
+    r2.load_scene(cornell_box())
+    r2.load_checkpoint(ck)
+    assert r2.frame_index == 2
+
+
+def test_lightless_scene_mis_is_finite():
+    """NEE with zero lights must not produce NaNs (the padded zero light row
+    has area 0 -> pdf must be 0, and the pipeline skips NEE entirely)."""
+    import dataclasses
+
+    from wgpu_path_tracing_tpu import Renderer, RenderConfig
+    from wgpu_path_tracing_tpu.models.procedural import cornell_box
+
+    scene = cornell_box()
+    # Strip the light table the way an emissive-free GLB would arrive.
+    scene = dataclasses.replace(
+        scene,
+        light_position=scene.light_position[:0],
+        light_type=scene.light_type[:0],
+        light_color=scene.light_color[:0],
+        light_intensity=scene.light_intensity[:0],
+        light_tri=scene.light_tri[:0],
+    )
+    r = Renderer(RenderConfig(width=16, height=16, frames_per_chunk=2,
+                              do_mis=True))
+    r.load_scene(scene)
+    out = r.render(spp=2)
+    assert np.isfinite(out).all()

@@ -122,7 +122,11 @@ def build_bvh(
     v2 = np.asarray(v2, np.float64)
     tri_min = np.minimum(np.minimum(v0, v1), v2)
     tri_max = np.maximum(np.maximum(v0, v1), v2)
-    centroid = (v0 + v1 + v2) / 3.0
+    # Sort keys in f32 to match the reference's f32 centroid ordering
+    # (bvh.ts:95-102): centroids that tie in f32 but differ in f64 would
+    # otherwise order differently and build a structurally different (still
+    # valid) tree. AABB sweeps stay f64 (exact min/max).
+    centroid = ((v0 + v1 + v2) / 3.0).astype(np.float32)
 
     order = np.arange(num_tris)
 

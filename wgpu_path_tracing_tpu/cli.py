@@ -145,8 +145,20 @@ def cmd_info(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench  # repo-root bench harness
+    # The bench harness lives at the repo root (the driver runs it there);
+    # make it importable regardless of the caller's cwd.
+    import os
+    import sys
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+    try:
+        import bench  # repo-root bench harness
+    except ImportError as e:
+        print(f"bench.py not found (repo checkout required): {e}",
+              file=sys.stderr)
+        return 1
     bench.main()
     return 0
 

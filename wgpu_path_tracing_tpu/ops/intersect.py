@@ -308,6 +308,13 @@ def closest_hit_bvh_linked(
 def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: int):
     """Pick the intersection strategy for this scene (static decision).
 
+    ``intersector``: "auto" (brute below brute_max_tris, else cluster on TPU
+    / linked-BVH on CPU), or force one of "brute" / "cluster"(via non-"bvh"
+    on TPU) / "bvh" (stackless linked walk) / "stack" (per-ray fixed-stack
+    while_loop — the literal pt.wgsl:248-296 shape; measured ~0.09 Mrays/s
+    on TPU because of the (N, 64) stack scatters, kept as a selectable
+    CPU-side oracle, not a production path).
+
     Returns closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False)
     taking SoA (3, N) origin/direction arrays (cheap row concats at call
     sites — no (N, 3) transposes on the hot path).
@@ -317,7 +324,22 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
         intersector == "auto" and num_tris <= brute_max_tris
     )
 
-    if use_brute:
+    if intersector == "stack":
+
+        def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False):
+            return closest_hit_bvh(
+                scene["bvh_aabb"],
+                scene["bvh_meta"],
+                scene["tri_isect"],
+                ro3.T,
+                rd3.T,
+                active=active,
+                t_max=t_max,
+                leaf_size=leaf_size,
+                any_hit=any_hit,
+            )
+
+    elif use_brute:
         # The fused Pallas kernel is ~8-400x faster than the XLA fusion on
         # TPU (bit-identical results); plain XLA remains for CPU tests.
         on_tpu = jax.default_backend() not in ("cpu", "gpu")

@@ -106,7 +106,11 @@ def sample_light_from_fetch(fetch, hit_position: V3, state, mask,
     e2 = v2 - v0
     area = vec.length(vec.cross(e1, e2)) * 0.5
     cos_theta = jnp.abs(vec.dot(lnormal, -wi))
-    pdf_emis = inv_n * (1.0 / area) * (
+    # Degenerate (zero-area) rows — e.g. the all-zero padding row of a
+    # lightless scene — must yield pdf 0, not inf (inf pdfs turn the MIS
+    # power heuristic into inf/inf = NaN and poison the accumulator).
+    inv_area = jnp.where(area > 0.0, 1.0 / jnp.maximum(area, 1e-30), 0.0)
+    pdf_emis = inv_n * inv_area * (
         dist_e * dist_e / jnp.maximum(cos_theta, EPSILON)
     )
 

@@ -2,8 +2,7 @@
 
 Reimplements blit.wgsl's fragment tonemap chain (blit.wgsl:43-155) as one
 fused elementwise pass over the HDR accumulation buffer (XLA fuses the whole
-chain into a single VPU kernel; there is also a Pallas variant in
-ops/pallas_kernels.py):
+chain into a single VPU kernel, so no hand-written Pallas variant is needed):
 
 * exposureAdjust: color × exp2(EXPOSURE), EXPOSURE = 1.0 (blit.wgsl:43-51),
 * agx: inset matrix -> clamped log2 encode over [-12.47393, 4.026069] ->

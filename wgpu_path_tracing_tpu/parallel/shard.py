@@ -34,8 +34,8 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from wgpu_path_tracing_tpu.ops import camera_rays as CAM
-from wgpu_path_tracing_tpu.ops import trace as TRACE
 from wgpu_path_tracing_tpu.ops.intersect import make_closest_hit
+from wgpu_path_tracing_tpu.render.pipeline import make_trace_fn
 
 
 def make_mesh(devices=None, sample_shards: int | None = None) -> Mesh:
@@ -81,6 +81,8 @@ def shard_accum(accum, mesh: Mesh):
         "intersector",
         "brute_max_tris",
         "leaf_size",
+        "bounce_kernel",
+        "n_active",
     ),
     donate_argnames=("accum",),
 )
@@ -103,17 +105,25 @@ def render_chunk_sharded(
     intersector: str = "auto",
     brute_max_tris: int = 512,
     leaf_size: int = 4,
+    bounce_kernel: str = "auto",
+    n_active: int | None = None,
 ):
     """Sharded equivalent of render/pipeline.py::render_chunk.
 
     accum: (H*W, 3) sharded P("row", None). Renders ``n_frames`` 1-spp
     frames (must divide by the sample axis) and folds them into the running
-    mean. Returns (accum, counters[2] int32).
+    mean. ``n_active`` (default n_frames) limits how many of those frames
+    actually contribute — the tail frames run but are zero-weighted, which
+    lets a caller land on an exact total spp that isn't a multiple of the
+    sample axis. Returns (accum, counters[2] int32).
     """
     ns = mesh.shape["sample"]
     nr = mesh.shape["row"]
     assert n_frames % ns == 0, (n_frames, ns)
     assert height % nr == 0, (height, nr)
+    if n_active is None:
+        n_active = n_frames
+    assert 0 < n_active <= n_frames, (n_active, n_frames)
     local_frames = n_frames // ns
     local_rows = height // nr
 
@@ -138,20 +148,28 @@ def render_chunk_sharded(
         x = x[perm]
         y = y[perm] + r_idx * local_rows  # global rows -> global RNG seeds
         closest_hit = make_closest_hit(scene, intersector, brute_max_tris, leaf_size)
+        trace_fn = make_trace_fn(
+            scene, closest_hit, bounce_kernel=bounce_kernel,
+            max_bounces=max_bounces, do_mis=do_mis, num_lights=num_lights,
+        )
 
         def step(carry, k):
             local_sum, counters = carry
-            frame = frame_start + k * ns + s_idx
+            in_chunk = k * ns + s_idx
+            frame = frame_start + in_chunk
             ro, rd, state = CAM.generate_rays(
                 cam, x, y, frame, use_dof=use_dof, rng_mode=rng_mode
             )
-            radiance, state, stats = TRACE.trace(
-                scene, closest_hit, ro, rd, state,
-                max_bounces=max_bounces, do_mis=do_mis, num_lights=num_lights,
-            )
+            radiance, state, stats = trace_fn(ro, rd, state)
             color = jnp.minimum(radiance, jnp.float32(firefly_clamp))
-            counters = counters + jnp.stack([stats["closest"], stats["shadow"]])
-            return (local_sum + color, counters), None
+            # Frames past n_active run (uniform trip count across shards)
+            # but contribute nothing.
+            w = (in_chunk < n_active).astype(jnp.float32)
+            wi = (in_chunk < n_active).astype(jnp.int32)
+            counters = counters + wi * jnp.stack(
+                [stats["closest"], stats["shadow"]]
+            )
+            return (local_sum + w * color, counters), None
 
         init = (
             jnp.zeros((local_rows * width, 3), jnp.float32),
@@ -163,13 +181,13 @@ def render_chunk_sharded(
 
         chunk_sum = jax.lax.psum(local_sum, "sample")
         counters = jax.lax.psum(counters, ("sample", "row"))
-        chunk_mean = chunk_sum / jnp.float32(n_frames)
+        chunk_mean = chunk_sum / jnp.float32(n_active)
 
         # Fold the chunk into the running mean: with F old frames and C new,
         # new_mean = old*(F/(F+C)) + chunk*(C/(F+C)) — reduces to overwrite
         # at frame_start == 0 (pt.wgsl:754-759 semantics).
         fs = frame_start.astype(jnp.float32)
-        t = jnp.float32(n_frames) / (fs + jnp.float32(n_frames))
+        t = jnp.float32(n_active) / (fs + jnp.float32(n_active))
         new_accum = accum_tile * (1.0 - t) + chunk_mean * t
         return new_accum, counters
 

@@ -30,6 +30,44 @@ def camera_device(cam_pytree: dict, width: int, height: int) -> dict:
     return cam
 
 
+def make_trace_fn(scene, closest_hit, *, bounce_kernel: str, max_bounces: int,
+                  do_mis: bool, num_lights: int):
+    """Build the bounce-loop callable, picking the implementation: the Pallas
+    megakernel runs the same bounce_core with VMEM-resident tables (TPU,
+    untextured, VMEM-sized scenes); otherwise the plain XLA path. Shared by
+    the single-chip pipeline and the shard_map path so both make the same
+    static choice."""
+    # NEE against zero lights is pure overhead (and the padded zero light
+    # row must never be sampled); skip the shadow pass entirely.
+    do_mis = bool(do_mis) and num_lights > 0
+
+    textured = scene["atlas"].shape[0] > 1 or scene["atlas"].shape[1] > 1
+    use_pallas = bounce_kernel == "pallas"
+    if bounce_kernel == "auto":
+        from wgpu_path_tracing_tpu.ops.pallas_bounce import MAX_VMEM_TRIS
+
+        use_pallas = (
+            jax.default_backend() not in ("cpu", "gpu")
+            and not textured
+            and scene["tri_full"].shape[0] <= MAX_VMEM_TRIS
+        )
+
+    def trace_fn(ro, rd, state):
+        if use_pallas:
+            from wgpu_path_tracing_tpu.ops.pallas_bounce import trace_pallas
+
+            return trace_pallas(
+                scene, closest_hit, ro, rd, state,
+                max_bounces=max_bounces, do_mis=do_mis, num_lights=num_lights,
+            )
+        return TRACE.trace(
+            scene, closest_hit, ro, rd, state,
+            max_bounces=max_bounces, do_mis=do_mis, num_lights=num_lights,
+        )
+
+    return trace_fn
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -85,33 +123,10 @@ def render_chunk(
     x = x[perm]
     y = y[perm]
     closest_hit = make_closest_hit(scene, intersector, brute_max_tris, leaf_size)
-
-    # Pick the bounce implementation: the Pallas megakernel runs the same
-    # bounce_core with VMEM-resident tables (TPU, untextured, VMEM-sized
-    # scenes); otherwise the plain XLA path.
-    textured = scene["atlas"].shape[0] > 1 or scene["atlas"].shape[1] > 1
-    use_pallas = bounce_kernel == "pallas"
-    if bounce_kernel == "auto":
-        from wgpu_path_tracing_tpu.ops.pallas_bounce import MAX_VMEM_TRIS
-
-        use_pallas = (
-            jax.default_backend() not in ("cpu", "gpu")
-            and not textured
-            and scene["tri_full"].shape[0] <= MAX_VMEM_TRIS
-        )
-
-    def trace_fn(ro, rd, state):
-        if use_pallas:
-            from wgpu_path_tracing_tpu.ops.pallas_bounce import trace_pallas
-
-            return trace_pallas(
-                scene, closest_hit, ro, rd, state,
-                max_bounces=max_bounces, do_mis=do_mis, num_lights=num_lights,
-            )
-        return TRACE.trace(
-            scene, closest_hit, ro, rd, state,
-            max_bounces=max_bounces, do_mis=do_mis, num_lights=num_lights,
-        )
+    trace_fn = make_trace_fn(
+        scene, closest_hit, bounce_kernel=bounce_kernel,
+        max_bounces=max_bounces, do_mis=do_mis, num_lights=num_lights,
+    )
 
     def step(carry, k):
         accum, counters = carry

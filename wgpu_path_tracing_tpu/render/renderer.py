@@ -77,6 +77,13 @@ class Renderer:
                 )
         self.scene: SceneArrays | None = None
         self._scene_dev = None
+        # Async-load staging slot (see load_model_async): the background
+        # thread parks the prepared scene here; it is installed from the
+        # render thread at a chunk boundary (or at the next render() start).
+        import threading
+
+        self._pending_lock = threading.Lock()
+        self._pending_scene: SceneArrays | None = None
         self.frame_index: int = 0
         self._accum = None
         self._counters = np.zeros(2, np.int64)
@@ -119,9 +126,12 @@ class Renderer:
         """Off-thread scene preparation — the headless equivalent of the
         reference's Web Worker hand-off (loader.ts:23-37, scene.worker.ts):
         parsing/flattening/BVH build run on a background thread while the
-        caller keeps rendering the previous scene. Returns a
-        ``concurrent.futures.Future``; the scene is installed (and
-        accumulation reset) when it resolves, on the waiting thread."""
+        caller keeps rendering the previous scene. The prepared scene is
+        STAGED, not installed — a render() in flight picks it up at its next
+        chunk boundary (and resets accumulation there), so new-scene samples
+        are never folded into an old-scene running mean. When no render is
+        active, the next render()/``poll_pending_scene`` installs it.
+        Returns a ``concurrent.futures.Future`` resolving to the scene."""
         import concurrent.futures
 
         from wgpu_path_tracing_tpu.models.gltf import load_model
@@ -135,12 +145,23 @@ class Renderer:
                 max_leaf_size=self.config.max_leaf_size,
                 num_bins=self.config.num_bins,
             )
-            self.load_scene(scene)
+            with self._pending_lock:
+                self._pending_scene = scene
             return scene
 
         future = executor.submit(job)
         executor.shutdown(wait=False)
         return future
+
+    def poll_pending_scene(self) -> bool:
+        """Install a scene staged by load_model_async, if any. Called from
+        the render thread at chunk boundaries; safe to call manually."""
+        with self._pending_lock:
+            scene, self._pending_scene = self._pending_scene, None
+        if scene is None:
+            return False
+        self.load_scene(scene)
+        return True
 
     # --- interaction (controller.ts + renderer.ts:152-201) ------------------
     def add_on_update(self, callback) -> None:
@@ -218,6 +239,7 @@ class Renderer:
         """Accumulate ``spp`` more samples per pixel; returns the HDR buffer
         as (H, W, 3) NumPy (row 0 = bottom of view, as in the reference's
         output buffer)."""
+        self.poll_pending_scene()
         if self._scene_dev is None:
             raise RuntimeError("No scene loaded — call load_model/load_scene first")
         cfg = self.config
@@ -231,6 +253,7 @@ class Renderer:
         remaining = spp
         render_counters = np.zeros(2, np.int64)
         while remaining > 0:
+            self.poll_pending_scene()
             for task in self._on_update:
                 task(0.0)
             chunk = min(cfg.frames_per_chunk, remaining)
@@ -252,10 +275,13 @@ class Renderer:
             if self.mesh is not None:
                 from wgpu_path_tracing_tpu.parallel import shard as SH
 
-                # The sample axis needs n_frames % sample_shards == 0.
+                # The jitted shape needs n_frames % sample_shards == 0; pad
+                # up but zero-weight the excess (n_active) so render(spp)
+                # accumulates exactly spp frames.
                 ns = self.mesh.shape["sample"]
-                chunk = max(ns, chunk - chunk % ns)
-                common["n_frames"] = chunk
+                common["n_frames"] = chunk + (-chunk) % ns
+                common["n_active"] = chunk
+                common["bounce_kernel"] = cfg.bounce_kernel
                 self._accum, counters = SH.render_chunk_sharded(
                     self._scene_dev,
                     cam,
@@ -308,11 +334,17 @@ class Renderer:
     # --- checkpoint / resume --------------------------------------------------
     # The reference's accumulation is restart-only (renderer.ts:357-366);
     # SURVEY.md §5 calls out an spp-stamped checkpoint as the natural upgrade.
+    @staticmethod
+    def _ckpt_path(path: str) -> str:
+        # np.savez appends '.npz' when missing; normalize so save and load
+        # agree on the actual filename.
+        return path if path.endswith(".npz") else path + ".npz"
+
     def save_checkpoint(self, path: str) -> None:
         if self._accum is None:
             raise RuntimeError("Nothing to checkpoint")
         np.savez(
-            path,
+            self._ckpt_path(path),
             accum=self._row_major(self._accum),
             frame_index=self.frame_index,
             width=self.config.width,
@@ -327,7 +359,7 @@ class Renderer:
         )
 
     def load_checkpoint(self, path: str) -> None:
-        data = np.load(path)
+        data = np.load(self._ckpt_path(path))
         w, h = int(data["width"]), int(data["height"])
         if (w, h) != (self.config.width, self.config.height):
             self.resize(w, h)
