@@ -1,72 +1,144 @@
-"""Benchmark harness — the repo's headline metric.
+"""Benchmark harness — one JSON line per BASELINE.json config, headline last.
 
-Renders the flagship Cornell scene (the reference's default scene,
-renderer.ts:544) at 512x512 with full MIS+NEE path tracing to 512 spp on one
-chip and reports throughput in Mrays/s plus wall-clock, as specified by
-BASELINE.md. Prints ONE JSON line:
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` on the
+HEADLINE line (Cornell 512x512, 512 spp, full MIS+NEE — printed LAST so the
+driver's single-line parse picks it up) compares against a fixed
+browser-WebGPU-class anchor of 100 Mrays/s, keeping the ratio meaningful
+across rounds. The per-config lines cover BASELINE.json's five workloads:
 
-    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+1. cornell-128-nomis      Cornell, 128x128, 8 spp, no MIS (diffuse-path only)
+2. cornell-512-mis        Cornell, 512x512, 64 spp, full BSDF + MIS/NEE
+3. textured-cornell       synthetic atlas (checker albedo/PBR/normal maps)
+4. glass-dof              glass_box.glb: transmission + IOR + depth of field
+                          (HDR environment lighting is waived: the reference
+                          renders miss->black, pt.wgsl:646-649 — BASELINE.md)
+5. large-100k             tessellated Cornell, 102k tris (pair-dispatch
+                          intersector); multi-chip sharding of this config is
+                          validated separately by __graft_entry__.dryrun_multichip
+                          (only one physical chip is reachable here)
 
-The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
-compares against a fixed browser-WebGPU-class anchor of 100 Mrays/s — a
-generous estimate for the reference's single-GPU Cornell throughput — so the
-ratio is meaningful across rounds.
+Each line: {"metric": "mrays_per_sec", "value": N, "unit": "Mrays/s",
+"vs_baseline": N, "scene": ..., ...}. Select configs with
+BENCH_CONFIGS=1,3 (env) when iterating.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-WIDTH = HEIGHT = 512
-SPP = 512
-WARMUP_SPP = 128  # >= frames_per_chunk so the timed run hits the compile cache
 BASELINE_MRAYS = 100.0  # browser-WebGPU-class anchor (no published numbers)
+MIN_SECONDS = 2.0  # repeat tiny configs until the wall clock is trustworthy
+
+
+def _bench_renderer(r, spp: int, warmup_spp: int | None = None):
+    """Warm up the compile cache, then time repeated renders of ``spp``."""
+    r.render(spp=warmup_spp or spp)
+    r.reset()
+    reps = 0
+    rays = 0
+    t0 = time.perf_counter()
+    while True:
+        r.render(spp=spp)
+        reps += 1
+        rays += r.stats()["rays_total"]
+        elapsed = time.perf_counter() - t0
+        if elapsed >= MIN_SECONDS or reps >= 16:
+            break
+        r.reset()
+    img = r.image()
+    assert not np.isnan(img).any()
+    return rays / elapsed / 1e6, elapsed / reps, rays
+
+
+def _emit(name, mrays, wall, rays, spp, extra=None):
+    line = {
+        "metric": "mrays_per_sec",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+        "scene": name,
+        "spp": spp,
+        "wall_clock_s": round(wall, 3),
+        "rays_total": rays,
+    }
+    if extra:
+        line.update(extra)
+    print(json.dumps(line), flush=True)
+    return line
 
 
 def main():
-    import os
-
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
     import jax
 
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from wgpu_path_tracing_tpu import Renderer, RenderConfig, cornell_box
+    from wgpu_path_tracing_tpu import (
+        Renderer,
+        RenderConfig,
+        cornell_box,
+        textured_cornell,
+    )
 
-    dev = jax.devices()[0]
+    dev = str(jax.devices()[0])
+    sel = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,headline")
+    sel = {s.strip() for s in sel.split(",")}
 
-    cfg = RenderConfig(width=WIDTH, height=HEIGHT, frames_per_chunk=128)
-    r = Renderer(cfg)
-    r.load_scene(cornell_box())
+    if "1" in sel:
+        r = Renderer(RenderConfig(width=128, height=128, frames_per_chunk=8,
+                                  do_mis=False))
+        r.load_scene(cornell_box())
+        mrays, wall, rays = _bench_renderer(r, spp=8)
+        _emit("cornell-128-nomis", mrays, wall, rays, 8, {"device": dev})
 
-    # Warmup: trigger compilation.
-    r.render(spp=WARMUP_SPP)
-    r.reset()
+    if "2" in sel:
+        r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=64))
+        r.load_scene(cornell_box())
+        mrays, wall, rays = _bench_renderer(r, spp=64)
+        _emit("cornell-512-mis", mrays, wall, rays, 64, {"device": dev})
 
-    t0 = time.perf_counter()
-    r.render(spp=SPP)
-    elapsed = time.perf_counter() - t0
-    stats = r.stats()
+    if "3" in sel:
+        r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=64))
+        r.load_scene(textured_cornell())
+        mrays, wall, rays = _bench_renderer(r, spp=64)
+        _emit("textured-cornell", mrays, wall, rays, 64, {"device": dev})
 
-    img = r.image()
-    assert not np.isnan(img).any()
+    if "4" in sel:
+        glb = "/root/reference/public/models/glass_box.glb"
+        if os.path.exists(glb):
+            r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=32))
+            r.load_model(glb)
+            r.camera.aperture = 0.05  # real depth of field
+            mrays, wall, rays = _bench_renderer(r, spp=32)
+            _emit("glass-dof", mrays, wall, rays, 32,
+                  {"device": dev, "env_lighting": "waived (parity: miss->black)"})
 
-    mrays = stats["mrays_per_sec"]
-    result = {
-        "metric": "mrays_per_sec",
-        "value": round(mrays, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
-        "scene": "cornell-512x512",
-        "spp": SPP,
-        "wall_clock_512spp_s": round(elapsed, 3),
-        "rays_total": stats["rays_total"],
-        "device": str(dev),
-    }
-    print(json.dumps(result))
+    if "5" in sel:
+        r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=8))
+        r.load_scene(cornell_box(tessellation=55))  # 102,850 tris
+        mrays, wall, rays = _bench_renderer(r, spp=8, warmup_spp=8)
+        _emit("large-100k", mrays, wall, rays, 8,
+              {"device": dev, "tris": r.scene.num_triangles,
+               "multichip": "validated via dryrun_multichip (1 physical chip)"})
+
+    if "headline" in sel:
+        r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=128))
+        r.load_scene(cornell_box())
+        r.render(spp=128)  # warmup / compile
+        r.reset()
+        t0 = time.perf_counter()
+        r.render(spp=512)
+        elapsed = time.perf_counter() - t0
+        stats = r.stats()
+        img = r.image()
+        assert not np.isnan(img).any()
+        mrays = stats["mrays_per_sec"]
+        _emit("cornell-512x512", mrays, elapsed, stats["rays_total"], 512,
+              {"wall_clock_512spp_s": round(elapsed, 3), "device": dev})
 
 
 if __name__ == "__main__":

@@ -32,33 +32,7 @@ from tests.oracle import Oracle
 WIDTH = HEIGHT = 16
 
 
-def _textured_cornell():
-    """Cornell scene with a synthetic atlas: checkerboard albedo + rough/metal
-    map on the white material, normal map on the red wall."""
-    scene = cornell_box()
-    rng = np.random.default_rng(3)
-    atlas = np.zeros((32, 32, 4), np.float32)
-    atlas[..., 3] = 1.0
-    # albedo checker at (0, 0, 16, 16)
-    yy, xx = np.mgrid[0:16, 0:16]
-    checker = ((xx // 4 + yy // 4) % 2).astype(np.float32)
-    atlas[0:16, 0:16, 0] = 0.2 + 0.6 * checker
-    atlas[0:16, 0:16, 1] = 0.8 - 0.5 * checker
-    atlas[0:16, 0:16, 2] = 0.4
-    # pbr map at (16, 0, 8, 8): g = roughness, b = metallic
-    atlas[0:8, 16:24, 1] = rng.uniform(0.2, 1.0, (8, 8)).astype(np.float32)
-    atlas[0:8, 16:24, 2] = rng.uniform(0.0, 1.0, (8, 8)).astype(np.float32)
-    # normal map at (16, 8, 8, 8): perturbed tangent normals
-    nm = rng.uniform(0.3, 0.7, (8, 8, 2)).astype(np.float32)
-    atlas[8:16, 16:24, 0] = nm[..., 0]
-    atlas[8:16, 16:24, 1] = nm[..., 1]
-    atlas[8:16, 16:24, 2] = 1.0
-
-    scene.mat_albedo_rect[0] = [0, 0, 16, 16]
-    scene.mat_pbr_rect[0] = [16, 0, 8, 8]
-    scene.mat_normal_rect[1] = [16, 8, 8, 8]
-    scene.atlas = atlas
-    return scene
+from wgpu_path_tracing_tpu.models.procedural import textured_cornell as _textured_cornell  # noqa: E402
 
 
 def test_textured_scene_matches_oracle():

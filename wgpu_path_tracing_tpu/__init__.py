@@ -29,12 +29,16 @@ Public API mirrors the reference renderer's surface (``renderer.ts:18-134``):
 from wgpu_path_tracing_tpu.render.config import RenderConfig
 from wgpu_path_tracing_tpu.render.camera import Camera
 from wgpu_path_tracing_tpu.render.renderer import Renderer
-from wgpu_path_tracing_tpu.models.procedural import cornell_box, material_test_box
+from wgpu_path_tracing_tpu.models.procedural import (
+    cornell_box,
+    material_test_box,
+    textured_cornell,
+)
 from wgpu_path_tracing_tpu.render.controller import Controller
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Renderer", "RenderConfig", "Camera", "Controller", "cornell_box",
-    "material_test_box", "__version__",
+    "material_test_box", "textured_cornell", "__version__",
 ]

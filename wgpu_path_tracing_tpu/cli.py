@@ -98,9 +98,26 @@ def cmd_render(args) -> int:
             print(f"  {frames}/{args.spp + (r.frame_index - frames)} spp "
                   f"({dt:.1f}s)", file=sys.stderr)
 
+    preview_path = args.preview
+    if preview_path == "":  # bare --preview: reuse the output path
+        preview_path = args.output
+
+    def on_chunk(frames):
+        if args.verbose:
+            progress(frames)
+        if preview_path:
+            # The reference blits the accumulation buffer to the canvas
+            # every frame (renderer.ts:434-448); headless, the tonemapped
+            # image is refreshed on disk every chunk so the user can watch
+            # it converge.
+            r.save_png(preview_path)
+
     remaining = args.spp - (r.frame_index if args.resume else 0)
     if remaining > 0:
-        r.render(remaining, on_chunk=progress if args.verbose else None)
+        r.render(
+            remaining,
+            on_chunk=on_chunk if (args.verbose or preview_path) else None,
+        )
     r.save_png(args.output)
     if args.checkpoint:
         r.save_checkpoint(args.checkpoint)
@@ -183,7 +200,14 @@ def main(argv=None) -> int:
                     help="samples per jit dispatch")
     pr.add_argument("--mode", choices=("pt", "normal", "bvh_depth"), default="pt")
     pr.add_argument("--rng", choices=("reference", "hash"), default="reference")
-    pr.add_argument("--intersector", choices=("auto", "brute", "bvh"), default="auto")
+    pr.add_argument("--intersector",
+                    choices=("auto", "brute", "bvh", "cluster", "stack"),
+                    default="auto")
+    pr.add_argument("--preview", nargs="?", const="", default=None,
+                    metavar="PATH",
+                    help="write the tonemapped PNG after every chunk "
+                         "(default: the output path) so convergence is "
+                         "watchable, like the reference's per-frame blit")
     pr.add_argument("--checkpoint", help="npz accumulation checkpoint path")
     pr.add_argument("--resume", action="store_true")
     pr.add_argument("--multichip", action="store_true",

@@ -1,0 +1,219 @@
+"""Best-effort reconstruction of the reference's stripped cornell.glb.
+
+The reference's default scene (renderer.ts:544 loads /models/cornell.glb) is
+missing from the mirror (.MISSING_LARGE_BLOBS), but its 512-spp golden
+render survives (docs/img/cornell_512spp.png, README.md:11). This module
+rebuilds the scene from two anchors:
+
+* the ROOM is byte-identical in spirit to cornell2.glb (which survives):
+  x,z in [-1,1], y in [0,2], red wall at +x, green at -x, white elsewhere,
+  0.5x0.5 emissive quad at y=1.98 with strength 13.8 — verified by loading
+  cornell2.glb and diffing the golden's room region;
+* the OBJECTS are estimated visually from the golden: tall white pedestal
+  with a glass sphere, mirror cube with a diffuse white sphere, small
+  chrome sphere, magenta Suzanne (borrowed from the surviving monkey.glb),
+  and a textured wooden figurine that CANNOT be reproduced (its texture is
+  gone with the blob) — the figurine region dominates the residual RMSE
+  reported in BASELINE.md.
+
+Because object placement is estimated, RMSE vs the golden measures scene
+reconstruction quality, not renderer correctness (that is covered by the
+scalar-oracle parity suite and self-goldens, tests/test_golden.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from wgpu_path_tracing_tpu.models.assemble import finalize_scene
+from wgpu_path_tracing_tpu.models.procedural import _box, _quad
+from wgpu_path_tracing_tpu.models.types import SceneArrays
+
+MONKEY_GLB = "/root/reference/public/models/monkey.glb"
+
+
+def icosphere(center, radius: float, subdivisions: int = 3):
+    """Subdivided icosahedron with smooth (spherical) vertex normals.
+
+    Returns (v0, v1, v2, n0, n1, n2) arrays; ~20*4^s triangles.
+    """
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [
+            (-1, t, 0), (1, t, 0), (-1, -t, 0), (1, -t, 0),
+            (0, -1, t), (0, 1, t), (0, -1, -t), (0, 1, -t),
+            (t, 0, -1), (t, 0, 1), (-t, 0, -1), (-t, 0, 1),
+        ],
+        np.float64,
+    )
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = [
+        (0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+        (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+        (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+        (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1),
+    ]
+    verts = [tuple(v) for v in verts]
+
+    def midpoint(a, b, cache):
+        key = (min(a, b), max(a, b))
+        if key not in cache:
+            m = np.add(verts[a], verts[b]) / 2.0
+            m /= np.linalg.norm(m)
+            cache[key] = len(verts)
+            verts.append(tuple(m))
+        return cache[key]
+
+    for _ in range(subdivisions):
+        cache: dict = {}
+        new_faces = []
+        for a, b, c in faces:
+            ab = midpoint(a, b, cache)
+            bc = midpoint(b, c, cache)
+            ca = midpoint(c, a, cache)
+            new_faces += [(a, ab, ca), (ab, b, bc), (ca, bc, c), (ab, bc, ca)]
+        faces = new_faces
+
+    v = np.asarray(verts, np.float64)
+    f = np.asarray(faces, np.int64)
+    p = v[f]  # (F, 3 verts, 3)
+    n = p  # unit sphere: normal == position
+    p = p * radius + np.asarray(center, np.float64)
+    return (
+        p[:, 0], p[:, 1], p[:, 2],
+        n[:, 0], n[:, 1], n[:, 2],
+    )
+
+
+def _load_monkey(center, scale: float, yaw: float = 0.0):
+    """Suzanne from the surviving monkey.glb, recentered/scaled/yawed."""
+    from wgpu_path_tracing_tpu.models.gltf import load_model
+
+    s = load_model(MONKEY_GLB)
+    # Keep only the monkey mesh (drop the room it ships inside, if any):
+    # pick the material with the most triangles below 5k.
+    counts = np.bincount(s.tri_mat, minlength=s.num_materials)
+    mat = int(np.argmax(counts))
+    sel = s.tri_mat == mat
+    v = [s.tri_v0[sel], s.tri_v1[sel], s.tri_v2[sel]]
+    n = [s.tri_n0[sel], s.tri_n1[sel], s.tri_n2[sel]]
+    allv = np.concatenate(v)
+    lo, hi = allv.min(0), allv.max(0)
+    mid = (lo + hi) / 2
+    mid[1] = lo[1]  # rest on the floor
+    sc = scale / max(hi - lo)
+    c, sn = np.cos(yaw), np.sin(yaw)
+    rot = np.array([[c, 0, sn], [0, 1, 0], [-sn, 0, c]], np.float64)
+
+    def xf(p):
+        return ((p - mid) * sc) @ rot.T + np.asarray(center, np.float64)
+
+    def xfn(p):
+        return p @ rot.T
+
+    return [xf(x) for x in v], [xfn(x) for x in n]
+
+
+def cornell_replica(
+    include_monkey: bool = True,
+    pad_to: int | None = None,
+    max_leaf_size: int = 4,
+    num_bins: int = 12,
+) -> SceneArrays:
+    """The cornell.glb reconstruction (see module docstring).
+
+    ``pad_to``: optionally append degenerate (zero-area) triangles so the
+    total count is fixed — keeps XLA compile shapes stable while object
+    placement is iterated.
+    """
+    WHITE, RED, GREEN, LIGHT, GLASS, MIRROR, CHROME, MAGENTA = range(8)
+
+    quads = []
+    # Room (cornell2.glb parity): floor, ceiling, back; red +x, green -x.
+    quads.append((_quad((-1, 0, 1), (1, 0, 1), (1, 0, -1), (-1, 0, -1)), WHITE))
+    quads.append((_quad((-1, 2, -1), (1, 2, -1), (1, 2, 1), (-1, 2, 1)), WHITE))
+    quads.append((_quad((-1, 0, -1), (1, 0, -1), (1, 2, -1), (-1, 2, -1)), WHITE))
+    quads.append((_quad((1, 0, -1), (1, 0, 1), (1, 2, 1), (1, 2, -1)), RED))
+    quads.append((_quad((-1, 0, 1), (-1, 0, -1), (-1, 2, -1), (-1, 2, 1)), GREEN))
+    ly = 1.98
+    quads.append(
+        (_quad((-0.25, ly, -0.25), (0.25, ly, -0.25), (0.25, ly, 0.25),
+               (-0.25, ly, 0.25)), LIGHT)
+    )
+    # Pedestal (tall white box) + glass sphere on top.
+    for face in _box((-0.42, 0.5, -0.12), (0.38, 1.0, 0.3), yaw=np.radians(4)):
+        quads.append((face, WHITE))
+    # Mirror cube + white sphere resting on it.
+    for face in _box((0.38, 0.26, -0.05), (0.52, 0.52, 0.52), yaw=np.radians(-8)):
+        quads.append((face, MIRROR))
+
+    v0l, v1l, v2l, n0l, n1l, n2l, uv, mat = [], [], [], [], [], [], [], []
+
+    def add_quads():
+        for (tris, uvs, n), m in quads:
+            for (a, b, c), _ in zip(tris, uvs):
+                v0l.append(a); v1l.append(b); v2l.append(c)
+                n0l.append(n); n1l.append(n); n2l.append(n)
+                mat.append(m)
+
+    def add_sphere(center, radius, m, sub=3):
+        a0, a1, a2, b0, b1, b2 = icosphere(center, radius, sub)
+        v0l.extend(a0); v1l.extend(a1); v2l.extend(a2)
+        n0l.extend(b0); n1l.extend(b1); n2l.extend(b2)
+        mat.extend([m] * len(a0))
+
+    add_quads()
+    add_sphere((-0.42, 1.22, -0.12), 0.22, GLASS)     # glass on pedestal
+    add_sphere((0.33, 0.70, -0.12), 0.18, WHITE)      # diffuse on mirror cube
+    add_sphere((0.0, 0.145, 0.42), 0.145, CHROME)     # chrome on floor
+    if include_monkey and os.path.exists(MONKEY_GLB):
+        try:
+            vs, ns = _load_monkey((-0.58, 0.0, 0.55), 0.34, yaw=np.radians(8))
+            v0l.extend(vs[0]); v1l.extend(vs[1]); v2l.extend(vs[2])
+            n0l.extend(ns[0]); n1l.extend(ns[1]); n2l.extend(ns[2])
+            mat.extend([MAGENTA] * len(vs[0]))
+        except Exception:
+            pass
+
+    f32 = np.float32
+    count = len(v0l)
+    if pad_to is not None and pad_to > count:
+        pad = pad_to - count
+        z = np.zeros((pad, 3), f32)
+        v0l.extend(z); v1l.extend(z); v2l.extend(z)
+        n0l.extend(z); n1l.extend(z); n2l.extend(z)
+        mat.extend([WHITE] * pad)
+
+    n = len(v0l)
+    zuv = np.zeros((n, 2), f32)
+    base = np.array(
+        [
+            [0.8, 0.8, 0.8],       # white (cornell2 mat0)
+            [0.8, 0.0, 0.062],     # red (cornell2 mat1)
+            [0.0, 0.801, 0.054],   # green (cornell2 mat2)
+            [0.8, 0.8, 0.8],       # light (cornell2 mat3)
+            [1.0, 1.0, 1.0],       # glass
+            [0.9, 0.9, 0.9],       # mirror
+            [0.9, 0.9, 0.9],       # chrome
+            [0.85, 0.04, 0.35],    # magenta suzanne
+        ],
+        f32,
+    )
+    metallic = np.array([0, 0, 0, 0, 0, 1, 1, 0], f32)
+    roughness = np.array([0.5, 0.5, 0.5, 0.5, 0.05, 0.05, 0.08, 0.4], f32)
+    emission = np.zeros((8, 3), f32)
+    emission[LIGHT] = 1.0
+    estrength = np.array([1, 1, 1, 13.8, 1, 1, 1, 1], f32)
+    ior = np.full(8, 1.5, f32)
+    transmission = np.array([0, 0, 0, 0, 1.0, 0, 0, 0], f32)
+
+    return finalize_scene(
+        np.asarray(v0l, f32), np.asarray(v1l, f32), np.asarray(v2l, f32),
+        np.asarray(n0l, f32), np.asarray(n1l, f32), np.asarray(n2l, f32),
+        zuv, zuv, zuv,
+        np.asarray(mat, np.int32),
+        base, metallic, roughness, emission, estrength, ior, transmission,
+        max_leaf_size=max_leaf_size, num_bins=num_bins,
+    )

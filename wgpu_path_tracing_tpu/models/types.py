@@ -194,7 +194,7 @@ class SceneArrays:
         return self
 
 
-def pack_device_scene(scene: SceneArrays):
+def pack_device_scene(scene: SceneArrays, cluster_k: int = 64):
     """Build the packed device tables (as NumPy; caller moves them to jnp).
 
     Returns a dict pytree: tri_isect, tri_shade, materials, lights, bvh_aabb,
@@ -279,10 +279,16 @@ def pack_device_scene(scene: SceneArrays):
         light_full[:n_lights, LF_N1 : LF_N1 + 3] = tri_shade[ltri, TRI_N1 : TRI_N1 + 3]
         light_full[:n_lights, LF_N2 : LF_N2 + 3] = tri_shade[ltri, TRI_N2 : TRI_N2 + 3]
 
-    # Cluster tables for the large-scene dispatch intersector.
+    # Cluster tables for the large-scene dispatch intersectors: ops/pairs.py
+    # pair dispatch (subtree-aligned clusters grouped into super tiles) and
+    # ops/cluster.py round dispatch (fixed-stride cut, kept for comparison).
     from wgpu_path_tracing_tpu.ops.cluster import build_clusters
+    from wgpu_path_tracing_tpu.ops.pairs import build_pair_tables
 
-    cluster_tris, cluster_aabb = build_clusters(tri_isect)
+    cluster_tris, cluster_aabb = build_clusters(tri_isect, k=cluster_k)
+    pairs_tris, pairs_super_aabb = build_pair_tables(
+        bvh_aabb[:max(b, 1)], bvh_meta[:max(b, 1)], tri_isect[:t]
+    )
 
     return {
         "tri_isect": tri_isect,
@@ -295,5 +301,7 @@ def pack_device_scene(scene: SceneArrays):
         "bvh_links": bvh_links,
         "cluster_tris": cluster_tris,
         "cluster_aabb": cluster_aabb,
+        "pairs_tris": pairs_tris,
+        "pairs_super_aabb": pairs_super_aabb,
         "atlas": np.asarray(atlas, np.float32),
     }

@@ -191,7 +191,7 @@ def closest_hit_cluster(
     active=None,
     t_max=None,
     num_tris: int | None = None,
-    k: int = CLUSTER_K,
+    k: int | None = None,
     any_hit: bool = False,
     interpret: bool = False,
     max_rounds: int = 0,
@@ -199,8 +199,10 @@ def closest_hit_cluster(
     """Cluster-dispatch closest hit. Returns (t, idx); idx == -1 on miss.
 
     cluster_aabb: (C, 6); cluster_tris: (C*k, 9); ro/rd: (3, N) SoA or
-    (N, 3) AoS (detected by shape).
+    (N, 3) AoS (detected by shape). k defaults to the table ratio.
     """
+    if k is None:
+        k = cluster_tris.shape[0] // cluster_aabb.shape[0]
     del any_hit  # the limit-based culling handles shadow rays uniformly
     if ro.shape[0] == 3 and ro.shape[1] != 3:
         rays = jnp.concatenate([ro, rd], axis=0)

@@ -356,14 +356,32 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
                 )
             return closest_hit_brute(scene["tri_isect"], ro3.T, rd3.T)
 
-    elif intersector != "bvh" and jax.default_backend() not in ("cpu", "gpu"):
-        # Large scenes on TPU: cluster dispatch (ops/cluster.py).
+    elif intersector == "cluster" and jax.default_backend() not in ("cpu", "gpu"):
+        # Round-based cluster dispatch (ops/cluster.py) — superseded by the
+        # pair dispatch below, kept selectable for comparison benches.
         from wgpu_path_tracing_tpu.ops.cluster import closest_hit_cluster
 
         def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False):
             return closest_hit_cluster(
                 scene["cluster_aabb"],
                 scene["cluster_tris"],
+                ro3,
+                rd3,
+                active=active,
+                t_max=t_max,
+                num_tris=num_tris,
+                any_hit=any_hit,
+            )
+
+    elif intersector != "bvh" and jax.default_backend() not in ("cpu", "gpu"):
+        # Large scenes on TPU: entry-sorted pair dispatch over subtree
+        # clusters (ops/pairs.py).
+        from wgpu_path_tracing_tpu.ops.pairs import closest_hit_pairs
+
+        def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False):
+            return closest_hit_pairs(
+                scene["pairs_super_aabb"],
+                scene["pairs_tris"],
                 ro3,
                 rd3,
                 active=active,
