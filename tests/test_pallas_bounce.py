@@ -76,3 +76,30 @@ def test_pallas_bounce_bit_identical(setup, do_mis):
     )
     assert int(stats_x["closest"]) == int(stats_p["closest"])
     assert int(stats_x["shadow"]) == int(stats_p["shadow"])
+
+
+def test_pallas_bounce_textured():
+    """Textured scenes on the fast path: the in-kernel two-level one-hot
+    atlas sampler must match the XLA path's native texel gathers (albedo,
+    PBR, emissive AND the conditional normal map all sampled)."""
+    from wgpu_path_tracing_tpu.models.procedural import textured_cornell
+
+    sc = textured_cornell()
+    scene = jax.device_put(pack_device_scene(sc))
+    assert scene["atlas"].shape[0] > 1  # really textured
+    cam = camera_device(Camera(width=W, height=H).as_pytree(), W, H)
+    x, y = CAM.pixel_grid(W, H)
+    ro, rd, state = CAM.generate_rays(cam, x, y, jnp.int32(0), use_dof=True)
+    ch = make_closest_hit(scene, "brute", 4096, 4)
+    rad_x, st_x, _ = TRACE.trace(
+        scene, ch, ro, rd, state,
+        max_bounces=4, do_mis=True, num_lights=sc.num_lights,
+    )
+    rad_p, st_p, _ = trace_pallas(
+        scene, ch, ro, rd, state,
+        max_bounces=4, do_mis=True, num_lights=sc.num_lights, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(st_x), np.asarray(st_p))
+    np.testing.assert_allclose(
+        np.asarray(rad_x), np.asarray(rad_p), rtol=1e-5, atol=1e-6
+    )

@@ -10,11 +10,15 @@ blocks with the triangle/material and light tables resident in VMEM and
 winner rows selected by in-kernel one-hot MXU matmuls (exact: one-hot
 entries are 0/1).
 
-Scope: untextured scenes (atlas fetches are 2D texel gathers — XLA path) and
-scenes whose denormalized triangle table fits VMEM (<= ~4k triangles; larger
-scenes use the XLA bounce with cluster-dispatch traversal). The radiance and
-RNG streams are identical to the XLA path because the shading code is
-literally shared.
+Scope: scenes whose denormalized triangle table fits VMEM (<= ~4k triangles;
+larger scenes use the XLA bounce with pair-dispatch traversal) and whose
+texture atlas is either absent or VMEM-small (<= MAX_VMEM_ATLAS_TEXELS):
+texel fetches then run in-kernel as a two-level one-hot — an exact one-hot
+MXU matmul over atlas ROWS followed by a static column-select sweep — so
+textured scenes stop falling off the fast path onto XLA's ~10 GB/s dynamic
+gathers (pt.wgsl:112-120 getTextureColor equivalent). Larger atlases keep
+the XLA bounce. The radiance and RNG streams are identical to the XLA path
+because the shading code is literally shared.
 """
 
 from __future__ import annotations
@@ -35,6 +39,7 @@ BN = 1024
 SELECT_CHUNK = 512  # one-hot select chunk over table rows
 
 MAX_VMEM_TRIS = 4096
+MAX_VMEM_ATLAS_TEXELS = 128 * 128  # in-kernel atlas sampling bound
 
 
 def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK):
@@ -63,14 +68,59 @@ def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK):
     return jax.lax.fori_loop(0, n_chunks, body, acc0).reshape(cols, 8, 128)
 
 
-def _bounce_kernel(do_mis, num_lights):
+def _trunc(x):
+    """Round toward zero (Mosaic-safe; jnp.fmod does not lower)."""
+    return jnp.where(x >= 0.0, jnp.floor(x), jnp.ceil(x))
+
+
+def _make_atlas_sampler(atlas_ref, width: int, height: int):
+    """In-VMEM getTextureColor (pt.wgsl:112-120): atlas_ref is (Hp, W*4).
+
+    Row select = exact one-hot MXU matmul (0/1 entries reproduce the f32
+    texel row bit-exactly); column select = static sweep over the W texel
+    columns (W is small by the MAX_VMEM_ATLAS_TEXELS bound)."""
+
+    def sample(rect, u, v, fallback):
+        rx, ry, rw, rh = rect  # (8, 128) lanes, pixels as f32
+        # WGSL % is sign-preserving fmod; exact as u - trunc(u) here.
+        ax = rx + (u - _trunc(u)) * rw
+        ay = ry + (v - _trunc(v)) * rh
+        ix = jnp.clip(ax, 0.0, width - 1.0).astype(jnp.int32)
+        iy = jnp.clip(ay, 0.0, height - 1.0).astype(jnp.int32)
+        rows = _select_rows(
+            atlas_ref, iy, chunk=min(SELECT_CHUNK, atlas_ref.shape[0])
+        )  # (W*4, 8, 128) — each lane's texel row
+        missing = (rw == 0.0) | (rh == 0.0)
+        out = []
+        for c in range(4):
+            acc = jnp.zeros_like(u)
+            for w in range(width):
+                acc = jnp.where(ix == w, rows[w * 4 + c], acc)
+            out.append(jnp.where(missing, fallback[c], acc))
+        return out
+
+    return sample
+
+
+def _bounce_kernel(do_mis, num_lights, atlas_hw=None):
     def kernel(
         bounce_ref,  # scalar prefetch: (1,) int32
-        ray_ref, state_ref, thr_ref, res_ref, alive_ref, t_ref, idx_ref,
-        tri_ref, light_ref,
-        oray_ref, ostate_ref, othr_ref, ores_ref, oalive_ref,
-        shadow_ray_ref, stmax_ref, smask_ref, sdirect_ref, spdf_ref,
+        *refs,
     ):
+        if atlas_hw is not None:
+            (ray_ref, state_ref, thr_ref, res_ref, alive_ref, t_ref,
+             idx_ref, tri_ref, light_ref, atlas_ref,
+             oray_ref, ostate_ref, othr_ref, ores_ref, oalive_ref,
+             shadow_ray_ref, stmax_ref, smask_ref, sdirect_ref,
+             spdf_ref) = refs
+            atlas = _make_atlas_sampler(atlas_ref, atlas_hw[1], atlas_hw[0])
+        else:
+            (ray_ref, state_ref, thr_ref, res_ref, alive_ref, t_ref,
+             idx_ref, tri_ref, light_ref,
+             oray_ref, ostate_ref, othr_ref, ores_ref, oalive_ref,
+             shadow_ray_ref, stmax_ref, smask_ref, sdirect_ref,
+             spdf_ref) = refs
+            atlas = None
         rays_v = ray_ref[...]  # (6, 8, 128)
         thr_v = thr_ref[...]
         res_v = res_ref[...]
@@ -96,7 +146,7 @@ def _bounce_kernel(do_mis, num_lights):
 
         new_st, shadow = TRACE.bounce_core(
             st, t, idx, bounce_ref[0],
-            fetch_tri=fetch_tri, fetch_light=fetch_light, atlas=None,
+            fetch_tri=fetch_tri, fetch_light=fetch_light, atlas=atlas,
             do_mis=do_mis, num_lights=num_lights,
         )
 
@@ -132,7 +182,7 @@ def _bounce_kernel(do_mis, num_lights):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("do_mis", "num_lights", "interpret"),
+    static_argnames=("do_mis", "num_lights", "atlas_hw", "interpret"),
 )
 def bounce_stage_pallas(
     bounce_idx,
@@ -145,9 +195,11 @@ def bounce_stage_pallas(
     idx,  # (1, N) int32
     tri_table,  # (Tp, TF_COLS), Tp multiple of SELECT_CHUNK
     light_table,  # (Lp, LF_COLS)
+    atlas_table=None,  # (Hp, W*4) or None; (H, W) passed via atlas_hw
     *,
     do_mis: bool,
     num_lights: int,
+    atlas_hw: tuple[int, int] | None = None,
     interpret: bool = False,
 ):
     n = rays.shape[1]
@@ -167,14 +219,23 @@ def bounce_stage_pallas(
         return pl.BlockSpec(shape, lambda i, b: (0, 0),
                             memory_space=pltpu.VMEM)
 
+    in_specs = [
+        row_spec(6), row_spec(1), row_spec(3), row_spec(3), row_spec(1),
+        row_spec(1), row_spec(1),
+        table_spec(tri_table.shape), table_spec(light_table.shape),
+    ]
+    operands = [
+        bidx, shape3(rays, 6), shape3(state, 1), shape3(throughput, 3),
+        shape3(result, 3), shape3(alive, 1), shape3(t, 1), shape3(idx, 1),
+        tri_table, light_table,
+    ]
+    if atlas_hw is not None:
+        in_specs.append(table_spec(atlas_table.shape))
+        operands.append(atlas_table)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[
-            row_spec(6), row_spec(1), row_spec(3), row_spec(3), row_spec(1),
-            row_spec(1), row_spec(1),
-            table_spec(tri_table.shape), table_spec(light_table.shape),
-        ],
+        in_specs=in_specs,
         out_specs=[
             row_spec(6), row_spec(1), row_spec(3), row_spec(3), row_spec(1),
             row_spec(6), row_spec(1), row_spec(1), row_spec(3), row_spec(1),
@@ -182,7 +243,7 @@ def bounce_stage_pallas(
     )
     g = nb * 8
     outs = pl.pallas_call(
-        _bounce_kernel(do_mis, num_lights),
+        _bounce_kernel(do_mis, num_lights, atlas_hw),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((6, g, 128), jnp.float32),
@@ -197,16 +258,20 @@ def bounce_stage_pallas(
             jax.ShapeDtypeStruct((1, g, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(bidx, shape3(rays, 6), shape3(state, 1), shape3(throughput, 3),
-      shape3(result, 3), shape3(alive, 1), shape3(t, 1), shape3(idx, 1),
-      tri_table, light_table)
+    )(*operands)
     return [o.reshape(o.shape[0], n) for o in outs]
+
+
+def atlas_fits_vmem(scene) -> bool:
+    a = scene["atlas"]
+    return a.shape[0] * a.shape[1] <= MAX_VMEM_ATLAS_TEXELS
 
 
 def prepare_tables(scene):
     """Pad the denormalized tables for in-VMEM residency. Returns
-    (tri_table (Tp, TF_COLS), light_table (Lp, LF_COLS)) or None if the
-    scene is too large for the megakernel."""
+    (tri_table (Tp, TF_COLS), light_table (Lp, LF_COLS),
+    atlas_table (Hp, W*4) | None, atlas_hw | None), or None if the scene is
+    too large for the megakernel."""
     tri = scene["tri_full"]
     if tri.shape[0] > MAX_VMEM_TRIS:
         return None
@@ -221,7 +286,19 @@ def prepare_tables(scene):
     light = scene["light_full"]
     lp = max(8, -(-light.shape[0] // 8) * 8)
     light_p = jnp.pad(light, ((0, lp - light.shape[0]), (0, 0)))
-    return tri_p, light_p
+
+    atlas = scene["atlas"]
+    textured = atlas.shape[0] > 1 or atlas.shape[1] > 1
+    atlas_p = atlas_hw = None
+    if textured:
+        if not atlas_fits_vmem(scene):
+            return None
+        h, w = atlas.shape[0], atlas.shape[1]
+        flat = jnp.asarray(atlas, jnp.float32).reshape(h, w * 4)
+        hp = max(8, -(-h // 8) * 8)
+        atlas_p = jnp.pad(flat, ((0, hp - h), (0, 0)))
+        atlas_hw = (h, w)
+    return tri_p, light_p, atlas_p, atlas_hw
 
 
 def trace_pallas(
@@ -236,11 +313,12 @@ def trace_pallas(
     num_lights: int = 0,
     interpret: bool = False,
 ):
-    """Drop-in replacement for ops/trace.py::trace on TPU for untextured,
-    VMEM-sized scenes. Same signature, same semantics, same RNG streams."""
+    """Drop-in replacement for ops/trace.py::trace on TPU for VMEM-sized
+    scenes (triangles and, if textured, the atlas). Same signature, same
+    semantics, same RNG streams."""
     tables = prepare_tables(scene)
     assert tables is not None, "scene too large for the bounce megakernel"
-    tri_table, light_table = tables
+    tri_table, light_table, atlas_table, atlas_hw = tables
 
     n = ro.shape[0]
     pad = (-n) % BN
@@ -269,8 +347,9 @@ def trace_pallas(
         counters = counters.at[0].add(jnp.sum(alive))
         outs = bounce_stage_pallas(
             bounce_idx, rays, state_r, thr, res, alive,
-            t[None, :], idx[None, :], tri_table, light_table,
-            do_mis=do_mis, num_lights=num_lights, interpret=interpret,
+            t[None, :], idx[None, :], tri_table, light_table, atlas_table,
+            do_mis=do_mis, num_lights=num_lights, atlas_hw=atlas_hw,
+            interpret=interpret,
         )
         (rays, state_r, thr, res, alive,
          srays, stmax, smask, sdirect, spdf) = outs

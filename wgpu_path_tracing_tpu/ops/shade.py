@@ -74,7 +74,11 @@ def sample_atlas(atlas, rect, u, v, fallback):
 
 
 def hit_attributes_from_cols(get, ro: V3, rd: V3, t, found, atlas=None) -> Hit:
-    """Build the Hit from a row-column accessor ``get(col) -> lane array``."""
+    """Build the Hit from a row-column accessor ``get(col) -> lane array``.
+
+    ``atlas`` is either the (H, W, 4) array (XLA path: native texel
+    gathers) or a CALLABLE ``sampler(rect, u, v, fallback) -> [r, g, b, a]``
+    (Pallas path: in-VMEM one-hot sampling, ops/pallas_bounce.py)."""
     v0 = V3(get(T.TF_V0), get(T.TF_V0 + 1), get(T.TF_V0 + 2))
     v1 = V3(get(T.TF_V1), get(T.TF_V1 + 1), get(T.TF_V1 + 2))
     v2 = V3(get(T.TF_V2), get(T.TF_V2 + 1), get(T.TF_V2 + 2))
@@ -114,18 +118,24 @@ def hit_attributes_from_cols(get, ro: V3, rd: V3, t, found, atlas=None) -> Hit:
     )
 
     if atlas is not None:
+        if callable(atlas):
+            sample = atlas
+        else:
+            import functools
+
+            sample = functools.partial(sample_atlas, atlas)
         albedo_rect = [get(T.TF_ALBEDO_RECT + i) for i in range(4)]
         pbr_rect = [get(T.TF_PBR_RECT + i) for i in range(4)]
         emissive_rect = [get(T.TF_EMISSIVE_RECT + i) for i in range(4)]
         normal_rect = [get(T.TF_NORMAL_RECT + i) for i in range(4)]
 
-        av = sample_atlas(atlas, albedo_rect, uv_u, uv_v, (1.0, 1.0, 1.0, 1.0))
+        av = sample(albedo_rect, uv_u, uv_v, (1.0, 1.0, 1.0, 1.0))
         albedo = V3(av[0], av[1], av[2]) * base_color
         alpha = av[3]
-        pv = sample_atlas(atlas, pbr_rect, uv_u, uv_v, (1.0, 1.0, 1.0, 1.0))
+        pv = sample(pbr_rect, uv_u, uv_v, (1.0, 1.0, 1.0, 1.0))
         metallic = pv[2] * metallic_f
         roughness = jnp.maximum(pv[1] * roughness_f, 0.04)
-        ev = sample_atlas(atlas, emissive_rect, uv_u, uv_v, (1.0, 1.0, 1.0, 1.0))
+        ev = sample(emissive_rect, uv_u, uv_v, (1.0, 1.0, 1.0, 1.0))
         emission = V3(ev[0], ev[1], ev[2]) * emission_f
 
         # Tangent basis from UV derivatives (pt.wgsl:176-189). No
@@ -141,7 +151,7 @@ def hit_attributes_from_cols(get, ro: V3, rd: V3, t, found, atlas=None) -> Hit:
         tvec = vec.normalize(tangent - tn * vec.dot(tn, tangent))
         bvec = vec.normalize(vec.cross(tn, tvec))
 
-        nm = sample_atlas(atlas, normal_rect, uv_u, uv_v, (0.5, 0.5, 1.0, 1.0))
+        nm = sample(normal_rect, uv_u, uv_v, (0.5, 0.5, 1.0, 1.0))
         use_nm = (nm[0] != 0.5) | (nm[1] != 0.5) | (nm[2] != 1.0)
         world_normal = vec.normalize(
             tvec * (nm[0] * 2.0 - 1.0)

@@ -44,11 +44,14 @@ def make_trace_fn(scene, closest_hit, *, bounce_kernel: str, max_bounces: int,
     textured = scene["atlas"].shape[0] > 1 or scene["atlas"].shape[1] > 1
     use_pallas = bounce_kernel == "pallas"
     if bounce_kernel == "auto":
-        from wgpu_path_tracing_tpu.ops.pallas_bounce import MAX_VMEM_TRIS
+        from wgpu_path_tracing_tpu.ops.pallas_bounce import (
+            MAX_VMEM_TRIS,
+            atlas_fits_vmem,
+        )
 
         use_pallas = (
             jax.default_backend() not in ("cpu", "gpu")
-            and not textured
+            and (not textured or atlas_fits_vmem(scene))
             and scene["tri_full"].shape[0] <= MAX_VMEM_TRIS
         )
 
