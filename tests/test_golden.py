@@ -33,3 +33,43 @@ def test_cornell_golden_display_png():
     img = r.image()
     golden = read_png(os.path.join(GOLDEN_DIR, "cornell_48x48_8spp.png"))
     assert rmse(img, golden) < 2.0 / 255.0
+
+
+def test_reference_golden_rmse_replica():
+    """Best-effort RMSE against the REFERENCE's own golden
+    (docs/img/cornell_512spp.png): the source cornell.glb is stripped from
+    the mirror, so models/replica.py reconstructs it (room = cornell2.glb
+    parity; objects estimated visually; the textured figurine is a
+    documented stand-in). The measured 512x512/256spp TPU number lives in
+    BASELINE.md; this low-res/low-spp CPU check only guards against gross
+    regressions (mirrored walls, lost objects, broken display chain) — the
+    threshold is dominated by Monte-Carlo noise plus the reconstruction
+    residual, NOT renderer error (parity is covered by the oracle suite).
+    """
+    import pytest
+
+    golden_png = "/root/reference/docs/img/cornell_512spp.png"
+    if not os.path.exists(golden_png):
+        pytest.skip("reference mirror not available")
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    import golden_rmse
+
+    from wgpu_path_tracing_tpu.models.replica import cornell_replica
+
+    r = Renderer(RenderConfig(width=48, height=48, frames_per_chunk=4))
+    r.load_scene(cornell_replica())
+    r.camera.position[2] = 2.0
+    r.render(spp=8)
+    out = os.path.join(os.path.dirname(__file__), "_replica_smoke.png")
+    r.save_png(out)
+    try:
+        value, _ = golden_rmse.compare(out, golden_png)
+    finally:
+        for f in (out, out.replace(".png", "_vs_golden.png")):
+            if os.path.exists(f):
+                os.remove(f)
+    assert value < 0.35, f"replica drifted far from the reference golden: {value}"

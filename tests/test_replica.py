@@ -30,8 +30,8 @@ def test_icosphere_geometry():
 
 
 def test_replica_builds_and_renders():
-    sc = cornell_replica(include_monkey=False, pad_to=4096)
-    assert sc.num_triangles == 4096  # shape-stable padding
+    sc = cornell_replica(include_monkey=False, pad_to=8192)
+    assert sc.num_triangles == 8192  # shape-stable padding
     assert sc.num_lights == 2  # the two emissive ceiling triangles
     assert (sc.mat_transmission > 0).sum() == 1  # the glass sphere
     r = Renderer(RenderConfig(width=32, height=32, frames_per_chunk=2,

@@ -71,6 +71,10 @@ def cmd_render(args) -> int:
     r = _build_renderer(args)
     if args.scene == "cornell":
         r.load_scene(cornell_box(tessellation=args.tessellation))
+    elif args.scene == "cornell-replica":
+        from wgpu_path_tracing_tpu.models.replica import cornell_replica
+
+        r.load_scene(cornell_replica())
     else:
         r.load_model(args.scene)
 
@@ -185,7 +189,7 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="command", required=True)
 
     pr = sub.add_parser("render", help="path-trace a scene to a PNG")
-    pr.add_argument("scene", help=".glb/.gltf path, or 'cornell' for the built-in box")
+    pr.add_argument("scene", help=".glb/.gltf path, 'cornell' for the built-in box, or 'cornell-replica' (models/replica.py)")
     pr.add_argument("--tessellation", type=int, default=1,
                     help="subdivide the built-in cornell quads NxN "
                          "(large-triangle-count benchmarks)")
