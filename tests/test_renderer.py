@@ -150,3 +150,20 @@ def test_lightless_scene_mis_is_finite():
     r.load_scene(scene)
     out = r.render(spp=2)
     assert np.isfinite(out).all()
+
+
+def test_save_hdr(tmp_path):
+    from wgpu_path_tracing_tpu import Renderer, RenderConfig
+    from wgpu_path_tracing_tpu.models.procedural import cornell_box
+    from wgpu_path_tracing_tpu.utils.image import read_hdr
+
+    r = Renderer(RenderConfig(width=16, height=16, frames_per_chunk=2))
+    r.load_scene(cornell_box())
+    buf = r.render(spp=2)
+    p = str(tmp_path / "out.hdr")
+    r.save_hdr(p)
+    back = read_hdr(p)
+    assert back.shape == (16, 16, 3)
+    # Linear radiance, y-flipped to display orientation, RGBE-quantized.
+    maxc = buf[::-1].max(axis=2, keepdims=True)
+    assert np.all(np.abs(back - buf[::-1]) <= 0.01 * maxc + 1e-4)

@@ -68,3 +68,19 @@ def test_mathutil_parity():
     np.testing.assert_allclose(
         mathutil.smoothstep(0, 1, np.array([-1.0, 2.0])), [0.0, 1.0]
     )
+
+
+def test_hdr_roundtrip(tmp_path):
+    from wgpu_path_tracing_tpu.utils.image import read_hdr, write_hdr
+
+    rng = np.random.default_rng(7)
+    hdr = (rng.uniform(0, 1, (12, 9, 3)).astype(np.float32) ** 2) * 37.0
+    hdr[0, 0] = 0.0  # zero-radiance pixel encodes exactly
+    p = str(tmp_path / "x.hdr")
+    write_hdr(p, hdr)
+    back = read_hdr(p)
+    assert back.shape == hdr.shape
+    # RGBE shares one exponent across channels: error is relative to the
+    # per-pixel MAX channel (~1/128), not to each channel.
+    maxc = hdr.max(axis=2, keepdims=True)
+    assert np.all(np.abs(back - hdr) <= 0.01 * maxc + 1e-4)

@@ -123,6 +123,8 @@ def cmd_render(args) -> int:
             on_chunk=on_chunk if (args.verbose or preview_path) else None,
         )
     r.save_png(args.output)
+    if args.hdr:
+        r.save_hdr(args.hdr)
     if args.checkpoint:
         r.save_checkpoint(args.checkpoint)
     s = r.stats()
@@ -212,6 +214,8 @@ def main(argv=None) -> int:
                     help="write the tonemapped PNG after every chunk "
                          "(default: the output path) so convergence is "
                          "watchable, like the reference's per-frame blit")
+    pr.add_argument("--hdr", metavar="PATH",
+                    help="also write the linear radiance as Radiance RGBE .hdr")
     pr.add_argument("--checkpoint", help="npz accumulation checkpoint path")
     pr.add_argument("--resume", action="store_true")
     pr.add_argument("--multichip", action="store_true",

@@ -389,6 +389,17 @@ class Renderer:
     def save_png(self, path: str) -> None:
         imageio.write_png(path, self.image())
 
+    def save_hdr(self, path: str) -> None:
+        """Write the LINEAR accumulation as a Radiance RGBE .hdr (no
+        tonemap) — the headless analog of the reference's HDR canvas
+        (rgba16float + toneMapping, renderer.ts:535-541)."""
+        if self._accum is None:
+            raise RuntimeError("Nothing rendered yet")
+        hdr = self._row_major(self._accum).reshape(
+            self.config.height, self.config.width, 3
+        )
+        imageio.write_hdr(path, np.nan_to_num(hdr[::-1], nan=0.0))
+
     # --- metrics (profiler.ts / fps-meter.tsx equivalents) -------------------
     def stats(self) -> dict:
         closest, shadow = (int(c) for c in self._counters)

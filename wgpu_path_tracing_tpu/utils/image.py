@@ -45,3 +45,43 @@ def rmse(a: np.ndarray, b: np.ndarray) -> float:
     b = np.asarray(b, np.float64)
     assert a.shape == b.shape, (a.shape, b.shape)
     return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
+def write_hdr(path: str, hdr: np.ndarray) -> None:
+    """Write a Radiance RGBE .hdr file (linear HDR, no tonemap).
+
+    hdr: (H, W, 3) float32 linear radiance, top row first. The headless
+    analog of the reference's HDR canvas path (rgba16float +
+    toneMapping 'standard', renderer.ts:535-541): downstream tools apply
+    their own display transform. Flat (uncompressed) scanlines.
+    """
+    hdr = np.asarray(hdr, np.float32)
+    h, w = hdr.shape[0], hdr.shape[1]
+    maxc = np.maximum(hdr.max(axis=2), 1e-32)
+    exp = np.ceil(np.log2(maxc)).astype(np.int32) + 1
+    scale = np.exp2(exp.astype(np.float32) - 8.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    mantissa = np.clip(hdr / scale[..., None] + 0.5, 0.0, 255.0).astype(np.uint8)
+    rgbe[..., 0:3] = mantissa
+    rgbe[..., 3] = np.clip(exp + 128, 0, 255).astype(np.uint8)
+    zero = maxc <= 1e-32
+    rgbe[zero] = 0
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())
+
+
+def read_hdr(path: str) -> np.ndarray:
+    """Read a flat (uncompressed) Radiance RGBE .hdr file -> (H, W, 3) f32."""
+    with open(path, "rb") as f:
+        data = f.read()
+    head, _, rest = data.partition(b"\n\n")
+    assert data.startswith(b"#?RADIANCE"), "not a Radiance file"
+    dims, _, pix = rest.partition(b"\n")
+    parts = dims.split()
+    h, w = int(parts[1]), int(parts[3])
+    rgbe = np.frombuffer(pix, np.uint8, count=h * w * 4).reshape(h, w, 4)
+    exp = rgbe[..., 3].astype(np.int32)
+    scale = np.where(exp == 0, 0.0, np.exp2(exp - 128 - 8, dtype=np.float64))
+    return (rgbe[..., 0:3].astype(np.float32) * scale[..., None].astype(np.float32))
