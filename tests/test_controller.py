@@ -81,3 +81,42 @@ def test_load_model_async():
     assert r.poll_pending_scene()
     assert r.scene is scene
     assert not r.poll_pending_scene()
+
+
+def test_http_viewer_drives_controller():
+    """The HTTP live viewer (viewer.py): frames served, key/drag input moves
+    the camera and resets accumulation — the reference's browser loop
+    (App.tsx + controller.ts) end to end, headlessly."""
+    import json
+    import urllib.request
+
+    from wgpu_path_tracing_tpu.viewer import ViewerServer
+
+    r = Renderer(RenderConfig(width=16, height=16, frames_per_chunk=2))
+    r.load_scene(cornell_box())
+    server = ViewerServer(r, port=0, frames_per_update=2)
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        server.step(1 / 60)  # one tick -> a frame exists
+        png = urllib.request.urlopen(f"{base}/frame.png", timeout=10).read()
+        assert png[:4] == b"\x89PNG"
+        html = urllib.request.urlopen(base, timeout=10).read()
+        assert b"frame.png" in html
+        stats = json.loads(
+            urllib.request.urlopen(f"{base}/stats", timeout=10).read()
+        )
+        assert stats["spp"] == 2
+
+        pos0 = r.camera.position.copy()
+        urllib.request.urlopen(f"{base}/key?k=w&down=1", timeout=10).read()
+        server.step(0.5)  # apply input + render
+        urllib.request.urlopen(f"{base}/key?k=w&down=0", timeout=10).read()
+        assert not np.allclose(r.camera.position, pos0)  # flew forward
+        assert r.frame_index == 2  # motion reset, then one tick of 2 spp
+
+        urllib.request.urlopen(f"{base}/look?dx=30&dy=0", timeout=10).read()
+        fwd0 = r.camera.forward.copy()
+        server.step(1 / 60)
+        assert not np.allclose(r.camera.forward, fwd0)  # looked around
+    finally:
+        server.stop()

@@ -135,6 +135,30 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    from wgpu_path_tracing_tpu import cornell_box
+    from wgpu_path_tracing_tpu.viewer import ViewerServer
+
+    r = _build_renderer(args)
+    if args.scene == "cornell":
+        r.load_scene(cornell_box(tessellation=args.tessellation))
+    elif args.scene == "cornell-replica":
+        from wgpu_path_tracing_tpu.models.replica import cornell_replica
+
+        r.load_scene(cornell_replica())
+    else:
+        r.load_model(args.scene)
+    server = ViewerServer(r, port=args.port, frames_per_update=args.chunk)
+    print(f"viewer at http://localhost:{server.port}", file=sys.stderr)
+    try:
+        server.run_loop(max_seconds=args.seconds)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+    return 0
+
+
 def cmd_info(args) -> int:
     from wgpu_path_tracing_tpu import cornell_box
     from wgpu_path_tracing_tpu.accel.bvh import BVH
@@ -224,6 +248,26 @@ def main(argv=None) -> int:
     pr.add_argument("-v", "--verbose", action="store_true")
     _add_camera_args(pr)
     pr.set_defaults(func=cmd_render)
+
+    pv = sub.add_parser("view", help="live progressive viewer (HTTP) with fly camera")
+    pv.add_argument("scene", help="like render's scene argument")
+    pv.add_argument("--tessellation", type=int, default=1)
+    pv.add_argument("--port", type=int, default=8080)
+    pv.add_argument("--width", type=int, default=256)
+    pv.add_argument("--height", type=int, default=256)
+    pv.add_argument("--bounces", type=int, default=8)
+    pv.add_argument("--no-mis", action="store_true")
+    pv.add_argument("--chunk", type=int, default=4,
+                    help="samples rendered per viewer tick")
+    pv.add_argument("--mode", choices=("pt",), default="pt")
+    pv.add_argument("--rng", choices=("reference", "hash"), default="reference")
+    pv.add_argument("--intersector",
+                    choices=("auto", "brute", "bvh", "cluster", "stack"),
+                    default="auto")
+    pv.add_argument("--seconds", type=float, default=None,
+                    help="stop after N seconds (default: run until Ctrl-C)")
+    _add_camera_args(pv)
+    pv.set_defaults(func=cmd_view)
 
     pi = sub.add_parser("info", help="scene statistics (triangles/BVH/lights)")
     pi.add_argument("scene")

@@ -288,7 +288,11 @@ def closest_hit_pairs(
     rb = rays.reshape(6, nb, bn)
     lim_b = limit0.reshape(nb, bn)
 
-    cpad = (-cs) % PHASE1_CHUNK
+    # Adaptive phase-1 chunk: small scenes must not pay for padding to a
+    # full 128-super chunk (measured 3.5x wasted slab work on an 11.8k-tri
+    # scene whose 37 supers padded to 128).
+    p1_chunk = PHASE1_CHUNK if cs >= PHASE1_CHUNK else max(8, -(-cs // 8) * 8)
+    cpad = (-cs) % p1_chunk
     aabb = super_aabb
     if cpad:
         filler = jnp.concatenate(
@@ -296,8 +300,8 @@ def closest_hit_pairs(
             axis=1,
         )
         aabb = jnp.concatenate([aabb, filler.astype(jnp.float32)], axis=0)
-    n_chunks = aabb.shape[0] // PHASE1_CHUNK
-    aabb_chunks = aabb.reshape(n_chunks, PHASE1_CHUNK, 6)
+    n_chunks = aabb.shape[0] // p1_chunk
+    aabb_chunks = aabb.reshape(n_chunks, p1_chunk, 6)
 
     def p1_step(_, chunk):
         o = rb[0:3][:, :, :, None]  # (3, nb, bn, 1)
@@ -315,7 +319,7 @@ def closest_hit_pairs(
         return None, jnp.min(tn, axis=1)  # (nb, CC)
 
     _, block_tn = jax.lax.scan(p1_step, None, aabb_chunks)
-    block_tn = jnp.moveaxis(block_tn, 0, 1).reshape(nb, n_chunks * PHASE1_CHUNK)
+    block_tn = jnp.moveaxis(block_tn, 0, 1).reshape(nb, n_chunks * p1_chunk)
     block_tn = block_tn[:, :cs]  # (nb, Cs); inf == no candidate
 
     # --- Flat entry-ordered pair list --------------------------------------

@@ -1,0 +1,162 @@
+"""Minimal HTTP live viewer — the headless equivalent of the reference's
+browser UI (App.tsx canvas + controller.ts fly camera + fps-meter).
+
+Serves a single self-contained page that polls the progressive render and
+forwards WASD/drag input to the Controller; every motion resets accumulation
+exactly like the reference (renderer.ts:152-201). The render loop runs on
+the caller's thread (TPU dispatch is not re-entrant); the HTTP server is a
+background thread that only touches a lock-guarded snapshot + input queue.
+
+    python -m wgpu_path_tracing_tpu.cli view cornell --port 8080
+    # open http://localhost:8080 — or drive it headlessly:
+    curl 'http://localhost:8080/key?k=w&down=1' ; sleep 1
+    curl 'http://localhost:8080/key?k=w&down=0'
+    curl -o frame.png http://localhost:8080/frame.png
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+_PAGE = """<!doctype html>
+<html><head><title>tpu-path-tracing</title><style>
+body{background:#111;color:#ddd;font:13px monospace;text-align:center}
+img{image-rendering:pixelated;width:70vmin;height:70vmin;margin-top:2vmin}
+</style></head><body>
+<div id=s>connecting...</div>
+<img id=v src="/frame.png" draggable=false>
+<div>WASD/space/shift to fly &middot; drag to look</div>
+<script>
+const v=document.getElementById('v'),s=document.getElementById('s');
+setInterval(()=>{v.src='/frame.png?'+Date.now();
+ fetch('/stats').then(r=>r.json()).then(j=>{
+  s.textContent=`${j.spp} spp  ${j.mrays.toFixed(1)} Mrays/s  ${j.fps.toFixed(1)} fps`});},500);
+for(const[ev,down]of[['keydown',1],['keyup',0]])
+ addEventListener(ev,e=>{const k=e.key===' '?'space':e.key.toLowerCase();
+  fetch(`/key?k=${k}&down=${down}`);});
+let drag=null;
+v.addEventListener('mousedown',e=>drag=[e.clientX,e.clientY]);
+addEventListener('mouseup',()=>drag=null);
+addEventListener('mousemove',e=>{if(!drag)return;
+ fetch(`/look?dx=${e.clientX-drag[0]}&dy=${e.clientY-drag[1]}`);
+ drag=[e.clientX,e.clientY];});
+</script></body></html>"""
+
+
+class ViewerServer:
+    """Owns the HTTP thread + shared state; ``run_loop`` renders forever."""
+
+    def __init__(self, renderer, port: int = 0, frames_per_update: int = 4):
+        from wgpu_path_tracing_tpu.render.controller import Controller
+
+        self.renderer = renderer
+        self.controller = Controller(renderer)
+        self.frames_per_update = frames_per_update
+        self._lock = threading.Lock()
+        self._png: bytes = b""
+        self._events: list[tuple] = []
+        self._stop = threading.Event()
+
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code, ctype, body: bytes):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                q = parse_qs(url.query)
+                if url.path == "/":
+                    self._send(200, "text/html", _PAGE.encode())
+                elif url.path == "/frame.png":
+                    with viewer._lock:
+                        png = viewer._png
+                    self._send(200, "image/png", png)
+                elif url.path == "/key":
+                    k = q.get("k", [""])[0]
+                    k = {"space": " ", "shift": "Shift"}.get(k, k)
+                    down = q.get("down", ["1"])[0] == "1"
+                    with viewer._lock:
+                        viewer._events.append(("key", k, down))
+                    self._send(200, "text/plain", b"ok")
+                elif url.path == "/look":
+                    dx = float(q.get("dx", ["0"])[0])
+                    dy = float(q.get("dy", ["0"])[0])
+                    with viewer._lock:
+                        viewer._events.append(("look", dx, dy))
+                    self._send(200, "text/plain", b"ok")
+                elif url.path == "/stats":
+                    st = viewer.renderer.stats()
+                    body = json.dumps({
+                        "spp": st["frame_index"],
+                        "mrays": st["mrays_per_sec"],
+                        "fps": st["frames"]["fps"],
+                    }).encode()
+                    self._send(200, "application/json", body)
+                else:
+                    self._send(404, "text/plain", b"not found")
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def _drain_events(self, dt: float) -> None:
+        with self._lock:
+            events, self._events = self._events, []
+        for ev in events:
+            if ev[0] == "key":
+                (self.controller.key_down if ev[2]
+                 else self.controller.key_up)(ev[1])
+            else:
+                self.controller.mouse_move(ev[1], ev[2])
+        self.controller.update(dt)
+
+    def _snapshot(self) -> None:
+        from PIL import Image
+        import numpy as np
+
+        img = self.renderer.image()
+        buf = io.BytesIO()
+        Image.fromarray(
+            (np.clip(img, 0, 1) * 255.0 + 0.5).astype("uint8"), "RGB"
+        ).save(buf, "PNG")
+        with self._lock:
+            self._png = buf.getvalue()
+
+    def step(self, dt: float) -> None:
+        """One viewer tick: apply input, render a chunk, publish the frame
+        (the rAF-loop body, renderer.ts:456-473)."""
+        self._drain_events(dt)
+        self.renderer.render(spp=self.frames_per_update)
+        self._snapshot()
+
+    def run_loop(self, max_seconds: float | None = None) -> None:
+        t_prev = time.perf_counter()
+        t0 = t_prev
+        while not self._stop.is_set():
+            now = time.perf_counter()
+            self.step(now - t_prev)
+            t_prev = now
+            if max_seconds is not None and now - t0 > max_seconds:
+                break
+
+    def stop(self) -> None:
+        self._stop.set()
+        self.httpd.shutdown()
+        self.httpd.server_close()
