@@ -11,17 +11,15 @@ sRGB and writes a side-by-side PNG next to the render.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from wgpu_path_tracing_tpu.utils.image import read_png, rmse  # noqa: E402
+
 GOLDEN = "/root/reference/docs/img/cornell_512spp.png"
-
-
-def read_png(path: str) -> np.ndarray:
-    from PIL import Image
-
-    return np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
 
 
 def crop_border(img: np.ndarray, thresh: float = 0.02) -> np.ndarray:
@@ -42,15 +40,15 @@ def compare(render_path: str, golden_path: str = GOLDEN):
     render = read_png(render_path)
     golden = crop_border(read_png(golden_path))
     golden = box_resize(golden, render.shape[0], render.shape[1])
-    rmse = float(np.sqrt(np.mean((render - golden) ** 2)))
+    value = float(rmse(render, golden))
     side = np.concatenate([golden, render], axis=1)
     out = render_path.rsplit(".", 1)[0] + "_vs_golden.png"
     from PIL import Image
 
     Image.fromarray((side * 255.0 + 0.5).astype(np.uint8)).save(out)
-    return rmse, out
+    return value, out
 
 
 if __name__ == "__main__":
-    rmse, out = compare(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else GOLDEN)
-    print(f"RMSE vs golden: {rmse:.4f}  (side-by-side: {out})")
+    value, out = compare(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else GOLDEN)
+    print(f"RMSE vs golden: {value:.4f}  (side-by-side: {out})")

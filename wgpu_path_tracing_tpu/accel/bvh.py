@@ -261,8 +261,11 @@ def cut_subtree_clusters(meta: np.ndarray, max_tris: int) -> list[tuple[int, int
         n = stack.pop()
         cnt = int(hi[n] - lo[n])
         if cnt <= max_tris or meta[n, 3] > 0:
-            if cnt > 0:
-                out.append((n, int(lo[n]), cnt))
+            # A single LEAF can exceed max_tris when the tree was built with
+            # max_leaf_size > max_tris; emit it as consecutive max_tris-sized
+            # chunks (each keeps the leaf's box — conservative but valid).
+            for base in range(int(lo[n]), int(hi[n]), max_tris):
+                out.append((n, base, min(max_tris, int(hi[n]) - base)))
             continue
         # left first (ascending triangle ranges): push right, pop left.
         stack.append(int(meta[n, 1]))

@@ -65,18 +65,34 @@ def _build_renderer(args):
     return r
 
 
-def cmd_render(args) -> int:
+def _load_scene_arg(r, args) -> None:
+    """Shared scene selection for render/view: a .glb path or a named
+    built-in. 'cornell-replica' also applies the camera fitted to the
+    reference golden (models/replica.py) unless --cam-pos was overridden."""
     from wgpu_path_tracing_tpu import cornell_box
 
-    r = _build_renderer(args)
     if args.scene == "cornell":
-        r.load_scene(cornell_box(tessellation=args.tessellation))
+        r.load_scene(cornell_box(tessellation=getattr(args, "tessellation", 1)))
     elif args.scene == "cornell-replica":
-        from wgpu_path_tracing_tpu.models.replica import cornell_replica
+        from wgpu_path_tracing_tpu.models.replica import (
+            REPLICA_CAMERA_POSITION,
+            cornell_replica,
+        )
 
         r.load_scene(cornell_replica())
+        if list(args.cam_pos) == [0.0, 1.0, 2.8]:  # argparse default
+            import numpy as np
+
+            r.camera.position = np.asarray(
+                REPLICA_CAMERA_POSITION, np.float32
+            )
     else:
         r.load_model(args.scene)
+
+
+def cmd_render(args) -> int:
+    r = _build_renderer(args)
+    _load_scene_arg(r, args)
 
     if args.resume and args.checkpoint:
         try:
@@ -136,18 +152,10 @@ def cmd_render(args) -> int:
 
 
 def cmd_view(args) -> int:
-    from wgpu_path_tracing_tpu import cornell_box
     from wgpu_path_tracing_tpu.viewer import ViewerServer
 
     r = _build_renderer(args)
-    if args.scene == "cornell":
-        r.load_scene(cornell_box(tessellation=args.tessellation))
-    elif args.scene == "cornell-replica":
-        from wgpu_path_tracing_tpu.models.replica import cornell_replica
-
-        r.load_scene(cornell_replica())
-    else:
-        r.load_model(args.scene)
+    _load_scene_arg(r, args)
     server = ViewerServer(r, port=args.port, frames_per_update=args.chunk)
     print(f"viewer at http://localhost:{server.port}", file=sys.stderr)
     try:

@@ -34,8 +34,9 @@ from wgpu_path_tracing_tpu.models.types import SceneArrays
 MONKEY_GLB = "/root/reference/public/models/monkey.glb"
 
 # Camera fitted from the golden's light-quad projection (the quad's known
-# world corners vs its measured pixel bbox solve for eye height/depth);
-# the reference default (0, 1, 2.8) frames a larger room than this replica.
+# world corners vs its measured pixel bbox solve for eye height/depth); the
+# reference default (0, 1, 2.8) frames a larger room than this replica.
+# Applied by the CLI for the 'cornell-replica' scene and by the golden test.
 REPLICA_CAMERA_POSITION = (0.0, 1.086, 2.40)
 
 
@@ -98,9 +99,11 @@ def _load_monkey(center, scale: float, yaw: float = 0.0):
 
     s = load_model(MONKEY_GLB)
     # Keep only the monkey mesh (drop the room it ships inside, if any):
-    # pick the material with the most triangles below 5k.
+    # pick the material with the most triangles among sub-5k meshes (walls
+    # are few large quads; a hypothetical dense room mesh is excluded).
     counts = np.bincount(s.tri_mat, minlength=s.num_materials)
-    mat = int(np.argmax(counts))
+    eligible = np.where(counts < 5000, counts, -1)
+    mat = int(np.argmax(eligible if eligible.max() > 0 else counts))
     sel = s.tri_mat == mat
     v = [s.tri_v0[sel], s.tri_v1[sel], s.tri_v2[sel]]
     n = [s.tri_n0[sel], s.tri_n1[sel], s.tri_n2[sel]]

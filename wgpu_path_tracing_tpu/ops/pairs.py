@@ -76,23 +76,24 @@ def build_pair_tables(bvh_aabb, bvh_meta, tri_isect,
     t = tri_isect.shape[0]
     if t == 0:
         tris = np.zeros((group * k, 16), np.float32)
-        tris[:, 9:12] = np.inf
-        tris[:, 12:15] = -np.inf
-        aabb = np.zeros((1, 6), np.float32)
-        aabb[:, 0:3] = np.inf
-        aabb[:, 3:6] = -np.inf
+        tris[:, 9:15] = np.nan
+        aabb = np.full((1, 6), np.nan, np.float32)  # no ray ever enters
         return tris, aabb
 
     clusters = cut_subtree_clusters(bvh_meta, k)
     c = len(clusters)
     cs = -(-c // group)
     tris = np.zeros((cs * group * k, 16), np.float32)
-    tris[:, 9:12] = np.inf  # empty-cluster AABBs never enter
-    tris[:, 12:15] = -np.inf
+    # Padding-cluster AABBs are NaN: every slab comparison is then False and
+    # the kernel's `enter` genuinely rejects them ((+inf, -inf) boxes would
+    # yield tn = -inf/tf = +inf and ENTER — only the zero triangle rows'
+    # a == 0 rejection would save correctness, at full MT cost).
+    tris[:, 9:15] = np.nan
     super_aabb = np.zeros((cs, 6), np.float32)
     super_aabb[:, 0:3] = np.inf
     super_aabb[:, 3:6] = -np.inf
     for ci, (node, lo, cnt) in enumerate(clusters):
+        assert cnt <= k, (cnt, k)  # cut_subtree_clusters splits large leaves
         base = ci * k
         tris[base : base + cnt, 0:9] = tri_isect[lo : lo + cnt]
         tris[base : base + k, 9:12] = bvh_aabb[node, 0:3]

@@ -295,7 +295,12 @@ def prepare_tables(scene):
             return None
         h, w = atlas.shape[0], atlas.shape[1]
         flat = jnp.asarray(atlas, jnp.float32).reshape(h, w * 4)
+        # Same rule as the triangle table: the row count must be a multiple
+        # of the one-hot select chunk or _select_rows' fori_loop silently
+        # skips the tail rows (atlases taller than SELECT_CHUNK).
         hp = max(8, -(-h // 8) * 8)
+        if hp > SELECT_CHUNK:
+            hp = -(-hp // SELECT_CHUNK) * SELECT_CHUNK
         atlas_p = jnp.pad(flat, ((0, hp - h), (0, 0)))
         atlas_hw = (h, w)
     return tri_p, light_p, atlas_p, atlas_hw

@@ -275,10 +275,14 @@ class Renderer:
             if self.mesh is not None:
                 from wgpu_path_tracing_tpu.parallel import shard as SH
 
-                # The jitted shape needs n_frames % sample_shards == 0; pad
-                # up but zero-weight the excess (n_active) so render(spp)
+                # The jitted shape needs n_frames % sample_shards == 0.
+                # Steady-state chunks round DOWN to a full-weight multiple
+                # (no wasted frames); only a final sub-multiple remainder is
+                # padded up with zero-weighted frames so render(spp)
                 # accumulates exactly spp frames.
                 ns = self.mesh.shape["sample"]
+                if chunk >= ns:
+                    chunk -= chunk % ns
                 common["n_frames"] = chunk + (-chunk) % ns
                 common["n_active"] = chunk
                 common["bounce_kernel"] = cfg.bounce_kernel
