@@ -140,3 +140,106 @@ def test_glb_parser_rejects_bad_magic(tmp_path):
     bad.write_bytes(b"\x00" * 64)
     with pytest.raises(Exception):
         GLTFFile.load(str(bad))
+
+
+def _spot_scene_gltf(tmp_path):
+    """Minimal .gltf: one floor quad + a KHR spot light 2 units above it
+    pointing straight down (node rotation turns (0,0,-1) into (0,-1,0))."""
+    import base64
+    import json
+    import struct
+
+    pos = [(-1, 0, -1), (1, 0, -1), (1, 0, 1), (-1, 0, 1)]
+    nrm = [(0, 1, 0)] * 4
+    idx = [0, 2, 1, 0, 3, 2]  # CCW seen from above (+Y geometric normal)
+    buf = b"".join(struct.pack("<3f", *p) for p in pos)
+    buf += b"".join(struct.pack("<3f", *n) for n in nrm)
+    buf += struct.pack("<6H", *idx) + b"\0\0"  # pad to 4
+    gltf = {
+        "asset": {"version": "2.0"},
+        "extensionsUsed": ["KHR_lights_punctual"],
+        "extensions": {"KHR_lights_punctual": {"lights": [{
+            # Spots inherit the point-light pdf quirk (1/N * 10000,
+            # pt.wgsl:438), so visible intensities are Blender-scale.
+            "type": "spot", "color": [1.0, 0.5, 0.25], "intensity": 40000.0,
+            "spot": {"innerConeAngle": 0.2, "outerConeAngle": 0.5},
+        }]}},
+        "scenes": [{"nodes": [0, 1]}],
+        "nodes": [
+            {"mesh": 0},
+            {  # -90 deg about X: local -Z maps to world -Y
+                "translation": [0.0, 2.0, 0.0],
+                "rotation": [-0.7071068, 0.0, 0.0, 0.7071068],
+                "extensions": {"KHR_lights_punctual": {"light": 0}},
+            },
+        ],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "NORMAL": 1}, "indices": 2,
+        }]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4,
+             "type": "VEC3", "min": [-1, 0, -1], "max": [1, 0, 1]},
+            {"bufferView": 1, "componentType": 5126, "count": 4,
+             "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5123, "count": 6,
+             "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 48, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 96, "byteLength": 12},
+        ],
+        "buffers": [{
+            "byteLength": len(buf),
+            "uri": "data:application/octet-stream;base64,"
+                   + base64.b64encode(buf).decode(),
+        }],
+    }
+    p = tmp_path / "spot.gltf"
+    p.write_text(json.dumps(gltf))
+    return str(p)
+
+
+def test_spot_light_parity_skip(tmp_path):
+    import warnings as W
+
+    path = _spot_scene_gltf(tmp_path)
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        s = load_model(path)  # default: reference parity (gpu.ts:234-236)
+    assert s.num_lights == 0
+    assert any("Unsupported light type: spot" in str(w.message) for w in rec)
+
+
+def test_spot_light_extension_parse(tmp_path):
+    s = load_model(_spot_scene_gltf(tmp_path), enable_spot_lights=True)
+    assert s.num_lights == 1
+    assert s.light_type[0] == 3
+    np.testing.assert_allclose(s.light_position[0], [0, 2, 0], atol=1e-5)
+    np.testing.assert_allclose(s.light_color[0], [1.0, 0.5, 0.25])
+    assert s.light_intensity[0] == 40000.0
+    np.testing.assert_allclose(s.light_aux[0, 0:3], [0, -1, 0], atol=1e-5)
+    cos_i, cos_o = np.cos(0.2), np.cos(0.5)
+    scale = 1.0 / (cos_i - cos_o)
+    np.testing.assert_allclose(s.light_aux[0, 3], scale, rtol=1e-5)
+    np.testing.assert_allclose(s.light_aux[0, 4], -cos_o * scale, rtol=1e-5)
+
+
+def test_spot_light_render_cone(tmp_path):
+    """Rendered spot pool: lit inside the cone, dark outside, smooth edge."""
+    from wgpu_path_tracing_tpu import Renderer, RenderConfig
+
+    r = Renderer(RenderConfig(width=32, height=32, frames_per_chunk=4,
+                              spot_lights=True))
+    r.load_model(_spot_scene_gltf(tmp_path))
+    # Look straight down at the floor from above.
+    r.camera.position = np.asarray([0.0, 1.0, 0.0], np.float32)
+    r.camera.rotate(0.0, -np.pi / 2 * 0.98)
+    buf = r.render(spp=16)
+    img = np.asarray(buf)  # (H, W, 3) linear
+    c = img[16, 16].mean()  # cone center: tan(0.5)*2 ≈ 1.09 > view extent
+    corner = img[1, 1].mean()
+    assert c > 0.01, f"spot center unlit: {c}"
+    # The corner pixel views the floor at ~0.9 units out, angle atan(0.9/2)
+    # ≈ 0.42 rad — inside the outer cone but dimmer than the axis.
+    assert c > corner, (c, corner)

@@ -103,3 +103,44 @@ def test_pallas_bounce_textured():
     np.testing.assert_allclose(
         np.asarray(rad_x), np.asarray(rad_p), rtol=1e-5, atol=1e-6
     )
+
+
+def test_pallas_bounce_spot_light():
+    """Spot-light rows (extension type 3) ride the same light_full table;
+    the in-VMEM row select must reproduce the XLA path bit-for-bit."""
+    import dataclasses
+
+    sc = cornell_box()
+    n = sc.num_lights
+    aux = np.zeros((n + 1, 5), np.float32)
+    aux[-1] = [0.0, -1.0, 0.0, 9.75, -8.56]  # down-facing cone
+    sc = dataclasses.replace(
+        sc,
+        light_position=np.concatenate([sc.light_position,
+                                       [[0.0, 1.9, 0.0]]]).astype(np.float32),
+        light_type=np.concatenate([sc.light_type, [3]]).astype(np.int32),
+        light_color=np.concatenate([sc.light_color,
+                                    [[1.0, 0.8, 0.6]]]).astype(np.float32),
+        light_intensity=np.concatenate([sc.light_intensity,
+                                        [30000.0]]).astype(np.float32),
+        light_tri=np.concatenate([sc.light_tri, [0]]).astype(np.int32),
+        light_aux=aux,
+    )
+    scene = jax.device_put(pack_device_scene(sc))
+    cam = camera_device(Camera(width=W, height=H).as_pytree(), W, H)
+    x, y = CAM.pixel_grid(W, H)
+    ro, rd, state = CAM.generate_rays(cam, x, y, jnp.int32(0), use_dof=True)
+    ch = make_closest_hit(scene, "brute", 4096, 4)
+    rad_x, st_x, _ = TRACE.trace(
+        scene, ch, ro, rd, state,
+        max_bounces=4, do_mis=True, num_lights=sc.num_lights,
+    )
+    assert np.asarray(rad_x).max() > 0
+    rad_p, st_p, _ = trace_pallas(
+        scene, ch, ro, rd, state,
+        max_bounces=4, do_mis=True, num_lights=sc.num_lights, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(st_x), np.asarray(st_p))
+    np.testing.assert_allclose(
+        np.asarray(rad_x), np.asarray(rad_p), rtol=1e-5, atol=1e-6
+    )

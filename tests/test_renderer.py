@@ -167,3 +167,29 @@ def test_save_hdr(tmp_path):
     # Linear radiance, y-flipped to display orientation, RGBE-quantized.
     maxc = buf[::-1].max(axis=2, keepdims=True)
     assert np.all(np.abs(back - buf[::-1]) <= 0.01 * maxc + 1e-4)
+
+
+def test_save_exr(tmp_path):
+    from wgpu_path_tracing_tpu import Renderer, RenderConfig
+    from wgpu_path_tracing_tpu.models.procedural import cornell_box
+    from wgpu_path_tracing_tpu.utils.image import read_exr
+
+    r = Renderer(RenderConfig(width=16, height=16, frames_per_chunk=2))
+    r.load_scene(cornell_box())
+    buf = r.render(spp=2)
+    p = str(tmp_path / "out.exr")
+    r.save_exr(p)
+    back = read_exr(p)
+    assert back.shape == (16, 16, 3)
+    # EXR stores exact f32: bit-identical round trip (post nan scrub).
+    np.testing.assert_array_equal(back, np.nan_to_num(buf[::-1], nan=0.0))
+
+
+def test_exr_roundtrip_random(tmp_path):
+    from wgpu_path_tracing_tpu.utils.image import read_exr, write_exr
+
+    rng = np.random.default_rng(7)
+    img = (rng.standard_normal((9, 33, 3)) * 100.0).astype(np.float32)
+    p = str(tmp_path / "rt.exr")
+    write_exr(p, img)
+    np.testing.assert_array_equal(read_exr(p), img)

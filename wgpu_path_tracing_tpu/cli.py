@@ -47,6 +47,7 @@ def _build_renderer(args):
         mode=args.mode,
         rng=args.rng,
         intersector=args.intersector,
+        spot_lights=getattr(args, "spot_lights", False),
     )
     cam = Camera(
         width=args.width,
@@ -141,6 +142,8 @@ def cmd_render(args) -> int:
     r.save_png(args.output)
     if args.hdr:
         r.save_hdr(args.hdr)
+    if args.exr:
+        r.save_exr(args.exr)
     if args.checkpoint:
         r.save_checkpoint(args.checkpoint)
     s = r.stats()
@@ -189,6 +192,7 @@ def cmd_info(args) -> int:
             "emissive": int((s.light_type == 0).sum()),
             "directional": int((s.light_type == 1).sum()),
             "point": int((s.light_type == 2).sum()),
+            "spot": int((s.light_type == 3).sum()),
         },
         "bvh_nodes": int(s.bvh_meta.shape[0]),
         "bvh_leaves": int(leaf.sum()),
@@ -248,6 +252,11 @@ def main(argv=None) -> int:
                          "watchable, like the reference's per-frame blit")
     pr.add_argument("--hdr", metavar="PATH",
                     help="also write the linear radiance as Radiance RGBE .hdr")
+    pr.add_argument("--exr", metavar="PATH",
+                    help="also write the linear radiance as OpenEXR (f32)")
+    pr.add_argument("--spot-lights", action="store_true",
+                    help="render KHR spot lights (extension; the reference "
+                         "warns-and-skips them, gpu.ts:234-236)")
     pr.add_argument("--checkpoint", help="npz accumulation checkpoint path")
     pr.add_argument("--resume", action="store_true")
     pr.add_argument("--multichip", action="store_true",

@@ -47,6 +47,7 @@ def finalize_scene(
     light_type: np.ndarray | None = None,
     light_color: np.ndarray | None = None,
     light_intensity: np.ndarray | None = None,
+    light_aux: np.ndarray | None = None,
     atlas: np.ndarray | None = None,
     max_leaf_size: int = 4,
     num_bins: int = 12,
@@ -81,6 +82,11 @@ def finalize_scene(
     lc = [] if light_color is None else list(np.asarray(light_color, f32))
     li = [] if light_intensity is None else list(np.asarray(light_intensity, f32))
     ltri = [0] * len(lp)
+    laux = (
+        [np.zeros(5, f32)] * len(lp)
+        if light_aux is None
+        else list(np.asarray(light_aux, f32).reshape(len(lp), 5))
+    )
 
     # Emissive triangle lights, extracted after the BVH reorder
     # (gpu.ts:121-138: condition is length(material.emission) > 0).
@@ -95,6 +101,7 @@ def finalize_scene(
             lc.append(mat_emission[m])
             li.append(mat_emissive_strength[m])
             ltri.append(i)
+            laux.append(np.zeros(5, f32))
 
     zero_rect = np.zeros((num_mats, 4), np.int32)
 
@@ -128,6 +135,7 @@ def finalize_scene(
         light_color=np.asarray(lc, f32).reshape(len(lc), 3),
         light_intensity=np.asarray(li, f32),
         light_tri=np.asarray(ltri, np.int32),
+        light_aux=np.asarray(laux, f32).reshape(len(laux), 5),
         bvh_aabb_min=bvh.aabb_min,
         bvh_aabb_max=bvh.aabb_max,
         bvh_meta=bvh.meta,

@@ -453,6 +453,7 @@ def load_model(
     texture_pixel_ratio: float = 0.5,
     max_leaf_size: int = 4,
     num_bins: int = 12,
+    enable_spot_lights: bool = False,
 ) -> SceneArrays:
     gf = GLTFFile.load(path)
     gltf = gf.gltf
@@ -471,6 +472,7 @@ def load_model(
     tri_mat = []
     materials = []
     light_position, light_type, light_color, light_intensity = [], [], [], []
+    light_aux = []
 
     for node_idx, node in enumerate(gltf.get("nodes", [])):
         world = worlds[node_idx]
@@ -490,12 +492,34 @@ def load_model(
                 light_type.append(1)
                 light_color.append(color)
                 light_intensity.append(intensity)
+                light_aux.append(np.zeros(5))
             elif light["type"] == "point":
                 pos = (world @ np.array([0.0, 0.0, 0.0, 1.0]))[0:3]
                 light_position.append(pos)
                 light_type.append(2)
                 light_color.append(color)
                 light_intensity.append(intensity)
+                light_aux.append(np.zeros(5))
+            elif light["type"] == "spot" and enable_spot_lights:
+                # Extension past the reference (which warns-and-skips,
+                # gpu.ts:234-236): KHR_lights_punctual spot — position from
+                # the world matrix, direction = world-rotated (0,0,-1),
+                # squared angular falloff precomputed as scale/offset.
+                pos = (world @ np.array([0.0, 0.0, 0.0, 1.0]))[0:3]
+                rot = _quat_to_mat3(_mat3_to_quat(world[0:3, 0:3]))
+                direction = rot @ np.array([0.0, 0.0, -1.0])
+                spot = light.get("spot", {})
+                inner = float(spot.get("innerConeAngle", 0.0))
+                outer = float(spot.get("outerConeAngle", np.pi / 4.0))
+                cos_i, cos_o = np.cos(inner), np.cos(outer)
+                scale = 1.0 / max(1e-3, cos_i - cos_o)
+                light_position.append(pos)
+                light_type.append(3)
+                light_color.append(color)
+                light_intensity.append(intensity)
+                light_aux.append(
+                    np.concatenate([direction, [scale, -cos_o * scale]])
+                )
             else:
                 warnings.warn(f"Unsupported light type: {light['type']}")
 
@@ -575,6 +599,7 @@ def load_model(
         light_type=np.array(light_type, np.int32),
         light_color=np.array(light_color, f32).reshape(-1, 3),
         light_intensity=np.array(light_intensity, f32),
+        light_aux=np.array(light_aux, f32).reshape(-1, 5),
         atlas=atlas,
         max_leaf_size=max_leaf_size,
         num_bins=num_bins,

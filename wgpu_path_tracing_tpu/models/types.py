@@ -36,6 +36,10 @@ import numpy as np
 LIGHT_TYPE_EMISSIVE = 0  # pt.wgsl:41
 LIGHT_TYPE_DIRECTIONAL = 1  # pt.wgsl:42
 LIGHT_TYPE_POINT = 2  # pt.wgsl:43
+# Extension: KHR_lights_punctual "spot". The reference warns-and-skips spots
+# (gpu.ts:234-236); this framework renders them when the loader is invoked
+# with enable_spot_lights=True (default keeps parity: warn + skip).
+LIGHT_TYPE_SPOT = 3
 
 # Column offsets within the packed material row (DeviceScene.materials).
 MAT_BASE_COLOR = 0  # 3
@@ -114,6 +118,13 @@ LF_N0 = 18  # 3
 LF_N1 = 21  # 3
 LF_N2 = 24  # 3
 LF_COLS = 27
+# Spot lights carry no emissive triangle, so their rows reuse the triangle
+# columns: LF_V0 slot holds the world-space spot direction and LF_V1/+1 the
+# precomputed angular-attenuation scale/offset (glTF KHR_lights_punctual:
+# scale = 1/max(1e-3, cos(inner) - cos(outer)), offset = -cos(outer)*scale).
+LF_SPOT_DIR = LF_V0  # 3
+LF_SPOT_SCALE = LF_V1
+LF_SPOT_OFFSET = LF_V1 + 1
 
 
 @dataclasses.dataclass
@@ -164,6 +175,11 @@ class SceneArrays:
 
     # Texture atlas (Ah, Aw, 4) float32, or None if the scene is untextured.
     atlas: np.ndarray | None = None
+
+    # Spot-light extension (None when no spots): (L, 5) float32 rows of
+    # [dir_x, dir_y, dir_z, angle_scale, angle_offset]; meaningful only on
+    # rows whose light_type == LIGHT_TYPE_SPOT.
+    light_aux: np.ndarray | None = None
 
     @property
     def num_triangles(self) -> int:
@@ -278,6 +294,13 @@ def pack_device_scene(scene: SceneArrays, cluster_k: int = 64):
         light_full[:n_lights, LF_N0 : LF_N0 + 3] = tri_shade[ltri, TRI_N0 : TRI_N0 + 3]
         light_full[:n_lights, LF_N1 : LF_N1 + 3] = tri_shade[ltri, TRI_N1 : TRI_N1 + 3]
         light_full[:n_lights, LF_N2 : LF_N2 + 3] = tri_shade[ltri, TRI_N2 : TRI_N2 + 3]
+    if n_lights and scene.light_aux is not None:
+        spot = scene.light_type == LIGHT_TYPE_SPOT
+        if spot.any():
+            aux = np.asarray(scene.light_aux, np.float32)
+            light_full[:n_lights][spot, LF_SPOT_DIR : LF_SPOT_DIR + 3] = aux[spot, 0:3]
+            light_full[:n_lights][spot, LF_SPOT_SCALE] = aux[spot, 3]
+            light_full[:n_lights][spot, LF_SPOT_OFFSET] = aux[spot, 4]
 
     # Cluster tables for the large-scene dispatch intersectors: ops/pairs.py
     # pair dispatch (subtree-aligned clusters grouped into super tiles) and

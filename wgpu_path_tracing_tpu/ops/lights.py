@@ -62,7 +62,8 @@ def sample_light_from_fetch(fetch, hit_position: V3, state, mask,
     lpos = V3(get(T.LF_POSITION), get(T.LF_POSITION + 1), get(T.LF_POSITION + 2))
 
     is_dir = ltype == T.LIGHT_TYPE_DIRECTIONAL
-    is_point = ltype == T.LIGHT_TYPE_POINT
+    is_spot = ltype == T.LIGHT_TYPE_SPOT
+    is_point = (ltype == T.LIGHT_TYPE_POINT) | is_spot
     is_emis = ltype == T.LIGHT_TYPE_EMISSIVE
 
     # Emissive triangle sample draws (masked to emissive lanes,
@@ -116,6 +117,18 @@ def sample_light_from_fetch(fetch, hit_position: V3, state, mask,
 
     int_dir = lcolor * lint
     att = 1.0 / (dist_p * dist_p)
+    # Spot extension (no reference counterpart — spots are warned-and-
+    # skipped at load there, gpu.ts:234-236): point-light behavior times the
+    # KHR_lights_punctual angular attenuation, squared smooth falloff from
+    # the inner to the outer cone via the precomputed scale/offset.
+    spot_dir = V3(
+        get(T.LF_SPOT_DIR), get(T.LF_SPOT_DIR + 1), get(T.LF_SPOT_DIR + 2)
+    )
+    cd = vec.dot(spot_dir, -wi_point)
+    spot_t = jnp.clip(
+        cd * get(T.LF_SPOT_SCALE) + get(T.LF_SPOT_OFFSET), 0.0, 1.0
+    )
+    att = att * jnp.where(is_spot, spot_t * spot_t, 1.0)
     int_point = lcolor * (lint * att)
     int_emis = lcolor * lint
 

@@ -44,6 +44,9 @@ class RenderConfig:
 
     # Scene ingestion
     texture_pixel_ratio: float = 0.5
+    # Extension: render KHR spot lights instead of the reference's
+    # warn-and-skip (gpu.ts:234-236). Off by default for parity.
+    spot_lights: bool = False
 
     # BVH build (bvh.ts BuildOptions)
     max_leaf_size: int = 4

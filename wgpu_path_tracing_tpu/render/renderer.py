@@ -119,6 +119,7 @@ class Renderer:
                 texture_pixel_ratio=self.config.texture_pixel_ratio,
                 max_leaf_size=self.config.max_leaf_size,
                 num_bins=self.config.num_bins,
+                enable_spot_lights=self.config.spot_lights,
             )
         )
 
@@ -144,6 +145,7 @@ class Renderer:
                 texture_pixel_ratio=self.config.texture_pixel_ratio,
                 max_leaf_size=self.config.max_leaf_size,
                 num_bins=self.config.num_bins,
+                enable_spot_lights=self.config.spot_lights,
             )
             with self._pending_lock:
                 self._pending_scene = scene
@@ -403,6 +405,16 @@ class Renderer:
             self.config.height, self.config.width, 3
         )
         imageio.write_hdr(path, np.nan_to_num(hdr[::-1], nan=0.0))
+
+    def save_exr(self, path: str) -> None:
+        """Write the LINEAR accumulation as an OpenEXR (f32, lossless) —
+        same buffer as save_hdr, exact instead of RGBE-quantized."""
+        if self._accum is None:
+            raise RuntimeError("Nothing rendered yet")
+        hdr = self._row_major(self._accum).reshape(
+            self.config.height, self.config.width, 3
+        )
+        imageio.write_exr(path, np.nan_to_num(hdr[::-1], nan=0.0))
 
     # --- metrics (profiler.ts / fps-meter.tsx equivalents) -------------------
     def stats(self) -> dict:

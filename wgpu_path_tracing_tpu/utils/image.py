@@ -72,6 +72,94 @@ def write_hdr(path: str, hdr: np.ndarray) -> None:
         f.write(rgbe.tobytes())
 
 
+def write_exr(path: str, hdr: np.ndarray) -> None:
+    """Write an OpenEXR 2.0 file (uncompressed FLOAT scanlines, R/G/B).
+
+    hdr: (H, W, 3) float32 linear radiance, top row first. Like
+    ``write_hdr`` this is a headless extension past the reference's canvas
+    display (renderer.ts:535-541) for DCC interchange; EXR stores exact
+    f32 so round trips are lossless (unlike RGBE's shared exponent).
+    Self-contained: emits the minimal required header attribute set with
+    NO_COMPRESSION, one scanline per chunk, channels in the alphabetical
+    order (B, G, R) the format mandates.
+    """
+    import struct
+
+    hdr = np.ascontiguousarray(np.asarray(hdr, np.float32))
+    h, w = hdr.shape[0], hdr.shape[1]
+
+    def attr(name: bytes, typ: bytes, payload: bytes) -> bytes:
+        return name + b"\0" + typ + b"\0" + struct.pack("<i", len(payload)) + payload
+
+    # chlist: per channel: name\0, pixel type (2=FLOAT), pLinear+pad, x/y sampling.
+    ch = b""
+    for name in (b"B", b"G", b"R"):
+        ch += name + b"\0" + struct.pack("<i", 2) + b"\0\0\0\0" + struct.pack("<ii", 1, 1)
+    ch += b"\0"
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header = (
+        struct.pack("<I", 20000630)  # magic
+        + struct.pack("<i", 2)  # version 2, scanline
+        + attr(b"channels", b"chlist", ch)
+        + attr(b"compression", b"compression", b"\0")  # NO_COMPRESSION
+        + attr(b"dataWindow", b"box2i", box)
+        + attr(b"displayWindow", b"box2i", box)
+        + attr(b"lineOrder", b"lineOrder", b"\0")  # INCREASING_Y
+        + attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
+        + attr(b"screenWindowCenter", b"v2f", struct.pack("<ff", 0.0, 0.0))
+        + attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+        + b"\0"
+    )
+    line_bytes = 4 * w * 3  # 3 FLOAT channels
+    chunk_bytes = 8 + line_bytes  # y + size prefix
+    table_at = len(header)
+    data_at = table_at + 8 * h
+    offsets = struct.pack("<" + "Q" * h, *(data_at + y * chunk_bytes for y in range(h)))
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(offsets)
+        for y in range(h):
+            f.write(struct.pack("<ii", y, line_bytes))
+            f.write(hdr[y, :, 2].tobytes())  # B
+            f.write(hdr[y, :, 1].tobytes())  # G
+            f.write(hdr[y, :, 0].tobytes())  # R
+
+
+def read_exr(path: str) -> np.ndarray:
+    """Read an uncompressed FLOAT-scanline OpenEXR (as written by
+    ``write_exr``) -> (H, W, 3) f32, top row first."""
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, version = struct.unpack_from("<Ii", data, 0)
+    assert magic == 20000630, "not an EXR file"
+    pos = 8
+    attrs = {}
+    while data[pos] != 0:
+        nend = data.index(b"\0", pos)
+        name = data[pos:nend].decode()
+        tend = data.index(b"\0", nend + 1)
+        (size,) = struct.unpack_from("<i", data, tend + 1)
+        val = data[tend + 5 : tend + 5 + size]
+        attrs[name] = val
+        pos = tend + 5 + size
+    pos += 1  # header terminator
+    assert attrs["compression"] == b"\0", "only NO_COMPRESSION supported"
+    x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"])
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    offsets = struct.unpack_from("<" + "Q" * h, data, pos)
+    out = np.empty((h, w, 3), np.float32)
+    for row, off in enumerate(offsets):
+        y, size = struct.unpack_from("<ii", data, off)
+        assert size == 12 * w, (size, w)
+        line = np.frombuffer(data, np.float32, count=3 * w, offset=off + 8)
+        out[y - y0, :, 2] = line[0:w]  # B
+        out[y - y0, :, 1] = line[w : 2 * w]  # G
+        out[y - y0, :, 0] = line[2 * w :]  # R
+    return out
+
+
 def read_hdr(path: str) -> np.ndarray:
     """Read a flat (uncompressed) Radiance RGBE .hdr file -> (H, W, 3) f32."""
     with open(path, "rb") as f:
