@@ -1,0 +1,155 @@
+"""Wide-BVH block-walk intersector correctness (accel/bvh8.py +
+ops/walk.py) — interpret mode on CPU against the brute-force reference.
+Small block sizes force multiple grid steps; mixed-direction rays exercise
+the majority-octant push ordering (correctness must not depend on it)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from wgpu_path_tracing_tpu.models.procedural import cornell_box, random_triangles
+from wgpu_path_tracing_tpu.models.types import pack_device_scene
+from wgpu_path_tracing_tpu.accel.bvh8 import build_wide_bvh, group_rows
+from wgpu_path_tracing_tpu.ops.walk import closest_hit_walk
+from wgpu_path_tracing_tpu.ops.intersect import closest_hit_brute
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return pack_device_scene(random_triangles(1500, seed=5))
+
+
+def _walk_args(scene):
+    return (
+        jnp.asarray(scene["walk_meta"]),
+        jnp.asarray(scene["walk_order"]),
+        jnp.asarray(scene["walk_boxes"]),
+        jnp.asarray(scene["walk_tris"]),
+    )
+
+
+def _aimed_rays(tri_isect, n, seed=1):
+    rng = np.random.default_rng(seed)
+    tri = np.asarray(tri_isect)
+    cent = tri[:, 0:3] + (tri[:, 3:6] + tri[:, 6:9]) / 3.0
+    tgt = cent[rng.integers(0, len(tri), n)]
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(tgt - d * 14, jnp.float32), jnp.asarray(d, jnp.float32)
+
+
+@pytest.mark.parametrize("bn", [256, 1024])
+def test_walk_matches_brute(scene, bn):
+    ro, rd = _aimed_rays(scene["tri_isect"], 1024)
+    t_b, i_b = closest_hit_brute(jnp.asarray(scene["tri_isect"]), ro, rd)
+    t_w, i_w = closest_hit_walk(
+        *_walk_args(scene),
+        ro,
+        rd,
+        num_tris=scene["tri_isect"].shape[0],
+        interpret=True,
+        bn=bn,
+    )
+    i_b, i_w, t_b, t_w = map(np.asarray, (i_b, i_w, t_b, t_w))
+    hb = i_b >= 0
+    np.testing.assert_array_equal(hb, i_w >= 0)
+    assert hb.sum() > 900
+    # Exact-t ties are visit-order-dependent; everywhere else indices match.
+    diff = i_b != i_w
+    np.testing.assert_array_equal(t_b[diff], t_w[diff])
+    np.testing.assert_allclose(t_b[hb], t_w[hb], rtol=1e-4, atol=1e-5)
+
+
+def test_walk_shadow_limit(scene):
+    ro, rd = _aimed_rays(scene["tri_isect"], 512, seed=2)
+    t_b, _ = closest_hit_brute(jnp.asarray(scene["tri_isect"]), ro, rd)
+    t_max = jnp.full((512,), 12.0)
+    t_w, _ = closest_hit_walk(
+        *_walk_args(scene),
+        ro,
+        rd,
+        t_max=t_max,
+        any_hit=True,
+        num_tris=scene["tri_isect"].shape[0],
+        interpret=True,
+        bn=256,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(t_w) < 12.0, np.asarray(t_b) < 12.0
+    )
+
+
+def test_walk_respects_active(scene):
+    ro, rd = _aimed_rays(scene["tri_isect"], 512, seed=3)
+    active = jnp.asarray(np.arange(512) % 2 == 0)
+    t_w, i_w = closest_hit_walk(
+        *_walk_args(scene),
+        ro,
+        rd,
+        active=active,
+        num_tris=scene["tri_isect"].shape[0],
+        interpret=True,
+        bn=256,
+    )
+    assert np.all(np.asarray(i_w)[~np.asarray(active)] == -1)
+    assert np.asarray(i_w)[np.asarray(active)].max() >= 0
+
+
+def test_walk_cornell_box():
+    """Coherent scene with many all-miss rays (pop-time culling + empty
+    sub-cluster NaN rows must reject, never hit)."""
+    scene = pack_device_scene(cornell_box(tessellation=4))
+    n = 512
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    d = np.stack([np.cos(ang), 0.3 * np.sin(3 * ang), np.sin(ang)], axis=1)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ro = jnp.asarray(np.tile([[0.0, 1.0, 0.0]], (n, 1)), jnp.float32)
+    rd = jnp.asarray(d, jnp.float32)
+    t_b, i_b = closest_hit_brute(jnp.asarray(scene["tri_isect"]), ro, rd)
+    t_w, i_w = closest_hit_walk(
+        *_walk_args(scene),
+        ro,
+        rd,
+        num_tris=scene["tri_isect"].shape[0],
+        interpret=True,
+        bn=256,
+    )
+    i_b, i_w, t_b, t_w = map(np.asarray, (i_b, i_w, t_b, t_w))
+    diff = i_b != i_w
+    np.testing.assert_array_equal(t_b[diff], t_w[diff])
+    np.testing.assert_array_equal(i_b >= 0, i_w >= 0)
+    hb = i_b >= 0
+    np.testing.assert_allclose(t_b[hb], t_w[hb], rtol=1e-4, atol=1e-5)
+
+
+def test_wide_bvh_tables_cover_all_triangles(scene):
+    """Every global triangle index appears exactly once across leaf slabs."""
+    tris = np.asarray(scene["walk_tris"])
+    grows = group_rows(8)
+    idx_rows = tris.reshape(-1, grows, 128)[:, 9, :]
+    got = np.sort(idx_rows[idx_rows >= 0].astype(np.int64))
+    np.testing.assert_array_equal(got, np.arange(scene["tri_isect"].shape[0]))
+
+
+def test_wide_bvh_degenerate_empty():
+    from wgpu_path_tracing_tpu.accel.bvh8 import WideBVH
+
+    wb = build_wide_bvh(
+        np.zeros((1, 3), np.float32),
+        np.zeros((1, 3), np.float32),
+        np.zeros((1, 4), np.int32),
+        np.zeros((0, 9), np.float32),
+    )
+    assert isinstance(wb, WideBVH)
+    assert wb.num_nodes == 1
+    t_w, i_w = closest_hit_walk(
+        jnp.asarray(wb.meta),
+        jnp.asarray(wb.order),
+        jnp.asarray(wb.boxes),
+        jnp.asarray(wb.tris),
+        jnp.zeros((8, 3), jnp.float32),
+        jnp.ones((8, 3), jnp.float32),
+        interpret=True,
+        bn=256,
+    )
+    assert np.all(np.asarray(i_w) == -1)

@@ -1,0 +1,248 @@
+"""Wide (8-ary) BVH collapse for the in-kernel block walk (ops/walk.py).
+
+The binary SAH tree (accel/bvh.py, semantics of the reference's bvh.ts) is
+collapsed into an 8-wide hierarchy whose leaves are subtree-aligned
+clusters of <= LEAF_SLOTS triangles. The device tables are laid out for
+the walk kernel's vector shapes (rays on sublanes, children/triangles on
+lanes):
+
+* ``meta`` (Nn, 8) int32 — child slot encoding: > 0 interior child (wide
+  node id), < 0 leaf (group ``g = -m - 1``), == 0 empty (its box is NaN so
+  no ray ever enters; node 0 is the root and is never anyone's child).
+* ``boxes`` (Nn * 64, 8) f32 — per (node, ray-direction octant) an 8-row
+  slab at ``(n*8 + oct) * 8``: row k = the k-th child IN PUSH ORDER, its
+  bounds on lanes 0..5 (minx..maxz); empty-child rows hold NaN. Push order
+  is far-to-near along the octant's sign vector so the LIFO stack pops
+  nearest-first (octant bit a = 1 when the block's majority d[a] < 0).
+  Replicating the slab per octant keeps the kernel's per-child entry
+  distances ctn[k] directly in push order — the scalar core then does ONE
+  table read per child instead of three (measured scalar-read-bound).
+* ``order`` (Nn, 64) int32 — the child META at each push slot:
+  ``order[n, oct*8 + k]`` is the k-th pushed child's meta value (same
+  encoding as ``meta``; 0 = empty slot).
+* ``tris`` (Ng * group_rows(sub), 128) f32 — per leaf group a slab
+  covering 128 triangle slots on lanes: rows 0-8 = [v0, e1, e2]
+  components, row 9 = the GLOBAL triangle index (exact in f32 below 2^24;
+  -1 on padding slots), rows 10..10+sub = the sub-cluster AABBs (sub c at
+  row 10 + c, bounds on lanes 0..5) gating Moller-Trumbore per
+  (leaf_slots/sub)-tri sub-cluster. SUB=8 (16-slot sub-clusters) measured
+  best on the 103k-tri sweep: 126.9 ms vs 134.9 ms at SUB=4.
+
+Reference counterpart: the per-thread binary stack walk of pt.wgsl:248-296.
+The wide collapse and slab layout have no reference equivalent — they are
+what makes an ordered hierarchical traversal expressible in TPU vector
+units (a per-ray binary walk measures ~0.09 Mrays/s on TPU; see
+ops/intersect.py::closest_hit_bvh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+WIDTH = 8
+LEAF_SLOTS = 128  # triangle slots per leaf group (one slab of lanes)
+SUB = 8  # sub-clusters per leaf group, the MT gating unit
+
+
+def group_rows(sub: int) -> int:
+    # 10 component rows + ``sub`` sub-box rows, padded to a sublane tile.
+    return -(-(10 + sub) // 8) * 8
+
+
+@dataclasses.dataclass
+class WideBVH:
+    meta: np.ndarray  # (Nn, 8) int32
+    order: np.ndarray  # (Nn, 64) int32: per-octant ordered child metas
+    boxes: np.ndarray  # (Nn * 64, 8) f32: per-octant ordered child slabs
+    tris: np.ndarray  # (Ng * group_rows, 128) f32
+    leaf_slots: int = LEAF_SLOTS
+    sub: int = SUB
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.meta.shape[0])
+
+    @property
+    def num_groups(self) -> int:
+        return int(self.tris.shape[0]) // group_rows(self.sub)
+
+
+def _subtree_counts(meta: np.ndarray):
+    from wgpu_path_tracing_tpu.accel.bvh import subtree_ranges
+
+    lo, hi = subtree_ranges(meta)
+    return lo, hi
+
+
+def build_wide_bvh(
+    aabb_min: np.ndarray,
+    aabb_max: np.ndarray,
+    meta: np.ndarray,
+    tri_isect: np.ndarray,
+    leaf_slots: int = LEAF_SLOTS,
+    sub: int = SUB,
+) -> WideBVH:
+    """Collapse the binary BVH into the walk kernel's wide tables.
+
+    ``tri_isect``: (T, 9) [v0, e1, e2] rows in BVH (DFS) triangle order —
+    leaf groups copy them into lane-major slabs.
+    """
+    t = int(tri_isect.shape[0])
+    grows = group_rows(sub)
+    if t == 0:
+        # Degenerate: one node, all children empty.
+        m = np.zeros((1, WIDTH), np.int32)
+        b = np.full((WIDTH * WIDTH, WIDTH), np.nan, np.float32)
+        tris = np.zeros((grows, 128), np.float32)
+        tris[9, :] = -1.0
+        order = np.zeros((1, WIDTH * WIDTH), np.int32)
+        return WideBVH(meta=m, order=order, boxes=b, tris=tris,
+                       leaf_slots=leaf_slots, sub=sub)
+
+    lo, hi = _subtree_counts(meta)
+    is_leaf = meta[:, 3] > 0
+
+    wide_meta: list[np.ndarray] = []
+    wide_boxes: list[np.ndarray] = []
+    groups: list[tuple[int, int]] = []  # (lo, count) per leaf group
+
+    def count(b: int) -> int:
+        return int(hi[b] - lo[b])
+
+    def emit_group(glo: int, gcnt: int) -> int:
+        gid = len(groups)
+        groups.append((glo, gcnt))
+        return -(gid + 1)
+
+    def alloc_node() -> int:
+        wide_meta.append(np.zeros(WIDTH, np.int32))
+        wide_boxes.append(np.full((WIDTH, 6), np.nan, np.float32))
+        return len(wide_meta) - 1
+
+    def build(b: int) -> int:
+        """Wide node for binary subtree b (count(b) may exceed leaf_slots,
+        or b may be an oversized binary leaf)."""
+        nid = alloc_node()
+        if is_leaf[b] and count(b) > leaf_slots:
+            # Oversized binary leaf: chunk it. Chunks share b's box.
+            chunks = [
+                (base, min(leaf_slots, int(hi[b]) - base))
+                for base in range(int(lo[b]), int(hi[b]), leaf_slots)
+            ]
+            slots: list[tuple[int, np.ndarray]] = []
+            for base, cnt in chunks[: WIDTH - 1]:
+                slots.append((emit_group(base, cnt), _box_of(b)))
+            rest = chunks[WIDTH - 1 :]
+            if len(rest) == 1:
+                slots.append((emit_group(*rest[0]), _box_of(b)))
+            elif rest:
+                # Too many chunks for one node: chain via a pseudo subtree.
+                slots.append((build_chunks(rest, b), _box_of(b)))
+            _fill(nid, slots)
+            return nid
+
+        # Collect up to WIDTH sub-roots by repeatedly expanding the largest
+        # still-oversized interior element.
+        elems = [b]
+        while len(elems) < WIDTH:
+            cand = [
+                e for e in elems if not is_leaf[e] and count(e) > leaf_slots
+            ]
+            if not cand:
+                break
+            e = max(cand, key=count)
+            i = elems.index(e)
+            elems[i : i + 1] = [int(meta[e, 0]), int(meta[e, 1])]
+
+        slots = []
+        for e in elems:
+            if count(e) <= leaf_slots:
+                slots.append((emit_group(int(lo[e]), count(e)), _box_of(e)))
+            else:
+                slots.append((build(e), _box_of(e)))
+        _fill(nid, slots)
+        return nid
+
+    def build_chunks(chunks: list[tuple[int, int]], box_node: int) -> int:
+        nid = alloc_node()
+        slots = []
+        for base, cnt in chunks[: WIDTH - 1]:
+            slots.append((emit_group(base, cnt), _box_of(box_node)))
+        rest = chunks[WIDTH - 1 :]
+        if len(rest) == 1:
+            slots.append((emit_group(*rest[0]), _box_of(box_node)))
+        elif rest:
+            slots.append((build_chunks(rest, box_node), _box_of(box_node)))
+        _fill(nid, slots)
+        return nid
+
+    def _box_of(b: int) -> np.ndarray:
+        return np.concatenate([aabb_min[b], aabb_max[b]]).astype(np.float32)
+
+    def _fill(nid: int, slots: list[tuple[int, np.ndarray]]) -> None:
+        assert len(slots) <= WIDTH
+        for c, (m, box) in enumerate(slots):
+            wide_meta[nid][c] = m
+            wide_boxes[nid][c] = box
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 10000))
+    try:
+        root = build(0)
+    finally:
+        sys.setrecursionlimit(old_limit)
+    assert root == 0
+
+    nn = len(wide_meta)
+    meta_arr = np.stack(wide_meta).astype(np.int32)  # (Nn, 8)
+    boxes_arr = np.zeros((nn * WIDTH * WIDTH, WIDTH), np.float32)
+    order_arr = np.zeros((nn, WIDTH * WIDTH), np.int32)
+    for n in range(nn):
+        wb = wide_boxes[n]  # (8, 6) child-major, NaN on empty slots
+        center = (wb[:, 0:3] + wb[:, 3:6]) * 0.5  # (8, 3); NaN on empties
+        for oct_ in range(WIDTH):
+            sign = np.where(
+                [oct_ & 1, oct_ & 2, oct_ & 4], -1.0, 1.0
+            )  # ray-direction signs for this octant
+            key = center @ sign
+            key = np.where(np.isnan(key), -np.inf, key)  # empties last
+            # Push order far-to-near along the ray: descending center.sign.
+            perm = np.argsort(-key, kind="stable")
+            order_arr[n, oct_ * WIDTH : (oct_ + 1) * WIDTH] = meta_arr[
+                n, perm
+            ]
+            r0 = (n * WIDTH + oct_) * WIDTH
+            boxes_arr[r0 : r0 + WIDTH, 0:6] = wb[perm]
+
+    # Leaf slabs (lane width stays 128: slots pad with rejecting rows
+    # when leaf_slots < 128 so the physical tile is always full).
+    ng = len(groups)
+    tris = np.zeros((ng * grows, 128), np.float32)
+    tri = np.asarray(tri_isect, np.float32)
+    sub_w = leaf_slots // sub
+    for g, (glo, gcnt) in enumerate(groups):
+        r0 = g * grows
+        rows = tri[glo : glo + gcnt]  # (cnt, 9)
+        tris[r0 : r0 + 9, :gcnt] = rows.T
+        tris[r0 + 9, :gcnt] = np.arange(glo, glo + gcnt, dtype=np.float32)
+        tris[r0 + 9, gcnt:] = -1.0
+        # Sub-cluster AABBs from triangle vertices (v0, v0+e1, v0+e2):
+        # sub s at row r0 + 10 + s, bounds on lanes 0..5.
+        for s in range(sub):
+            a, b2 = s * sub_w, min((s + 1) * sub_w, gcnt)
+            if a >= gcnt:
+                tris[r0 + 10 + s, 0:6] = np.nan
+                continue
+            v0 = rows[a:b2, 0:3]
+            v1 = v0 + rows[a:b2, 3:6]
+            v2 = v0 + rows[a:b2, 6:9]
+            allv = np.concatenate([v0, v1, v2], axis=0)
+            tris[r0 + 10 + s, 0:3] = allv.min(axis=0)
+            tris[r0 + 10 + s, 3:6] = allv.max(axis=0)
+
+    return WideBVH(meta=meta_arr, order=order_arr, boxes=boxes_arr,
+                   tris=tris, leaf_slots=leaf_slots, sub=sub)

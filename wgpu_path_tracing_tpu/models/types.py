@@ -313,6 +313,17 @@ def pack_device_scene(scene: SceneArrays, cluster_k: int = 64):
         bvh_aabb[:max(b, 1)], bvh_meta[:max(b, 1)], tri_isect[:t]
     )
 
+    # Wide-BVH tables for the in-kernel block walk (ops/walk.py) — the
+    # default large-scene intersector when the slabs fit in VMEM.
+    from wgpu_path_tracing_tpu.accel.bvh8 import build_wide_bvh
+
+    wide = build_wide_bvh(
+        scene.bvh_aabb_min if b else np.zeros((1, 3), np.float32),
+        scene.bvh_aabb_max if b else np.zeros((1, 3), np.float32),
+        bvh_meta[:b] if b else np.zeros((1, 4), np.int32),
+        tri_isect[:t],
+    )
+
     return {
         "tri_isect": tri_isect,
         "tri_full": tri_full,
@@ -326,5 +337,9 @@ def pack_device_scene(scene: SceneArrays, cluster_k: int = 64):
         "cluster_aabb": cluster_aabb,
         "pairs_tris": pairs_tris,
         "pairs_super_aabb": pairs_super_aabb,
+        "walk_meta": wide.meta,
+        "walk_order": wide.order,
+        "walk_boxes": wide.boxes,
+        "walk_tris": wide.tris,
         "atlas": np.asarray(atlas, np.float32),
     }

@@ -308,12 +308,13 @@ def closest_hit_bvh_linked(
 def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: int):
     """Pick the intersection strategy for this scene (static decision).
 
-    ``intersector``: "auto" (brute below brute_max_tris, else cluster on TPU
-    / linked-BVH on CPU), or force one of "brute" / "cluster"(via non-"bvh"
-    on TPU) / "bvh" (stackless linked walk) / "stack" (per-ray fixed-stack
-    while_loop — the literal pt.wgsl:248-296 shape; measured ~0.09 Mrays/s
-    on TPU because of the (N, 64) stack scatters, kept as a selectable
-    CPU-side oracle, not a production path).
+    ``intersector``: "auto" (brute below brute_max_tris, else on TPU the
+    wide-BVH block walk when its VMEM slabs fit — falling back to pair
+    dispatch — and linked-BVH on CPU), or force one of "brute" / "walk" /
+    "pairs" / "cluster" / "bvh" (stackless linked walk) / "stack" (per-ray
+    fixed-stack while_loop — the literal pt.wgsl:248-296 shape; measured
+    ~0.09 Mrays/s on TPU because of the (N, 64) stack scatters, kept as a
+    selectable CPU-side oracle, not a production path).
 
     Returns closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False)
     taking SoA (3, N) origin/direction arrays (cheap row concats at call
@@ -374,21 +375,52 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
             )
 
     elif intersector != "bvh" and jax.default_backend() not in ("cpu", "gpu"):
-        # Large scenes on TPU: entry-sorted pair dispatch over subtree
-        # clusters (ops/pairs.py).
-        from wgpu_path_tracing_tpu.ops.pairs import closest_hit_pairs
+        # Large scenes on TPU. Default: in-kernel wide-BVH block walk
+        # (ops/walk.py) — hierarchy + triangle slabs VMEM-resident, one
+        # grid step per ray block (1.35x the pair dispatch on the 103k-tri
+        # sweep). Falls back to the entry-sorted pair dispatch
+        # (ops/pairs.py) when the slabs exceed the VMEM budget, or when
+        # forced with intersector="pairs".
+        def _nbytes(a):  # works on tracers (shape/dtype only)
+            return a.size * a.dtype.itemsize
 
-        def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False):
-            return closest_hit_pairs(
-                scene["pairs_super_aabb"],
-                scene["pairs_tris"],
-                ro3,
-                rd3,
-                active=active,
-                t_max=t_max,
-                num_tris=num_tris,
-                any_hit=any_hit,
-            )
+        walk_bytes = (
+            _nbytes(scene["walk_tris"]) + _nbytes(scene["walk_boxes"])
+        ) if "walk_tris" in scene else 1 << 62
+        use_walk = intersector == "walk" or (
+            intersector == "auto" and walk_bytes <= 80 * 1024 * 1024
+        )
+        if use_walk:
+            from wgpu_path_tracing_tpu.ops.walk import closest_hit_walk
+
+            def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False):
+                return closest_hit_walk(
+                    scene["walk_meta"],
+                    scene["walk_order"],
+                    scene["walk_boxes"],
+                    scene["walk_tris"],
+                    ro3,
+                    rd3,
+                    active=active,
+                    t_max=t_max,
+                    num_tris=num_tris,
+                    any_hit=any_hit,
+                )
+
+        else:
+            from wgpu_path_tracing_tpu.ops.pairs import closest_hit_pairs
+
+            def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False):
+                return closest_hit_pairs(
+                    scene["pairs_super_aabb"],
+                    scene["pairs_tris"],
+                    ro3,
+                    rd3,
+                    active=active,
+                    t_max=t_max,
+                    num_tris=num_tris,
+                    any_hit=any_hit,
+                )
 
     else:
         bvh_nodes = jnp.concatenate(

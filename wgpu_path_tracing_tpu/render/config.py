@@ -19,7 +19,8 @@ TPU-specific knobs (no reference equivalent):
   including its conditional draw schedule; "hash" is a statistically stronger
   counter-based mode (decorrelated across draws) for production renders.
 * ``intersector`` — "auto" picks dense all-rays×all-triangles for small
-  scenes (VPU-optimal, zero gathers) and batched BVH traversal otherwise.
+  scenes (VPU-optimal, zero gathers) and the in-kernel wide-BVH block walk
+  (ops/walk.py) otherwise, with pair dispatch as the out-of-VMEM fallback.
 * ``frames_per_chunk`` — samples accumulated per jit dispatch (scan length).
 """
 
@@ -58,7 +59,7 @@ class RenderConfig:
 
     # TPU execution
     rng: str = "reference"  # "reference" | "hash"
-    intersector: str = "auto"  # "auto" | "brute" | "bvh" | "cluster" | "stack"
+    intersector: str = "auto"  # "auto"|"brute"|"walk"|"pairs"|"bvh"|"cluster"|"stack"
     bounce_kernel: str = "auto"  # "auto" | "pallas" | "xla"
     brute_force_max_tris: int = 4096  # "auto" threshold (Pallas dense wins up to here)
     frames_per_chunk: int = 16
@@ -71,7 +72,9 @@ class RenderConfig:
     def validate(self) -> "RenderConfig":
         assert self.width > 0 and self.height > 0
         assert self.rng in ("reference", "hash")
-        assert self.intersector in ("auto", "brute", "bvh", "cluster", "stack")
+        assert self.intersector in (
+            "auto", "brute", "walk", "pairs", "bvh", "cluster", "stack"
+        )
         assert self.bounce_kernel in ("auto", "pallas", "xla")
         assert self.mode in ("pt", "bvh_depth", "normal")
         return self
