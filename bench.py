@@ -12,7 +12,7 @@ across rounds. The per-config lines cover BASELINE.json's five workloads:
 4. glass-dof              glass_box.glb: transmission + IOR + depth of field
                           (HDR environment lighting is waived: the reference
                           renders miss->black, pt.wgsl:646-649 — BASELINE.md)
-5. large-100k             tessellated Cornell, 102k tris (pair-dispatch
+5. large-100k             tessellated Cornell, 102k tris (wide-BVH block-walk
                           intersector); multi-chip sharding of this config is
                           validated separately by __graft_entry__.dryrun_multichip
                           (only one physical chip is reachable here)

@@ -9,7 +9,7 @@ import pytest
 
 from wgpu_path_tracing_tpu.models.procedural import cornell_box, random_triangles
 from wgpu_path_tracing_tpu.models.types import pack_device_scene
-from wgpu_path_tracing_tpu.accel.bvh8 import build_wide_bvh, group_rows
+from wgpu_path_tracing_tpu.accel.bvh8 import SUB, build_wide_bvh, group_rows
 from wgpu_path_tracing_tpu.ops.walk import closest_hit_walk
 from wgpu_path_tracing_tpu.ops.intersect import closest_hit_brute
 
@@ -38,8 +38,8 @@ def _aimed_rays(tri_isect, n, seed=1):
     return jnp.asarray(tgt - d * 14, jnp.float32), jnp.asarray(d, jnp.float32)
 
 
-@pytest.mark.parametrize("bn", [256, 1024])
-def test_walk_matches_brute(scene, bn):
+@pytest.mark.parametrize("bn,ways", [(256, 1), (256, 2), (1024, 2)])
+def test_walk_matches_brute(scene, bn, ways):
     ro, rd = _aimed_rays(scene["tri_isect"], 1024)
     t_b, i_b = closest_hit_brute(jnp.asarray(scene["tri_isect"]), ro, rd)
     t_w, i_w = closest_hit_walk(
@@ -49,6 +49,7 @@ def test_walk_matches_brute(scene, bn):
         num_tris=scene["tri_isect"].shape[0],
         interpret=True,
         bn=bn,
+        ways=ways,
     )
     i_b, i_w, t_b, t_w = map(np.asarray, (i_b, i_w, t_b, t_w))
     hb = i_b >= 0
@@ -125,7 +126,7 @@ def test_walk_cornell_box():
 def test_wide_bvh_tables_cover_all_triangles(scene):
     """Every global triangle index appears exactly once across leaf slabs."""
     tris = np.asarray(scene["walk_tris"])
-    grows = group_rows(8)
+    grows = group_rows(SUB)
     idx_rows = tris.reshape(-1, grows, 128)[:, 9, :]
     got = np.sort(idx_rows[idx_rows >= 0].astype(np.int64))
     np.testing.assert_array_equal(got, np.arange(scene["tri_isect"].shape[0]))

@@ -25,8 +25,9 @@ lanes):
   components, row 9 = the GLOBAL triangle index (exact in f32 below 2^24;
   -1 on padding slots), rows 10..10+sub = the sub-cluster AABBs (sub c at
   row 10 + c, bounds on lanes 0..5) gating Moller-Trumbore per
-  (leaf_slots/sub)-tri sub-cluster. SUB=8 (16-slot sub-clusters) measured
-  best on the 103k-tri sweep: 126.9 ms vs 134.9 ms at SUB=4.
+  (leaf_slots/sub)-tri sub-cluster. SUB=16 (8-slot sub-clusters) measured
+  best on the 103k-tri sweep (halves MT tests/ray vs SUB=8 for ~5% more
+  gate work; the packed-bitmask gates make sub granularity nearly free).
 
 Reference counterpart: the per-thread binary stack walk of pt.wgsl:248-296.
 The wide collapse and slab layout have no reference equivalent — they are
@@ -43,7 +44,7 @@ import numpy as np
 
 WIDTH = 8
 LEAF_SLOTS = 128  # triangle slots per leaf group (one slab of lanes)
-SUB = 8  # sub-clusters per leaf group, the MT gating unit
+SUB = 16  # sub-clusters per leaf group, the MT gating unit
 
 
 def group_rows(sub: int) -> int:

@@ -48,56 +48,96 @@ from wgpu_path_tracing_tpu.accel.bvh8 import LEAF_SLOTS, SUB, WIDTH, group_rows
 EPSILON = 1e-6
 INF = np.float32(np.inf)
 
-BN = 1024  # rays per block (one grid step)
+BN = 4096  # rays per block (measured best on the 103k-tri sweep: larger
+# blocks amortize per-visit machinery; 104.4 ms vs 117.3 ms at 1024)
+WAYS = 1  # independent blocks interleaved per grid step; >1 measured a
+# wash on the 103k sweep (cost tracks visits, not handoffs) — kept as a
+# tested knob for scenes with different visit/VPU balance
 MAX_STACK = 512
 
 
 def _walk_kernel(bn: int, max_stack: int, stats: bool,
-                 leaf_slots: int = LEAF_SLOTS, sub: int = SUB):
+                 leaf_slots: int = LEAF_SLOTS, sub: int = SUB,
+                 ways: int = 1):
     sub_w = leaf_slots // sub
     grows = group_rows(sub)
 
     def kernel(meta_ref, ord_ref, rays_ref, lim_ref, box_ref, tri_ref,
                t_out, i_out, *rest):
         if stats:
-            (stat_out, best_t, best_i, limcur, ctn, oct_s, wb, stack,
-             stack_tn) = rest
+            (stat_out, best_t, best_i, limcur, oct_s, pk, wbq, stack,
+             stack_tq) = rest
         else:
-            (best_t, best_i, limcur, ctn, oct_s, wb, stack,
-             stack_tn) = rest
+            (best_t, best_i, limcur, oct_s, pk, wbq, stack,
+             stack_tq) = rest
             stat_out = None
-        # Lane-major per-ray state: every (1, bn) op costs bn/1024 vregs
-        # (the (bn, 1) sublane-major layout costs 16x more — measured).
-        ox = rays_ref[0:1, :]
-        oy = rays_ref[1:2, :]
-        oz = rays_ref[2:3, :]
-        dx = rays_ref[3:4, :]
-        dy = rays_ref[4:5, :]
-        dz = rays_ref[5:6, :]
-        ix = rays_ref[6:7, :]
-        iy = rays_ref[7:8, :]
-        iz = rays_ref[8:9, :]
-        lim0 = lim_ref[...]
 
-        best_t[...] = jnp.full((1, bn), INF)
-        best_i[...] = jnp.full((1, bn), -1, jnp.int32)
-        limcur[...] = lim0
-        wb[0] = jnp.max(lim0)  # block-max live limit (pop-time culling)
-        # Majority ray-direction octant selects the precomputed child push
-        # order (one vector->scalar handoff per block).
-        half = jnp.float32(bn / 2)
-        b0 = jnp.sum((dx < 0).astype(jnp.float32)) > half
-        b1 = jnp.sum((dy < 0).astype(jnp.float32)) > half
-        b2 = jnp.sum((dz < 0).astype(jnp.float32)) > half
-        oct_s[0] = (
-            b0.astype(jnp.int32)
-            + 2 * b1.astype(jnp.int32)
-            + 4 * b2.astype(jnp.int32)
-        ) * WIDTH
-        stack[0] = jnp.int32(0)
-        stack_tn[0] = jnp.float32(-jnp.inf)
+        # ``ways`` independent ray blocks walk the tree concurrently inside
+        # one grid step, each with its own stack/limit/octant state. The
+        # per-visit serial chain (pop -> slab test -> reduce -> scalar push)
+        # is LATENCY-bound, not VPU-bound; interleaving the ways' chains in
+        # program order lets way B's vector work issue while way A's scalar
+        # phase waits on its reduce, hiding most of the handoff latency.
+        class Way:
+            pass
 
-        def entry_tn(slab, rows):
+        wv = []
+        for w in range(ways):
+            s = slice(w * bn, (w + 1) * bn)
+            y = Way()
+            # Lane-major per-ray state: every (1, bn) op costs bn/1024
+            # vregs (the (bn, 1) sublane layout costs 16x more — measured).
+            y.s = s
+            y.ox = rays_ref[0:1, s]
+            y.oy = rays_ref[1:2, s]
+            y.oz = rays_ref[2:3, s]
+            y.dx = rays_ref[3:4, s]
+            y.dy = rays_ref[4:5, s]
+            y.dz = rays_ref[5:6, s]
+            y.ix = rays_ref[6:7, s]
+            y.iy = rays_ref[7:8, s]
+            y.iz = rays_ref[8:9, s]
+            y.lim0 = lim_ref[0:1, s]
+            wv.append(y)
+
+        for w, y in enumerate(wv):
+            best_t[0:1, y.s] = jnp.full((1, bn), INF)
+            best_i[0:1, y.s] = jnp.full((1, bn), -1, jnp.int32)
+            limcur[0:1, y.s] = y.lim0
+            # Block-max live limit for pop-time culling, kept as a 16-bit
+            # MONOTONIC KEY: for x >= 0, float32 bit patterns order like
+            # the values, so (bits >> 16) is an order-preserving,
+            # round-down quantization. Entry distances are stored
+            # round-down and the limit round-up, so the quantized compare
+            # never culls a subtree the exact compare would keep.
+            # (bitcast before the max reduce: integer max of the bit
+            # patterns IS the max's pattern, and Mosaic only lowers vector
+            # bitcasts.)
+            wbq[w] = (
+                jnp.max(
+                    jax.lax.bitcast_convert_type(
+                        jnp.maximum(y.lim0, 0.0), jnp.int32
+                    )
+                )
+                + 0xFFFF
+            ) >> 16
+            # Majority ray-direction octant selects the precomputed child
+            # push order (one vector->scalar handoff per block).
+            half = jnp.float32(bn / 2)
+            b0 = jnp.sum((y.dx < 0).astype(jnp.float32)) > half
+            b1 = jnp.sum((y.dy < 0).astype(jnp.float32)) > half
+            b2 = jnp.sum((y.dz < 0).astype(jnp.float32)) > half
+            oct_s[w] = (
+                b0.astype(jnp.int32)
+                + 2 * b1.astype(jnp.int32)
+                + 4 * b2.astype(jnp.int32)
+            ) * WIDTH
+            stack[w, 0] = jnp.int32(0)
+            stack_tq[w, 0] = jnp.int32(0)
+            y.oc = oct_s[w] // WIDTH  # octant (hoisted out of the walk)
+            y.oc8 = oct_s[w]  # octant * WIDTH (ordered-meta row base)
+
+        def entry_tn(y, slab, rows):
             # slab: (rows, 8) child-major bounds rows [min3|max3]; returns
             # (rows, 1) block-min entry distance (inf = no ray enters).
             mnx = slab[:, 0:1]
@@ -106,12 +146,12 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
             mxx = slab[:, 3:4]
             mxy = slab[:, 4:5]
             mxz = slab[:, 5:6]
-            t1x = (mnx - ox) * ix
-            t2x = (mxx - ox) * ix
-            t1y = (mny - oy) * iy
-            t2y = (mxy - oy) * iy
-            t1z = (mnz - oz) * iz
-            t2z = (mxz - oz) * iz
+            t1x = (mnx - y.ox) * y.ix
+            t2x = (mxx - y.ox) * y.ix
+            t1y = (mny - y.oy) * y.iy
+            t2y = (mxy - y.oy) * y.iy
+            t1z = (mnz - y.oz) * y.iz
+            t2z = (mxz - y.oz) * y.iz
             tn = jnp.maximum(
                 jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
                 jnp.minimum(t1z, t2z),
@@ -120,130 +160,184 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                 jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
                 jnp.maximum(t1z, t2z),
             )
-            enter = (tf >= tn) & (tf >= 0.0) & (tn <= limcur[...])
+            enter = (tf >= tn) & (tf >= 0.0) & (tn <= limcur[0:1, y.s])
             return jnp.min(
                 jnp.where(enter, tn, INF), axis=1, keepdims=True
             )
 
-        oc = oct_s[0] // WIDTH  # octant index
-        oc8 = oct_s[0]  # octant * WIDTH (ordered-meta row base)
-
         def body(carry):
-            sp, n_int, n_leaf, n_sub = carry
-            node = stack[sp - 1]
-            tn_pushed = stack_tn[sp - 1]
-            sp = sp - 1
-            # Pop-time culling: everything in this subtree is farther than
-            # the worst live per-ray limit recorded since the push.
-            live = tn_pushed <= wb[0]
-            is_interior = live & (node >= 0)
-            is_leaf = live & (node < 0)
-            safe_nid = jnp.where(node >= 0, node, 0)
+            sps = list(carry[:ways])
+            n_int, n_leaf, n_sub = carry[ways:]
 
-            @pl.when(is_interior)
-            def _interior():
-                # Octant-ordered slab: row k = k-th child in push order.
-                slab = box_ref[pl.ds((safe_nid * WIDTH + oc) * WIDTH, 8), :]
-                ctn[...] = entry_tn(slab, WIDTH)  # (8, 1), push order
+            # Phase 1 (scalar): pop one entry per live way.
+            for w, y in enumerate(wv):
+                alive = sps[w] > 0
+                top = jnp.maximum(sps[w] - 1, 0)
+                y.node = stack[w, top]
+                # Pop-time culling (quantized keys): the subtree is farther
+                # than the worst live per-ray limit since the push.
+                y.live = alive & (stack_tq[w, top] <= wbq[w])
+                sps[w] = top
+                y.is_interior = y.live & (y.node >= 0)
+                y.is_leaf = y.live & (y.node < 0)
+                y.safe_nid = jnp.where(y.node >= 0, y.node, 0)
 
-            @pl.when(is_leaf)
-            def _leaf():
-                g = -node - 1
-                r0 = g * grows
-                # Sub-cluster boxes: rows 10..10+sub, bounds on lanes 0..5.
-                sb = tri_ref[pl.ds(r0 + 10, sub), 0:8]  # (sub, 8)
-                sub_tn = entry_tn(sb, sub)  # (sub, 1)
-                if sub < WIDTH:
-                    sub_tn = jnp.concatenate(
-                        [sub_tn, jnp.full((WIDTH - sub, 1), INF)], axis=0
+            # Phase 2 (vector, async): slab tests; results handed to the
+            # scalar core as a few SMEM words written by vector reduces
+            # (one entered bitmask + four packed 16-bit entry keys) rather
+            # than 8-16 per-child VMEM scalar reads.
+            for w, y in enumerate(wv):
+
+                @pl.when(y.is_interior)
+                def _interior(w=w, y=y):
+                    # Octant-ordered slab: row k = k-th child in push order.
+                    slab = box_ref[
+                        pl.ds((y.safe_nid * WIDTH + y.oc) * WIDTH, 8), :
+                    ]
+                    tn = entry_tn(y, slab, WIDTH)  # (8, 1), push order
+                    kcol = jax.lax.broadcasted_iota(
+                        jnp.int32, (WIDTH, 1), 0
                     )
-                ctn[...] = sub_tn
+                    pk[w, 4] = jnp.sum(
+                        jnp.where(tn < INF, jnp.int32(1) << kcol, 0)
+                    )
+                    q = (
+                        jax.lax.bitcast_convert_type(
+                            jnp.maximum(tn, 0.0), jnp.int32
+                        )
+                        >> 16
+                    )  # round-down 16-bit keys (q <= tn in key order)
+                    val = jnp.where(kcol % 2 == 0, q, q << 16)
+                    pk[w, 0] = jnp.sum(jnp.where(kcol // 2 == 0, val, 0))
+                    pk[w, 1] = jnp.sum(jnp.where(kcol // 2 == 1, val, 0))
+                    pk[w, 2] = jnp.sum(jnp.where(kcol // 2 == 2, val, 0))
+                    pk[w, 3] = jnp.sum(jnp.where(kcol // 2 == 3, val, 0))
 
-            n_int = n_int + is_interior.astype(jnp.int32)
-            n_leaf = n_leaf + is_leaf.astype(jnp.int32)
-
-            # Leaf: Moller-Trumbore per entered sub-cluster.
-            for c in range(sub):
-                hit_sub = is_leaf & (ctn[c, 0] < INF)
-                n_sub = n_sub + hit_sub.astype(jnp.int32)
-
-                @pl.when(hit_sub)
-                def _mt(c=c):
-                    g = -node - 1
+                @pl.when(y.is_leaf)
+                def _leaf(w=w, y=y):
+                    g = -y.node - 1
                     r0 = g * grows
-                    lo, hi = c * sub_w, (c + 1) * sub_w
-                    slab = tri_ref[pl.ds(r0, 10), lo:hi]  # (10, 32)
-                    tr = jnp.swapaxes(slab, 0, 1)  # (32, 10): tri-major
-                    v0x = tr[:, 0:1]
-                    v0y = tr[:, 1:2]
-                    v0z = tr[:, 2:3]
-                    e1x = tr[:, 3:4]
-                    e1y = tr[:, 4:5]
-                    e1z = tr[:, 5:6]
-                    e2x = tr[:, 6:7]
-                    e2y = tr[:, 7:8]
-                    e2z = tr[:, 8:9]
-                    gidx = tr[:, 9:10]
-
-                    hx = dy * e2z - dz * e2y
-                    hy = dz * e2x - dx * e2z
-                    hz = dx * e2y - dy * e2x
-                    a = e1x * hx + e1y * hy + e1z * hz
-                    fInv = 1.0 / a
-                    sx = ox - v0x
-                    sy = oy - v0y
-                    sz = oz - v0z
-                    u = fInv * (sx * hx + sy * hy + sz * hz)
-                    qx = sy * e1z - sz * e1y
-                    qy = sz * e1x - sx * e1z
-                    qz = sx * e1y - sy * e1x
-                    v = fInv * (dx * qx + dy * qy + dz * qz)
-                    tt = fInv * (e2x * qx + e2y * qy + e2z * qz)
-                    valid = (
-                        (jnp.abs(a) >= EPSILON)
-                        & (u >= 0.0)
-                        & (u <= 1.0)
-                        & (v >= 0.0)
-                        & (u + v <= 1.0)
-                        & (tt > EPSILON)
-                        & (gidx >= 0.0)
+                    # Sub-cluster boxes: rows 10..10+sub, lanes 0..5.
+                    sb = tri_ref[pl.ds(r0 + 10, sub), 0:8]  # (sub, 8)
+                    sub_tn = entry_tn(y, sb, sub)  # (sub, 1)
+                    ccol = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
+                    pk[w, 4] = jnp.sum(
+                        jnp.where(sub_tn < INF, jnp.int32(1) << ccol, 0)
                     )
-                    t_masked = jnp.where(valid, tt, INF)  # (32, bn)
-                    min_t = jnp.min(t_masked, axis=0, keepdims=True)
-                    idx_m = jnp.where(t_masked == min_t, gidx, INF)
-                    min_idx = jnp.min(idx_m, axis=0, keepdims=True)
-                    cur = best_t[...]
-                    better = min_t < cur
-                    new_t = jnp.where(better, min_t, cur)
-                    best_t[...] = new_t
-                    best_i[...] = jnp.where(
-                        better, min_idx.astype(jnp.int32), best_i[...]
+
+                n_int = n_int + y.is_interior.astype(jnp.int32)
+                n_leaf = n_leaf + y.is_leaf.astype(jnp.int32)
+
+            # Phase 3: per way, consume the packed words — Moller-Trumbore
+            # per entered sub-cluster, one limit refresh per leaf visit,
+            # pushes in the precomputed far-to-near octant order (LIFO
+            # pops nearest first; packed words are already in push order).
+            for w, y in enumerate(wv):
+                msk = pk[w, 4]
+                for c in range(sub):
+                    hit_sub = y.is_leaf & (((msk >> c) & 1) != 0)
+                    n_sub = n_sub + hit_sub.astype(jnp.int32)
+
+                    @pl.when(hit_sub)
+                    def _mt(c=c, w=w, y=y):
+                        g = -y.node - 1
+                        r0 = g * grows
+                        lo, hi = c * sub_w, (c + 1) * sub_w
+                        slab = tri_ref[pl.ds(r0, 10), lo:hi]
+                        tr = jnp.swapaxes(slab, 0, 1)  # (sub_w, 10)
+                        v0x = tr[:, 0:1]
+                        v0y = tr[:, 1:2]
+                        v0z = tr[:, 2:3]
+                        e1x = tr[:, 3:4]
+                        e1y = tr[:, 4:5]
+                        e1z = tr[:, 5:6]
+                        e2x = tr[:, 6:7]
+                        e2y = tr[:, 7:8]
+                        e2z = tr[:, 8:9]
+                        gidx = tr[:, 9:10]
+
+                        hx = y.dy * e2z - y.dz * e2y
+                        hy = y.dz * e2x - y.dx * e2z
+                        hz = y.dx * e2y - y.dy * e2x
+                        a = e1x * hx + e1y * hy + e1z * hz
+                        fInv = 1.0 / a
+                        sx = y.ox - v0x
+                        sy = y.oy - v0y
+                        sz = y.oz - v0z
+                        u = fInv * (sx * hx + sy * hy + sz * hz)
+                        qx = sy * e1z - sz * e1y
+                        qy = sz * e1x - sx * e1z
+                        qz = sx * e1y - sy * e1x
+                        v = fInv * (y.dx * qx + y.dy * qy + y.dz * qz)
+                        tt = fInv * (e2x * qx + e2y * qy + e2z * qz)
+                        valid = (
+                            (jnp.abs(a) >= EPSILON)
+                            & (u >= 0.0)
+                            & (u <= 1.0)
+                            & (v >= 0.0)
+                            & (u + v <= 1.0)
+                            & (tt > EPSILON)
+                            & (gidx >= 0.0)
+                        )
+                        t_masked = jnp.where(valid, tt, INF)  # (sub_w, bn)
+                        min_t = jnp.min(t_masked, axis=0, keepdims=True)
+                        idx_m = jnp.where(t_masked == min_t, gidx, INF)
+                        min_idx = jnp.min(idx_m, axis=0, keepdims=True)
+                        cur = best_t[0:1, y.s]
+                        better = min_t < cur
+                        new_t = jnp.where(better, min_t, cur)
+                        best_t[0:1, y.s] = new_t
+                        best_i[0:1, y.s] = jnp.where(
+                            better,
+                            min_idx.astype(jnp.int32),
+                            best_i[0:1, y.s],
+                        )
+
+                # One limit refresh per leaf visit (the sub gates used the
+                # visit-entry limit anyway; intra-visit updates only ever
+                # helped FUTURE visits).
+                @pl.when(y.is_leaf & (msk != 0))
+                def _refresh_limit(w=w, y=y):
+                    lc = jnp.minimum(best_t[0:1, y.s], y.lim0)
+                    limcur[0:1, y.s] = lc
+                    wbq[w] = (
+                        jnp.max(
+                            jax.lax.bitcast_convert_type(
+                                jnp.maximum(lc, 0.0), jnp.int32
+                            )
+                        )
+                        + 0xFFFF
+                    ) >> 16  # round-up key vs round-down tn keys
+
+                sp = sps[w]
+                for k in range(WIDTH):
+                    tq_c = (pk[w, k // 2] >> (16 * (k % 2))) & 0xFFFF
+                    m = ord_ref[y.safe_nid, y.oc8 + k]
+                    do_push = (
+                        y.is_interior & (((msk >> k) & 1) != 0) & (m != 0)
                     )
-                    lc = jnp.minimum(new_t, lim0)
-                    limcur[...] = lc
-                    wb[0] = jnp.max(lc)
+                    old_n = stack[w, sp]
+                    old_t = stack_tq[w, sp]
+                    stack[w, sp] = jnp.where(do_push, m, old_n)
+                    stack_tq[w, sp] = jnp.where(do_push, tq_c, old_t)
+                    sp = sp + do_push.astype(jnp.int32)
+                sps[w] = sp
 
-            # Interior: push entered children in the precomputed
-            # far-to-near octant order (LIFO pops nearest first). ctn is
-            # already in push order (octant-ordered slabs), so each child
-            # costs one static ctn read + one ordered-meta read.
-            for k in range(WIDTH):
-                tn_c = ctn[k, 0]
-                m = ord_ref[safe_nid, oc8 + k]
-                do_push = is_interior & (tn_c < INF) & (m != 0)
-                old_n = stack[sp]
-                old_t = stack_tn[sp]
-                stack[sp] = jnp.where(do_push, m, old_n)
-                stack_tn[sp] = jnp.where(do_push, tn_c, old_t)
-                sp = sp + do_push.astype(jnp.int32)
+            return (*sps, n_int, n_leaf, n_sub)
 
-            return sp, n_int, n_leaf, n_sub
+        def cond(carry):
+            any_live = carry[0] > 0
+            for w in range(1, ways):
+                any_live = any_live | (carry[w] > 0)
+            return any_live
 
-        _, n_int, n_leaf, n_sub = jax.lax.while_loop(
-            lambda c: c[0] > 0,
+        out = jax.lax.while_loop(
+            cond,
             body,
-            (jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+            tuple([jnp.int32(1)] * ways)
+            + (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
         )
+        n_int, n_leaf, n_sub = out[ways:]
 
         t_out[...] = best_t[...]
         i_out[...] = best_i[...]
@@ -260,7 +354,7 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("num_tris", "any_hit", "interpret", "bn", "stats",
-                     "leaf_slots", "sub"),
+                     "leaf_slots", "sub", "ways"),
 )
 def closest_hit_walk(
     walk_meta,
@@ -278,12 +372,14 @@ def closest_hit_walk(
     stats: bool = False,
     leaf_slots: int = LEAF_SLOTS,
     sub: int = SUB,
+    ways: int = WAYS,
 ):
     """Wide-BVH block walk closest hit. Returns (t, idx); idx == -1 on miss.
 
     walk_meta (Nn, 8) i32, walk_order (Nn, 64) i32, walk_boxes (Nn*64, 8)
     f32, walk_tris (Ng*group_rows(sub), 128) f32 from accel/bvh8.py;
-    ro/rd: (3, N) SoA or (N, 3) AoS.
+    ro/rd: (3, N) SoA or (N, 3) AoS. ``ways`` independent bn-ray blocks
+    interleave per grid step to hide per-visit handoff latency.
     """
     del any_hit  # limit-based culling handles shadow rays uniformly
     if ro.shape[0] == 3 and ro.shape[1] != 3:
@@ -297,13 +393,14 @@ def closest_hit_walk(
         active_l = active
     limit0 = jnp.where(active_l, INF if t_max is None else t_max, -INF)
 
-    pad = (-n) % bn
+    step = bn * ways
+    pad = (-n) % step
     if pad:
         ro3 = jnp.pad(ro3, ((0, 0), (0, pad)))
         rd3 = jnp.pad(rd3, ((0, 0), (0, pad)), constant_values=1.0)
         limit0 = jnp.pad(limit0, (0, pad), constant_values=-INF)
     np_ = ro3.shape[1]
-    nb = np_ // bn
+    nb = np_ // step
 
     rays = jnp.concatenate(
         [ro3, rd3, 1.0 / rd3, jnp.zeros((7, np_), ro3.dtype)], axis=0
@@ -314,9 +411,9 @@ def closest_hit_walk(
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((16, bn), lambda p, m, o: (0, p),
+            pl.BlockSpec((16, step), lambda p, m, o: (0, p),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda p, m, o: (0, p),
+            pl.BlockSpec((1, step), lambda p, m, o: (0, p),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(walk_boxes.shape, lambda p, m, o: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -324,25 +421,25 @@ def closest_hit_walk(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bn), lambda p, m, o: (0, p),
+            pl.BlockSpec((1, step), lambda p, m, o: (0, p),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda p, m, o: (0, p),
+            pl.BlockSpec((1, step), lambda p, m, o: (0, p),
                          memory_space=pltpu.VMEM),
         ] + ([pl.BlockSpec((8, 128), lambda p, m, o: (0, p),
                            memory_space=pltpu.VMEM)] if stats else []),
         scratch_shapes=[
-            pltpu.VMEM((1, bn), jnp.float32),  # best_t
-            pltpu.VMEM((1, bn), jnp.int32),  # best_i
-            pltpu.VMEM((1, bn), jnp.float32),  # limcur = min(best_t, lim0)
-            pltpu.VMEM((WIDTH, 1), jnp.float32),  # per-child block entry tn
-            pltpu.SMEM((1,), jnp.int32),  # octant * WIDTH (push-order base)
-            pltpu.SMEM((1,), jnp.float32),  # worst live limit (pop culling)
-            pltpu.SMEM((MAX_STACK,), jnp.int32),  # DFS stack: node ids
-            pltpu.SMEM((MAX_STACK,), jnp.float32),  # entry tn at push
+            pltpu.VMEM((1, step), jnp.float32),  # best_t
+            pltpu.VMEM((1, step), jnp.int32),  # best_i
+            pltpu.VMEM((1, step), jnp.float32),  # limcur = min(best_t, lim0)
+            pltpu.SMEM((ways,), jnp.int32),  # octant * WIDTH per way
+            pltpu.SMEM((ways, 8), jnp.int32),  # packed child keys + mask
+            pltpu.SMEM((ways,), jnp.int32),  # worst live limit, 16-bit key
+            pltpu.SMEM((ways, MAX_STACK), jnp.int32),  # DFS stacks
+            pltpu.SMEM((ways, MAX_STACK), jnp.int32),  # entry keys at push
         ],
     )
     outs = pl.pallas_call(
-        _walk_kernel(bn, MAX_STACK, stats, leaf_slots, sub),
+        _walk_kernel(bn, MAX_STACK, stats, leaf_slots, sub, ways),
         grid_spec=grid_spec,
         # The scene tables are deliberately VMEM-resident (loaded once,
         # reused every grid step); v5e has 128 MiB of VMEM, well above the
