@@ -132,6 +132,34 @@ def test_wide_bvh_tables_cover_all_triangles(scene):
     np.testing.assert_array_equal(got, np.arange(scene["tri_isect"].shape[0]))
 
 
+def test_wide_native_matches_python():
+    """The C++ collapse (accel/cbvh/wide_collapse.cpp) must be
+    bit-identical to the NumPy one — same expansion rule, emission order,
+    octant sort keys, and f32 sub-box sweeps."""
+    from wgpu_path_tracing_tpu.accel.native import native_available
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    for seed, n in ((7, 2000), (11, 300)):
+        sc = random_triangles(n, seed=seed)
+        tri = np.zeros((n, 9), np.float32)
+        tri[:, 0:3] = sc.tri_v0
+        tri[:, 3:6] = sc.tri_v1 - sc.tri_v0
+        tri[:, 6:9] = sc.tri_v2 - sc.tri_v0
+        py = build_wide_bvh(sc.bvh_aabb_min, sc.bvh_aabb_max, sc.bvh_meta,
+                            tri, prefer_native=False)
+        nat = build_wide_bvh(sc.bvh_aabb_min, sc.bvh_aabb_max, sc.bvh_meta,
+                             tri, prefer_native=True)
+        np.testing.assert_array_equal(py.meta, nat.meta)
+        np.testing.assert_array_equal(py.order, nat.order)
+        np.testing.assert_array_equal(
+            py.boxes.view(np.uint32), nat.boxes.view(np.uint32)
+        )
+        np.testing.assert_array_equal(
+            py.tris.view(np.uint32), nat.tris.view(np.uint32)
+        )
+
+
 def test_wide_bvh_degenerate_empty():
     from wgpu_path_tracing_tpu.accel.bvh8 import WideBVH
 

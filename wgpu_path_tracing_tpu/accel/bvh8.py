@@ -84,14 +84,29 @@ def build_wide_bvh(
     tri_isect: np.ndarray,
     leaf_slots: int = LEAF_SLOTS,
     sub: int = SUB,
+    prefer_native: bool = True,
 ) -> WideBVH:
     """Collapse the binary BVH into the walk kernel's wide tables.
 
     ``tri_isect``: (T, 9) [v0, e1, e2] rows in BVH (DFS) triangle order —
-    leaf groups copy them into lane-major slabs.
+    leaf groups copy them into lane-major slabs. Uses the native C++
+    collapse (accel/cbvh/wide_collapse.cpp, bit-identical by test) when
+    the toolchain is available, the NumPy path below otherwise.
     """
     t = int(tri_isect.shape[0])
     grows = group_rows(sub)
+    if t > 0 and prefer_native:
+        from wgpu_path_tracing_tpu.accel.native import (
+            build_wide_native,
+            native_available,
+        )
+
+        if native_available():
+            wm, wo, wb, wt = build_wide_native(
+                aabb_min, aabb_max, meta, tri_isect, leaf_slots, sub, grows
+            )
+            return WideBVH(meta=wm, order=wo, boxes=wb, tris=wt,
+                           leaf_slots=leaf_slots, sub=sub)
     if t == 0:
         # Degenerate: one node, all children empty.
         m = np.zeros((1, WIDTH), np.int32)

@@ -1,10 +1,12 @@
-"""ctypes bridge to the native C++ BVH builder (accel/cbvh/bvh_builder.cpp).
+"""ctypes bridge to the native C++ scene-prep kernels (accel/cbvh/).
 
-The reference's host preprocessing is TypeScript; here the hot host path (SAH
-BVH over 100k+ triangle scenes) has a native implementation, compiled lazily
-with g++ into a cached shared object. Falls back to the NumPy builder
-(accel/bvh.py) when no toolchain is available; outputs are bit-identical by
-construction (tests/test_cbvh.py enforces it).
+The reference's host preprocessing is TypeScript; here the hot host paths
+(SAH BVH over 100k+ triangle scenes, bvh_builder.cpp; the wide-BVH walk
+table collapse, wide_collapse.cpp) have native implementations, compiled
+lazily with g++ into one cached shared object. Falls back to the NumPy
+builders (accel/bvh.py, accel/bvh8.py) when no toolchain is available;
+outputs are bit-identical by construction (tests/test_cbvh.py and
+tests/test_walk.py enforce it).
 """
 
 from __future__ import annotations
@@ -19,10 +21,17 @@ import numpy as np
 
 from wgpu_path_tracing_tpu.accel.bvh import BVH, build_bvh as build_bvh_numpy
 
-_SRC = os.path.join(os.path.dirname(__file__), "cbvh", "bvh_builder.cpp")
+_SRCS = [
+    os.path.join(os.path.dirname(__file__), "cbvh", "bvh_builder.cpp"),
+    os.path.join(os.path.dirname(__file__), "cbvh", "wide_collapse.cpp"),
+]
 _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
 _LIB_FAILED = False
+
+_F32P = ctypes.POINTER(ctypes.c_float)
+_I32P = ctypes.POINTER(ctypes.c_int32)
+_I64P = ctypes.POINTER(ctypes.c_int64)
 
 
 def _compile_library() -> ctypes.CDLL | None:
@@ -33,11 +42,11 @@ def _compile_library() -> ctypes.CDLL | None:
     so_path = os.path.join(cache_dir, "libwptbvh.so")
     if not (
         os.path.exists(so_path)
-        and os.path.getmtime(so_path) >= os.path.getmtime(_SRC)
+        and all(os.path.getmtime(so_path) >= os.path.getmtime(s) for s in _SRCS)
     ):
         cmd = [
             "g++", "-O3", "-march=native", "-shared", "-fPIC",
-            "-o", so_path + ".tmp", _SRC,
+            "-o", so_path + ".tmp", *_SRCS,
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -50,16 +59,21 @@ def _compile_library() -> ctypes.CDLL | None:
         return None
     lib.wpt_build_bvh.restype = ctypes.c_int64
     lib.wpt_build_bvh.argtypes = [
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_float),
+        _F32P, _F32P, _F32P,
         ctypes.c_int64,
         ctypes.c_int32,
         ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int64),
+        _F32P, _F32P, _I32P, _I64P,
+    ]
+    lib.wpt_wide_counts.restype = ctypes.c_int64
+    lib.wpt_wide_counts.argtypes = [
+        _I32P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, _I64P, _I64P,
+    ]
+    lib.wpt_build_wide.restype = ctypes.c_int64
+    lib.wpt_build_wide.argtypes = [
+        _F32P, _F32P, _I32P, ctypes.c_int64, _F32P, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        _I32P, _I32P, _F32P, _F32P, ctypes.c_int64, ctypes.c_int64,
     ]
     return lib
 
@@ -127,3 +141,63 @@ def build_bvh(v0, v1, v2, max_leaf_size: int = 4, num_bins: int = 12) -> BVH:
     if np.asarray(v0).shape[0] >= 1 and native_available():
         return build_bvh_native(v0, v1, v2, max_leaf_size, num_bins)
     return build_bvh_numpy(v0, v1, v2, max_leaf_size, num_bins)
+
+
+def build_wide_native(
+    aabb_min: np.ndarray,
+    aabb_max: np.ndarray,
+    meta: np.ndarray,
+    tri_isect: np.ndarray,
+    leaf_slots: int,
+    sub: int,
+    grows: int,
+):
+    """Native wide-BVH collapse (accel/cbvh/wide_collapse.cpp); returns
+    (meta, order, boxes, tris) arrays bit-identical to the NumPy collapse
+    (accel/bvh8.py). Raises RuntimeError if the library is unavailable or
+    the native build disagrees with its own count pass."""
+    if not native_available():
+        raise RuntimeError("native wide collapse unavailable (g++ failed?)")
+    t = int(tri_isect.shape[0])
+    b = int(meta.shape[0])
+    assert t > 0 and b > 0
+
+    meta_c = np.ascontiguousarray(meta, np.int32)
+    amin_c = np.ascontiguousarray(aabb_min, np.float32)
+    amax_c = np.ascontiguousarray(aabb_max, np.float32)
+    tri_c = np.ascontiguousarray(tri_isect, np.float32)
+
+    nn = ctypes.c_int64()
+    ng = ctypes.c_int64()
+    rc = _LIB.wpt_wide_counts(
+        meta_c.ctypes.data_as(_I32P), b, t, leaf_slots,
+        ctypes.byref(nn), ctypes.byref(ng),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native wide count failed (rc={rc})")
+    nn, ng = nn.value, ng.value
+
+    wmeta = np.empty((nn, 8), np.int32)
+    worder = np.empty((nn, 64), np.int32)
+    wboxes = np.empty((nn * 64, 8), np.float32)
+    wtris = np.empty((ng * grows, 128), np.float32)
+    rc = _LIB.wpt_build_wide(
+        amin_c.ctypes.data_as(_F32P),
+        amax_c.ctypes.data_as(_F32P),
+        meta_c.ctypes.data_as(_I32P),
+        b,
+        tri_c.ctypes.data_as(_F32P),
+        t,
+        leaf_slots,
+        sub,
+        grows,
+        wmeta.ctypes.data_as(_I32P),
+        worder.ctypes.data_as(_I32P),
+        wboxes.ctypes.data_as(_F32P),
+        wtris.ctypes.data_as(_F32P),
+        nn,
+        ng,
+    )
+    if rc != 0:
+        raise RuntimeError(f"native wide collapse failed (rc={rc})")
+    return wmeta, worder, wboxes, wtris
