@@ -13,8 +13,9 @@ compiles once: the scene is padded to a fixed triangle count
 fixed dummy arrays. The RNG is deterministic per frame index, so RMSE
 comparisons between candidates are noise-consistent.
 
-Usage:  python tools/replica_fit.py [rounds] [size] [spp]
+Usage:  python tools/replica_fit.py [rounds] [size] [spp] [step_scale]
 Prints the improved REPLICA_PARAMS dict to paste back into replica.py.
+``step_scale`` shrinks the initial steps for refinement passes.
 """
 
 from __future__ import annotations
@@ -118,6 +119,7 @@ def main():
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 192
     spp = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    scale = float(sys.argv[4]) if len(sys.argv) > 4 else 1.0
     evaluate = make_eval(size, spp)
 
     best = dict(REPLICA_PARAMS)
@@ -126,7 +128,7 @@ def main():
     print(f"start rmse={cur:.4f} ({time.time() - t0:.1f}s first eval)",
           flush=True)
 
-    steps = dict(FIT_SPEC)
+    steps = {k: v * scale for k, v in FIT_SPEC}
     for rnd in range(rounds):
         improved = False
         for name, _ in FIT_SPEC:

@@ -128,22 +128,23 @@ def _load_monkey(center, scale: float, yaw: float = 0.0):
 # golden (tools/replica_fit.py hill-climbs these at fixed compile shapes).
 # Values are the fitted optimum; geometry intent documented inline below.
 REPLICA_PARAMS: dict[str, float] = {
-    # Fitted by tools/replica_fit.py (3-round coordinate descent at
-    # 192^2/32spp against the golden): RMSE 0.1725 -> 0.1204 at fit
-    # resolution. Geometry intent unchanged; values are the optimum.
-    "ped_cx": -0.48, "ped_cz": -0.25, "ped_w": 0.30, "ped_h": 0.85,
+    # Fitted by tools/replica_fit.py (two coordinate-descent passes at
+    # 192^2/32spp against the golden, the second with 0.4x steps):
+    # official 512^2/256spp RMSE 0.164 (hand-placed) -> 0.1066.
+    # Geometry intent unchanged; values are the fitted optimum.
+    "ped_cx": -0.464, "ped_cz": -0.234, "ped_w": 0.324, "ped_h": 0.85,
     "ped_d": 0.3, "ped_yaw": 4.0,
     "glass1_r": 0.17,
-    "cube_cx": 0.52, "cube_cz": -0.27, "cube_s": 0.39, "cube_yaw": 47.0,
+    "cube_cx": 0.528, "cube_cz": -0.318, "cube_s": 0.402, "cube_yaw": 47.0,
     "glass2_r": 0.105,
-    "chrome_cx": -0.12, "chrome_cz": 0.2, "chrome_r": 0.07,
-    "fig_cx": 0.75, "fig_cz": 0.43, "fig_base_w": 0.18, "fig_base_h": 0.10,
-    "fig_base_d": 0.28, "fig_body_r": 0.23, "fig_head_r": 0.19,
-    "monkey_cx": -0.62, "monkey_cz": 0.52, "monkey_s": 0.3,
+    "chrome_cx": -0.06, "chrome_cz": 0.2, "chrome_r": 0.046,
+    "fig_cx": 0.73, "fig_cz": 0.42, "fig_base_w": 0.174, "fig_base_h": 0.098,
+    "fig_base_d": 0.352, "fig_body_r": 0.23, "fig_head_r": 0.198,
+    "monkey_cx": -0.62, "monkey_cz": 0.49, "monkey_s": 0.28,
     "monkey_yaw": 8.0,
-    "light_strength": 17.4,
-    "brown_r": 0.50, "brown_g": 0.07, "brown_b": 0.08,
-    "base_r": 0.20, "base_g": 0.27, "base_b": 0.23,
+    "light_strength": 18.84,
+    "brown_r": 0.532, "brown_g": 0.07, "brown_b": 0.064,
+    "base_r": 0.26, "base_g": 0.33, "base_b": 0.29,
 }
 
 
