@@ -121,19 +121,27 @@ def _bounce_kernel(do_mis, num_lights, atlas_hw=None):
              shadow_ray_ref, stmax_ref, smask_ref, sdirect_ref,
              spdf_ref) = refs
             atlas = None
-        rays_v = ray_ref[...]  # (6, 8, 128)
-        thr_v = thr_ref[...]
-        res_v = res_ref[...]
+        # 2D (rows, BN) blocks keep the operand/result layouts
+        # bitcast-compatible with the (rows, N) arrays the intersection
+        # kernels use (the old (rows, 8, 128) 3D blocks forced a relayout
+        # copy fusion on every kernel boundary — ~9% of the headline
+        # chunk, measured by xprof). INSIDE the kernel each row is
+        # reshaped to a full (8, 128) vreg: a (1, BN) lane vector would
+        # run the ~300-op shading chain at 1/8 sublane utilization
+        # (measured 3.3x slower end-to-end).
+        def row(ref, r):
+            return ref[r : r + 1, :].reshape(8, 128)
+
         st = TRACE.BounceState(
-            ro=V3(rays_v[0], rays_v[1], rays_v[2]),
-            rd=V3(rays_v[3], rays_v[4], rays_v[5]),
-            throughput=V3(thr_v[0], thr_v[1], thr_v[2]),
-            result=V3(res_v[0], res_v[1], res_v[2]),
-            alive=alive_ref[0] != 0,
-            state=state_ref[0],
+            ro=V3(row(ray_ref, 0), row(ray_ref, 1), row(ray_ref, 2)),
+            rd=V3(row(ray_ref, 3), row(ray_ref, 4), row(ray_ref, 5)),
+            throughput=V3(row(thr_ref, 0), row(thr_ref, 1), row(thr_ref, 2)),
+            result=V3(row(res_ref, 0), row(res_ref, 1), row(res_ref, 2)),
+            alive=row(alive_ref, 0) != 0,
+            state=row(state_ref, 0),
         )
-        t = t_ref[0]
-        idx = idx_ref[0]
+        t = row(t_ref, 0)
+        idx = row(idx_ref, 0)
 
         def fetch_tri(safe_idx):
             rows = _select_rows(tri_ref, safe_idx,
@@ -150,32 +158,35 @@ def _bounce_kernel(do_mis, num_lights, atlas_hw=None):
             do_mis=do_mis, num_lights=num_lights,
         )
 
-        oray_ref[0] = new_st.ro.x
-        oray_ref[1] = new_st.ro.y
-        oray_ref[2] = new_st.ro.z
-        oray_ref[3] = new_st.rd.x
-        oray_ref[4] = new_st.rd.y
-        oray_ref[5] = new_st.rd.z
-        ostate_ref[0] = new_st.state
-        othr_ref[0] = new_st.throughput.x
-        othr_ref[1] = new_st.throughput.y
-        othr_ref[2] = new_st.throughput.z
-        ores_ref[0] = new_st.result.x
-        ores_ref[1] = new_st.result.y
-        ores_ref[2] = new_st.result.z
-        oalive_ref[0] = new_st.alive.astype(jnp.int32)
-        shadow_ray_ref[0] = shadow.origin.x
-        shadow_ray_ref[1] = shadow.origin.y
-        shadow_ray_ref[2] = shadow.origin.z
-        shadow_ray_ref[3] = shadow.direction.x
-        shadow_ray_ref[4] = shadow.direction.y
-        shadow_ray_ref[5] = shadow.direction.z
-        stmax_ref[0] = shadow.t_max
-        smask_ref[0] = shadow.mask.astype(jnp.int32)
-        sdirect_ref[0] = shadow.direct.x
-        sdirect_ref[1] = shadow.direct.y
-        sdirect_ref[2] = shadow.direct.z
-        spdf_ref[0] = shadow.pdf
+        def put(ref, r, v):
+            ref[r : r + 1, :] = v.reshape(1, BN)
+
+        put(oray_ref, 0, new_st.ro.x)
+        put(oray_ref, 1, new_st.ro.y)
+        put(oray_ref, 2, new_st.ro.z)
+        put(oray_ref, 3, new_st.rd.x)
+        put(oray_ref, 4, new_st.rd.y)
+        put(oray_ref, 5, new_st.rd.z)
+        put(ostate_ref, 0, new_st.state)
+        put(othr_ref, 0, new_st.throughput.x)
+        put(othr_ref, 1, new_st.throughput.y)
+        put(othr_ref, 2, new_st.throughput.z)
+        put(ores_ref, 0, new_st.result.x)
+        put(ores_ref, 1, new_st.result.y)
+        put(ores_ref, 2, new_st.result.z)
+        put(oalive_ref, 0, new_st.alive.astype(jnp.int32))
+        put(shadow_ray_ref, 0, shadow.origin.x)
+        put(shadow_ray_ref, 1, shadow.origin.y)
+        put(shadow_ray_ref, 2, shadow.origin.z)
+        put(shadow_ray_ref, 3, shadow.direction.x)
+        put(shadow_ray_ref, 4, shadow.direction.y)
+        put(shadow_ray_ref, 5, shadow.direction.z)
+        put(stmax_ref, 0, shadow.t_max)
+        put(smask_ref, 0, shadow.mask.astype(jnp.int32))
+        put(sdirect_ref, 0, shadow.direct.x)
+        put(sdirect_ref, 1, shadow.direct.y)
+        put(sdirect_ref, 2, shadow.direct.z)
+        put(spdf_ref, 0, shadow.pdf)
 
     return kernel
 
@@ -206,13 +217,11 @@ def bounce_stage_pallas(
     nb = n // BN
     bidx = jnp.reshape(bounce_idx, (1,)).astype(jnp.int32)
 
-    # Lane blocks are (8, 128) vregs: every (rows, N) array is viewed as
-    # (rows, NB*8, 128) — a free reshape — and blocked (rows, 8, 128).
-    def shape3(a, rows):
-        return a.reshape(rows, nb * 8, 128)
-
+    # 2D lane blocks (rows, BN): bitcast-compatible with the (rows, N)
+    # layouts of the intersection kernels on both sides of this stage, so
+    # XLA inserts no relayout copies at the boundaries.
     def row_spec(rows):
-        return pl.BlockSpec((rows, 8, 128), lambda i, b: (0, i, 0),
+        return pl.BlockSpec((rows, BN), lambda i, b: (0, i),
                             memory_space=pltpu.VMEM)
 
     def table_spec(shape):
@@ -225,8 +234,7 @@ def bounce_stage_pallas(
         table_spec(tri_table.shape), table_spec(light_table.shape),
     ]
     operands = [
-        bidx, shape3(rays, 6), shape3(state, 1), shape3(throughput, 3),
-        shape3(result, 3), shape3(alive, 1), shape3(t, 1), shape3(idx, 1),
+        bidx, rays, state, throughput, result, alive, t, idx,
         tri_table, light_table,
     ]
     if atlas_hw is not None:
@@ -241,25 +249,24 @@ def bounce_stage_pallas(
             row_spec(6), row_spec(1), row_spec(1), row_spec(3), row_spec(1),
         ],
     )
-    g = nb * 8
     outs = pl.pallas_call(
         _bounce_kernel(do_mis, num_lights, atlas_hw),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((6, g, 128), jnp.float32),
-            jax.ShapeDtypeStruct((1, g, 128), jnp.uint32),
-            jax.ShapeDtypeStruct((3, g, 128), jnp.float32),
-            jax.ShapeDtypeStruct((3, g, 128), jnp.float32),
-            jax.ShapeDtypeStruct((1, g, 128), jnp.int32),
-            jax.ShapeDtypeStruct((6, g, 128), jnp.float32),
-            jax.ShapeDtypeStruct((1, g, 128), jnp.float32),
-            jax.ShapeDtypeStruct((1, g, 128), jnp.int32),
-            jax.ShapeDtypeStruct((3, g, 128), jnp.float32),
-            jax.ShapeDtypeStruct((1, g, 128), jnp.float32),
+            jax.ShapeDtypeStruct((6, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.uint32),
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((6, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
         ],
         interpret=interpret,
     )(*operands)
-    return [o.reshape(o.shape[0], n) for o in outs]
+    return list(outs)
 
 
 def atlas_fits_vmem(scene) -> bool:
