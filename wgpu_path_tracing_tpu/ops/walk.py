@@ -58,7 +58,7 @@ MAX_STACK = 512
 
 def _walk_kernel(bn: int, max_stack: int, stats: bool,
                  leaf_slots: int = LEAF_SLOTS, sub: int = SUB,
-                 ways: int = 1):
+                 ways: int = 1, any_hit: bool = False):
     sub_w = leaf_slots // sub
     grows = group_rows(sub)
 
@@ -298,7 +298,16 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                 # helped FUTURE visits).
                 @pl.when(y.is_leaf & (msk != 0))
                 def _refresh_limit(w=w, y=y):
-                    lc = jnp.minimum(best_t[0:1, y.s], y.lim0)
+                    if any_hit:
+                        # Shadow semantics: ANY hit below the limit settles
+                        # the lane — drop its limit to -inf so every later
+                        # entry test rejects it and pop culling drains the
+                        # stack once the whole block is occluded.
+                        lc = jnp.where(
+                            best_t[0:1, y.s] < y.lim0, -INF, y.lim0
+                        )
+                    else:
+                        lc = jnp.minimum(best_t[0:1, y.s], y.lim0)
                     limcur[0:1, y.s] = lc
                     wbq[w] = (
                         jnp.max(
@@ -379,9 +388,10 @@ def closest_hit_walk(
     walk_meta (Nn, 8) i32, walk_order (Nn, 64) i32, walk_boxes (Nn*64, 8)
     f32, walk_tris (Ng*group_rows(sub), 128) f32 from accel/bvh8.py;
     ro/rd: (3, N) SoA or (N, 3) AoS. ``ways`` independent bn-ray blocks
-    interleave per grid step to hide per-visit handoff latency.
+    interleave per grid step to hide per-visit handoff latency. With
+    ``any_hit`` the returned t is SOME hit below t_max (not necessarily
+    the closest) — occluded lanes stop traversing immediately.
     """
-    del any_hit  # limit-based culling handles shadow rays uniformly
     if ro.shape[0] == 3 and ro.shape[1] != 3:
         ro3, rd3 = ro, rd
     else:
@@ -439,7 +449,8 @@ def closest_hit_walk(
         ],
     )
     outs = pl.pallas_call(
-        _walk_kernel(bn, MAX_STACK, stats, leaf_slots, sub, ways),
+        _walk_kernel(bn, MAX_STACK, stats, leaf_slots, sub, ways,
+                     any_hit and t_max is not None),
         grid_spec=grid_spec,
         # The scene tables are deliberately VMEM-resident (loaded once,
         # reused every grid step); v5e has 128 MiB of VMEM, well above the
