@@ -38,7 +38,10 @@ from wgpu_path_tracing_tpu.ops.vec import V3
 BN = 1024
 SELECT_CHUNK = 512  # one-hot select chunk over table rows
 
-MAX_VMEM_TRIS = 4096
+MAX_VMEM_TRIS = 16384  # denormalized table stays VMEM-small (~3 MB); the
+# one-hot fetch cost grows with rows but still beats the XLA bounce's HBM
+# round-trips at this size (measured: glass_box 11.8k tris 4.2 -> see
+# BASELINE.md; cap re-measured round 2)
 MAX_VMEM_ATLAS_TEXELS = 128 * 128  # in-kernel atlas sampling bound
 
 
