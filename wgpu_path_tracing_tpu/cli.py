@@ -48,6 +48,9 @@ def _build_renderer(args):
         rng=args.rng,
         intersector=args.intersector,
         spot_lights=getattr(args, "spot_lights", False),
+        env_map=getattr(args, "env_map", None),
+        env_intensity=getattr(args, "env_intensity", 1.0),
+        env_rotation=math.radians(getattr(args, "env_rotation", 0.0)),
     )
     cam = Camera(
         width=args.width,
@@ -254,6 +257,12 @@ def main(argv=None) -> int:
                     help="also write the linear radiance as Radiance RGBE .hdr")
     pr.add_argument("--exr", metavar="PATH",
                     help="also write the linear radiance as OpenEXR (f32)")
+    pr.add_argument("--env-map", default=None, metavar="PATH",
+                    help="equirect environment map (.hdr/.exr/LDR) — an "
+                         "extension; default keeps reference miss->black")
+    pr.add_argument("--env-intensity", type=float, default=1.0)
+    pr.add_argument("--env-rotation", type=float, default=0.0,
+                    help="environment yaw in degrees")
     pr.add_argument("--spot-lights", action="store_true",
                     help="render KHR spot lights (extension; the reference "
                          "warns-and-skips them, gpu.ts:234-236)")

@@ -342,4 +342,9 @@ def pack_device_scene(scene: SceneArrays, cluster_k: int = 64):
         "walk_boxes": wide.boxes,
         "walk_tris": wide.tris,
         "atlas": np.asarray(atlas, np.float32),
+        # Environment lighting extension (ops/env.py): 1x1 placeholder =
+        # disabled (reference parity: miss -> black, pt.wgsl:646-649).
+        # Renderer.set_environment swaps in a real (H, W, 3) map.
+        "env": np.zeros((1, 1, 3), np.float32),
+        "env_params": np.array([1.0, 0.0], np.float32),  # intensity, rot
     }

@@ -75,11 +75,14 @@ def bounce_core(
     atlas,
     do_mis: bool,
     num_lights: int,
+    env=None,
 ) -> tuple[BounceState, ShadowQuery]:
     """Shading stage of one bounce, between closest-hit and shadow resolve.
 
     fetch_tri(idx) / fetch_light(idx) return column accessors for the
-    denormalized triangle / light rows.
+    denormalized triangle / light rows. ``env`` (optional, ops/env.py) is
+    an rd -> V3 radiance sampler added on MISS — an extension over the
+    reference's miss -> black (pt.wgsl:646-649); None keeps exact parity.
     """
     found = st.alive & (idx >= 0)
     safe = jnp.maximum(idx, 0)
@@ -95,6 +98,11 @@ def bounce_core(
     result = st.result + vec.where(
         emissive, st.throughput * hit.emission * atten, zero3
     )
+    if env is not None:
+        missed = st.alive & (idx < 0)
+        result = result + vec.where(
+            missed, st.throughput * env(st.rd), zero3
+        )
 
     cont = found & ~emissive
 
@@ -186,6 +194,11 @@ def trace(
     if textured is None:
         textured = scene["atlas"].shape[0] > 1 or scene["atlas"].shape[1] > 1
     atlas = scene["atlas"] if textured else None
+    env = None
+    if "env" in scene:
+        from wgpu_path_tracing_tpu.ops.env import make_env_sampler
+
+        env = make_env_sampler(scene["env"], scene["env_params"])
 
     def fetch_tri(idx):
         row = fetch_rows(scene["tri_full"], idx)
@@ -216,7 +229,7 @@ def trace(
         st, shadow = bounce_core(
             st, t, idx, bounce_idx,
             fetch_tri=fetch_tri, fetch_light=fetch_light, atlas=atlas,
-            do_mis=do_mis, num_lights=num_lights,
+            do_mis=do_mis, num_lights=num_lights, env=env,
         )
         if do_mis:
             counters = counters.at[1].add(jnp.sum(shadow.mask.astype(jnp.int32)))

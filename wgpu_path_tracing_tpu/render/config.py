@@ -65,6 +65,12 @@ class RenderConfig:
     frames_per_chunk: int = 16
     dtype: str = "float32"
 
+    # Environment lighting EXTENSION (ops/env.py): None keeps reference
+    # parity (miss -> black, pt.wgsl:646-649). Path to .hdr/.exr/LDR.
+    env_map: str | None = None
+    env_intensity: float = 1.0
+    env_rotation: float = 0.0  # radians, yaw
+
     # Debug render modes (ports of pt_bvh.wgsl / pt_debug.wgsl)
     # "pt" (full path trace) | "bvh_depth" | "normal"
     mode: str = "pt"

@@ -101,12 +101,48 @@ class Renderer:
     def load_scene(self, scene: SceneArrays) -> None:
         self.scene = scene
         packed = pack_device_scene(scene)
+        if self.config.env_map is not None:
+            from wgpu_path_tracing_tpu.ops.env import load_env_image
+            import numpy as np
+
+            packed["env"] = load_env_image(self.config.env_map)
+            packed["env_params"] = np.array(
+                [self.config.env_intensity, self.config.env_rotation],
+                np.float32,
+            )
         if self.mesh is not None:
             from wgpu_path_tracing_tpu.parallel import shard as SH
 
             self._scene_dev = SH.replicate_scene(packed, self.mesh)
         else:
             self._scene_dev = jax.device_put(packed)
+        self.reset()
+
+    def set_environment(self, source, intensity: float = 1.0,
+                        rotation: float = 0.0) -> None:
+        """Install (or clear, with ``source=None``) an equirectangular
+        environment map — an extension over the reference's miss -> black
+        (pt.wgsl:646-649). ``source``: (H, W, 3) array or .hdr/.exr/LDR
+        path; ``rotation`` in radians. Resets accumulation."""
+        import numpy as np
+
+        if self._scene_dev is None:
+            raise RuntimeError("Load a scene first")
+        from wgpu_path_tracing_tpu.ops.env import load_env_image
+
+        if source is None:
+            env = np.zeros((1, 1, 3), np.float32)
+        else:
+            env = load_env_image(source)
+        params = np.array([intensity, rotation], np.float32)
+        updates = {"env": env, "env_params": params}
+        if self.mesh is not None:
+            from wgpu_path_tracing_tpu.parallel import shard as SH
+
+            updates = SH.replicate_scene(updates, self.mesh)
+        else:
+            updates = jax.device_put(updates)
+        self._scene_dev = {**self._scene_dev, **updates}
         self.reset()
 
     def load_model(self, path: str) -> None:
