@@ -21,7 +21,6 @@ def scene():
 
 def _walk_args(scene):
     return (
-        jnp.asarray(scene["walk_meta"]),
         jnp.asarray(scene["walk_order"]),
         jnp.asarray(scene["walk_boxes"]),
         jnp.asarray(scene["walk_tris"]),
@@ -172,7 +171,6 @@ def test_wide_bvh_degenerate_empty():
     assert isinstance(wb, WideBVH)
     assert wb.num_nodes == 1
     t_w, i_w = closest_hit_walk(
-        jnp.asarray(wb.meta),
         jnp.asarray(wb.order),
         jnp.asarray(wb.boxes),
         jnp.asarray(wb.tris),

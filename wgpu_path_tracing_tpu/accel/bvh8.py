@@ -45,6 +45,27 @@ import numpy as np
 WIDTH = 8
 LEAF_SLOTS = 128  # triangle slots per leaf group (one slab of lanes)
 SUB = 16  # sub-clusters per leaf group, the MT gating unit
+MAX_STACK = 512  # walk-kernel DFS stack entries (ops/walk.py scratch)
+
+
+def _check_stack_depth(wmeta: np.ndarray) -> None:
+    """The walk kernel's SMEM stack holds MAX_STACK entries; a DFS pushes
+    at most WIDTH-1 extra entries per interior level, so the wide-tree
+    depth bounds the worst case. Children are allocated after their
+    parent (pre-order), so one reverse sweep computes depths."""
+    nn = wmeta.shape[0]
+    depth = np.ones(nn, np.int64)
+    for n in range(nn - 1, -1, -1):
+        kids = wmeta[n][wmeta[n] > 0]
+        if kids.size:
+            depth[n] = 1 + depth[kids].max()
+    need = int(depth[0]) * (WIDTH - 1) + WIDTH
+    if need > MAX_STACK:
+        raise ValueError(
+            f"wide-BVH depth {int(depth[0])} needs a {need}-entry DFS "
+            f"stack > MAX_STACK={MAX_STACK}; this tree is pathologically "
+            "deep (degenerate SAH spine) — rebuild with larger leaves"
+        )
 
 
 def group_rows(sub: int) -> int:
@@ -105,6 +126,7 @@ def build_wide_bvh(
             wm, wo, wb, wt = build_wide_native(
                 aabb_min, aabb_max, meta, tri_isect, leaf_slots, sub, grows
             )
+            _check_stack_depth(wm)
             return WideBVH(meta=wm, order=wo, boxes=wb, tris=wt,
                            leaf_slots=leaf_slots, sub=sub)
     if t == 0:
@@ -260,5 +282,6 @@ def build_wide_bvh(
             tris[r0 + 10 + s, 0:3] = allv.min(axis=0)
             tris[r0 + 10 + s, 3:6] = allv.max(axis=0)
 
+    _check_stack_depth(meta_arr)
     return WideBVH(meta=meta_arr, order=order_arr, boxes=boxes_arr,
                    tris=tris, leaf_slots=leaf_slots, sub=sub)

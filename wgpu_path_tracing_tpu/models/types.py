@@ -314,15 +314,21 @@ def pack_device_scene(scene: SceneArrays, cluster_k: int = 64):
     )
 
     # Wide-BVH tables for the in-kernel block walk (ops/walk.py) — the
-    # default large-scene intersector when the slabs fit in VMEM.
+    # default large-scene intersector when the slabs fit in VMEM. A
+    # pathologically deep tree (degenerate SAH spine beyond the kernel's
+    # DFS stack bound) simply omits the tables; the auto selection then
+    # falls back to the pair dispatch.
     from wgpu_path_tracing_tpu.accel.bvh8 import build_wide_bvh
 
-    wide = build_wide_bvh(
-        scene.bvh_aabb_min if b else np.zeros((1, 3), np.float32),
-        scene.bvh_aabb_max if b else np.zeros((1, 3), np.float32),
-        bvh_meta[:b] if b else np.zeros((1, 4), np.int32),
-        tri_isect[:t],
-    )
+    try:
+        wide = build_wide_bvh(
+            scene.bvh_aabb_min if b else np.zeros((1, 3), np.float32),
+            scene.bvh_aabb_max if b else np.zeros((1, 3), np.float32),
+            bvh_meta[:b] if b else np.zeros((1, 4), np.int32),
+            tri_isect[:t],
+        )
+    except ValueError:
+        wide = None
 
     return {
         "tri_isect": tri_isect,
@@ -337,10 +343,17 @@ def pack_device_scene(scene: SceneArrays, cluster_k: int = 64):
         "cluster_aabb": cluster_aabb,
         "pairs_tris": pairs_tris,
         "pairs_super_aabb": pairs_super_aabb,
-        "walk_meta": wide.meta,
-        "walk_order": wide.order,
-        "walk_boxes": wide.boxes,
-        "walk_tris": wide.tris,
+        # walk_meta stays host-side (the kernel reads only the ordered
+        # metas); omitting it saves the SMEM prefetch and the transfer.
+        **(
+            {
+                "walk_order": wide.order,
+                "walk_boxes": wide.boxes,
+                "walk_tris": wide.tris,
+            }
+            if wide is not None
+            else {}
+        ),
         "atlas": np.asarray(atlas, np.float32),
         # Environment lighting extension (ops/env.py): 1x1 placeholder =
         # disabled (reference parity: miss -> black, pt.wgsl:646-649).

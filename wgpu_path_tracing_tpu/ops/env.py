@@ -31,8 +31,8 @@ def make_env_sampler(env, params):
     check, so jit traces the parity path with zero overhead).
     """
     h, w = env.shape[0], env.shape[1]
-    if h <= 1 and w <= 1:
-        return None
+    if h <= 1 and w <= 1:  # keep in sync with pipeline.make_trace_fn's
+        return None  # has_env (either dim > 1 enables)
     intensity = params[0]
     rotation = params[1]
 

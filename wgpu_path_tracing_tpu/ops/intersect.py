@@ -384,18 +384,19 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
         def _nbytes(a):  # works on tracers (shape/dtype only)
             return a.size * a.dtype.itemsize
 
+        have_walk = "walk_tris" in scene  # absent for pathological trees
         walk_bytes = (
             _nbytes(scene["walk_tris"]) + _nbytes(scene["walk_boxes"])
-        ) if "walk_tris" in scene else 1 << 62
-        use_walk = intersector == "walk" or (
-            intersector == "auto" and walk_bytes <= 80 * 1024 * 1024
+        ) if have_walk else 1 << 62
+        use_walk = have_walk and (
+            intersector == "walk"
+            or (intersector == "auto" and walk_bytes <= 80 * 1024 * 1024)
         )
         if use_walk:
             from wgpu_path_tracing_tpu.ops.walk import closest_hit_walk
 
             def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False):
                 return closest_hit_walk(
-                    scene["walk_meta"],
                     scene["walk_order"],
                     scene["walk_boxes"],
                     scene["walk_tris"],

@@ -43,7 +43,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from wgpu_path_tracing_tpu.accel.bvh8 import LEAF_SLOTS, SUB, WIDTH, group_rows
+from wgpu_path_tracing_tpu.accel.bvh8 import (
+    LEAF_SLOTS,
+    MAX_STACK,
+    SUB,
+    WIDTH,
+    group_rows,
+)
 
 EPSILON = 1e-6
 INF = np.float32(np.inf)
@@ -53,7 +59,6 @@ BN = 4096  # rays per block (measured best on the 103k-tri sweep: larger
 WAYS = 1  # independent blocks interleaved per grid step; >1 measured a
 # wash on the 103k sweep (cost tracks visits, not handoffs) — kept as a
 # tested knob for scenes with different visit/VPU balance
-MAX_STACK = 512
 
 
 def _walk_kernel(bn: int, max_stack: int, stats: bool,
@@ -62,7 +67,7 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
     sub_w = leaf_slots // sub
     grows = group_rows(sub)
 
-    def kernel(meta_ref, ord_ref, rays_ref, lim_ref, box_ref, tri_ref,
+    def kernel(ord_ref, rays_ref, lim_ref, box_ref, tri_ref,
                t_out, i_out, *rest):
         if stats:
             (stat_out, best_t, best_i, limcur, oct_s, pk, wbq, stack,
@@ -137,7 +142,7 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
             y.oc = oct_s[w] // WIDTH  # octant (hoisted out of the walk)
             y.oc8 = oct_s[w]  # octant * WIDTH (ordered-meta row base)
 
-        def entry_tn(y, slab, rows):
+        def entry_tn(y, slab):
             # slab: (rows, 8) child-major bounds rows [min3|max3]; returns
             # (rows, 1) block-min entry distance (inf = no ray enters).
             mnx = slab[:, 0:1]
@@ -194,7 +199,7 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                     slab = box_ref[
                         pl.ds((y.safe_nid * WIDTH + y.oc) * WIDTH, 8), :
                     ]
-                    tn = entry_tn(y, slab, WIDTH)  # (8, 1), push order
+                    tn = entry_tn(y, slab)  # (8, 1), push order
                     kcol = jax.lax.broadcasted_iota(
                         jnp.int32, (WIDTH, 1), 0
                     )
@@ -219,7 +224,7 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                     r0 = g * grows
                     # Sub-cluster boxes: rows 10..10+sub, lanes 0..5.
                     sb = tri_ref[pl.ds(r0 + 10, sub), 0:8]  # (sub, 8)
-                    sub_tn = entry_tn(y, sb, sub)  # (sub, 1)
+                    sub_tn = entry_tn(y, sb)  # (sub, 1)
                     ccol = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
                     pk[w, 4] = jnp.sum(
                         jnp.where(sub_tn < INF, jnp.int32(1) << ccol, 0)
@@ -325,11 +330,17 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                     do_push = (
                         y.is_interior & (((msk >> k) & 1) != 0) & (m != 0)
                     )
-                    old_n = stack[w, sp]
-                    old_t = stack_tq[w, sp]
-                    stack[w, sp] = jnp.where(do_push, m, old_n)
-                    stack_tq[w, sp] = jnp.where(do_push, tq_c, old_t)
-                    sp = sp + do_push.astype(jnp.int32)
+                    # Memory-safety clamp: build_wide_bvh asserts the worst
+                    # DFS depth fits MAX_STACK, so the clamp never engages
+                    # on real tables; it only bounds SMEM writes.
+                    slot = jnp.minimum(sp, max_stack - 1)
+                    old_n = stack[w, slot]
+                    old_t = stack_tq[w, slot]
+                    stack[w, slot] = jnp.where(do_push, m, old_n)
+                    stack_tq[w, slot] = jnp.where(do_push, tq_c, old_t)
+                    sp = jnp.minimum(
+                        sp + do_push.astype(jnp.int32), max_stack
+                    )
                 sps[w] = sp
 
             return (*sps, n_int, n_leaf, n_sub)
@@ -366,7 +377,6 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                      "leaf_slots", "sub", "ways"),
 )
 def closest_hit_walk(
-    walk_meta,
     walk_order,
     walk_boxes,
     walk_tris,
@@ -385,12 +395,13 @@ def closest_hit_walk(
 ):
     """Wide-BVH block walk closest hit. Returns (t, idx); idx == -1 on miss.
 
-    walk_meta (Nn, 8) i32, walk_order (Nn, 64) i32, walk_boxes (Nn*64, 8)
-    f32, walk_tris (Ng*group_rows(sub), 128) f32 from accel/bvh8.py;
-    ro/rd: (3, N) SoA or (N, 3) AoS. ``ways`` independent bn-ray blocks
-    interleave per grid step to hide per-visit handoff latency. With
-    ``any_hit`` the returned t is SOME hit below t_max (not necessarily
-    the closest) — occluded lanes stop traversing immediately.
+    walk_order (Nn, 64) i32 (per-octant ordered child metas — the only
+    scalar table the kernel needs), walk_boxes (Nn*64, 8) f32, walk_tris
+    (Ng*group_rows(sub), 128) f32 from accel/bvh8.py; ro/rd: (3, N) SoA or
+    (N, 3) AoS. ``ways`` independent bn-ray blocks interleave per grid
+    step to hide per-visit handoff latency. With ``any_hit`` the returned
+    t is SOME hit below the lane's limit (not necessarily the closest) —
+    occluded lanes stop traversing immediately.
     """
     if ro.shape[0] == 3 and ro.shape[1] != 3:
         ro3, rd3 = ro, rd
@@ -418,24 +429,24 @@ def closest_hit_walk(
     lim = limit0.reshape(1, np_)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((16, step), lambda p, m, o: (0, p),
+            pl.BlockSpec((16, step), lambda p, o: (0, p),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, step), lambda p, m, o: (0, p),
+            pl.BlockSpec((1, step), lambda p, o: (0, p),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(walk_boxes.shape, lambda p, m, o: (0, 0),
+            pl.BlockSpec(walk_boxes.shape, lambda p, o: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(walk_tris.shape, lambda p, m, o: (0, 0),
+            pl.BlockSpec(walk_tris.shape, lambda p, o: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, step), lambda p, m, o: (0, p),
+            pl.BlockSpec((1, step), lambda p, o: (0, p),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, step), lambda p, m, o: (0, p),
+            pl.BlockSpec((1, step), lambda p, o: (0, p),
                          memory_space=pltpu.VMEM),
-        ] + ([pl.BlockSpec((8, 128), lambda p, m, o: (0, p),
+        ] + ([pl.BlockSpec((8, 128), lambda p, o: (0, p),
                            memory_space=pltpu.VMEM)] if stats else []),
         scratch_shapes=[
             pltpu.VMEM((1, step), jnp.float32),  # best_t
@@ -449,8 +460,7 @@ def closest_hit_walk(
         ],
     )
     outs = pl.pallas_call(
-        _walk_kernel(bn, MAX_STACK, stats, leaf_slots, sub, ways,
-                     any_hit and t_max is not None),
+        _walk_kernel(bn, MAX_STACK, stats, leaf_slots, sub, ways, any_hit),
         grid_spec=grid_spec,
         # The scene tables are deliberately VMEM-resident (loaded once,
         # reused every grid step); v5e has 128 MiB of VMEM, well above the
@@ -464,7 +474,7 @@ def closest_hit_walk(
         ] + ([jax.ShapeDtypeStruct((8, nb * 128), jnp.int32)]
              if stats else []),
         interpret=interpret,
-    )(walk_meta, walk_order, rays, lim, walk_boxes, walk_tris)
+    )(walk_order, rays, lim, walk_boxes, walk_tris)
     t_row, i_row = outs[0], outs[1]
 
     t = t_row[0, :n]

@@ -44,7 +44,9 @@ def make_trace_fn(scene, closest_hit, *, bounce_kernel: str, max_bounces: int,
     textured = scene["atlas"].shape[0] > 1 or scene["atlas"].shape[1] > 1
     # Environment lighting (extension) currently runs on the XLA bounce
     # only; a scene with a real env map defers the Pallas megakernel.
-    has_env = "env" in scene and scene["env"].shape[0] > 1
+    has_env = "env" in scene and (
+        scene["env"].shape[0] > 1 or scene["env"].shape[1] > 1
+    )
     use_pallas = bounce_kernel == "pallas" and not has_env
     if bounce_kernel == "auto":
         from wgpu_path_tracing_tpu.ops.pallas_bounce import (
