@@ -100,6 +100,32 @@ def test_renderer_multichip_surface():
     assert np.isfinite(img).all()
 
 
+def test_renderer_multichip_env():
+    """The env-lighting extension replicates like any scene table: the
+    sharded render with a map equals the single-chip render."""
+    from wgpu_path_tracing_tpu import Renderer, RenderConfig
+    from wgpu_path_tracing_tpu.models.procedural import material_test_box
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    env = np.zeros((4, 8, 3), np.float32)
+    env[:2] = [0.3, 0.5, 0.9]
+    env[2:] = [0.1, 0.08, 0.05]
+    cfg = dict(width=WIDTH, height=HEIGHT, frames_per_chunk=4,
+               max_bounces=3)
+    r1 = Renderer(RenderConfig(**cfg))
+    r1.load_scene(material_test_box())
+    r1.set_environment(env)
+    single = r1.render(spp=4)
+
+    r8 = Renderer(RenderConfig(**cfg), devices=jax.devices())
+    r8.load_scene(material_test_box())
+    r8.set_environment(env)
+    multi = r8.render(spp=4)
+    np.testing.assert_allclose(multi, single, rtol=1e-4, atol=1e-5)
+    assert multi.sum() > 0
+
+
 def test_renderer_multichip_checkpoint(tmp_path):
     from wgpu_path_tracing_tpu import Renderer, RenderConfig
 

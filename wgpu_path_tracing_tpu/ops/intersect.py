@@ -314,7 +314,9 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
     "pairs" / "cluster" / "bvh" (stackless linked walk) / "stack" (per-ray
     fixed-stack while_loop — the literal pt.wgsl:248-296 shape; measured
     ~0.09 Mrays/s on TPU because of the (N, 64) stack scatters, kept as a
-    selectable CPU-side oracle, not a production path).
+    selectable CPU-side oracle, not a production path). A forced "walk"
+    quietly uses pair dispatch when the scene carries no walk tables
+    (pathologically deep tree, accel/bvh8.py::_check_stack_depth).
 
     Returns closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False)
     taking SoA (3, N) origin/direction arrays (cheap row concats at call

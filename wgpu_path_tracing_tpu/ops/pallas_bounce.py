@@ -5,8 +5,8 @@ the reference's megakernel does ~300 scalar ops per thread (emissive
 accumulation, NEE light sampling, BSDF eval x2, BSDF sampling, Russian
 roulette — pt.wgsl:638-709). In the plain XLA path those ops stream every
 intermediate through HBM; this kernel runs the ENTIRE shading stage —
-ops/trace.py::bounce_core, the same code, not a copy — on (1, BN) VMEM
-blocks with the triangle/material and light tables resident in VMEM and
+ops/trace.py::bounce_core, the same code, not a copy — on full (8, 128)
+vreg rows with the triangle/material and light tables resident in VMEM and
 winner rows selected by in-kernel one-hot MXU matmuls (exact: one-hot
 entries are 0/1).
 
