@@ -131,6 +131,38 @@ def test_wide_bvh_tables_cover_all_triangles(scene):
     np.testing.assert_array_equal(got, np.arange(scene["tri_isect"].shape[0]))
 
 
+def test_walk_big_leaf_groups(scene):
+    """ls=256 leaf groups (two lane-slabs per group): exact vs brute."""
+    sc = random_triangles(1500, seed=5)
+    tri = np.asarray(scene["tri_isect"])
+    wb = build_wide_bvh(sc.bvh_aabb_min, sc.bvh_aabb_max, sc.bvh_meta,
+                        tri, leaf_slots=256, sub=32)
+    ro, rd = _aimed_rays(tri, 512, seed=9)
+    t_b, i_b = closest_hit_brute(jnp.asarray(tri), ro, rd)
+    t_w, i_w = closest_hit_walk(
+        jnp.asarray(wb.order), jnp.asarray(wb.boxes), jnp.asarray(wb.tris),
+        ro, rd, num_tris=tri.shape[0], interpret=True, bn=256,
+        leaf_slots=256, sub=32,
+    )
+    i_b, i_w, t_b, t_w = map(np.asarray, (i_b, i_w, t_b, t_w))
+    diff = i_b != i_w
+    np.testing.assert_array_equal(t_b[diff], t_w[diff])
+    np.testing.assert_array_equal(i_b >= 0, i_w >= 0)
+    hb = i_b >= 0
+    np.testing.assert_allclose(t_b[hb], t_w[hb], rtol=1e-4, atol=1e-5)
+    # Native twin stays bit-identical at the wide layout too.
+    from wgpu_path_tracing_tpu.accel.native import native_available
+
+    if native_available():
+        py = build_wide_bvh(sc.bvh_aabb_min, sc.bvh_aabb_max, sc.bvh_meta,
+                            tri, leaf_slots=256, sub=32,
+                            prefer_native=False)
+        np.testing.assert_array_equal(
+            py.tris.view(np.uint32), wb.tris.view(np.uint32)
+        )
+        np.testing.assert_array_equal(py.order, wb.order)
+
+
 def test_wide_native_matches_python():
     """The C++ collapse (accel/cbvh/wide_collapse.cpp) must be
     bit-identical to the NumPy one — same expansion rule, emission order,

@@ -20,11 +20,13 @@ lanes):
 * ``order`` (Nn, 64) int32 — the child META at each push slot:
   ``order[n, oct*8 + k]`` is the k-th pushed child's meta value (same
   encoding as ``meta``; 0 = empty slot).
-* ``tris`` (Ng * group_rows(sub), 128) f32 — per leaf group a slab
-  covering 128 triangle slots on lanes: rows 0-8 = [v0, e1, e2]
+* ``tris`` (Ng * group_rows(sub), lanes) f32 with
+  ``lanes = max(leaf_slots, 128)`` — per leaf group a slab covering
+  ``leaf_slots`` triangle slots on lanes: rows 0-8 = [v0, e1, e2]
   components, row 9 = the GLOBAL triangle index (exact in f32 below 2^24;
-  -1 on padding slots), rows 10..10+sub = the sub-cluster AABBs (sub c at
-  row 10 + c, bounds on lanes 0..5) gating Moller-Trumbore per
+  -1 on padding slots), rows 16..16+sub = the sub-cluster AABBs (sub c at
+  row 16 + c, 8-aligned base, bounds on lanes 0..5) gating
+  Moller-Trumbore per
   (leaf_slots/sub)-tri sub-cluster. SUB=16 (8-slot sub-clusters) measured
   best on the 103k-tri sweep (halves MT tests/ray vs SUB=8 for ~5% more
   gate work; the packed-bitmask gates make sub granularity nearly free).
@@ -69,8 +71,11 @@ def _check_stack_depth(wmeta: np.ndarray) -> None:
 
 
 def group_rows(sub: int) -> int:
-    # 10 component rows + ``sub`` sub-box rows, padded to a sublane tile.
-    return -(-(10 + sub) // 8) * 8
+    # Rows 0-9 (components + index) padded to 16, then ``sub`` sub-box
+    # rows padded to a sublane tile: the sub-box slab must start at an
+    # 8-ALIGNED row (Mosaic requires provable sublane alignment for the
+    # walk kernel's dynamic (sub, 8) load).
+    return 16 + -(-sub // 8) * 8
 
 
 @dataclasses.dataclass
@@ -78,7 +83,7 @@ class WideBVH:
     meta: np.ndarray  # (Nn, 8) int32
     order: np.ndarray  # (Nn, 64) int32: per-octant ordered child metas
     boxes: np.ndarray  # (Nn * 64, 8) f32: per-octant ordered child slabs
-    tris: np.ndarray  # (Ng * group_rows, 128) f32
+    tris: np.ndarray  # (Ng * group_rows, max(leaf_slots, 128)) f32
     leaf_slots: int = LEAF_SLOTS
     sub: int = SUB
 
@@ -133,7 +138,7 @@ def build_wide_bvh(
         # Degenerate: one node, all children empty.
         m = np.zeros((1, WIDTH), np.int32)
         b = np.full((WIDTH * WIDTH, WIDTH), np.nan, np.float32)
-        tris = np.zeros((grows, 128), np.float32)
+        tris = np.zeros((grows, max(leaf_slots, 128)), np.float32)
         tris[9, :] = -1.0
         order = np.zeros((1, WIDTH * WIDTH), np.int32)
         return WideBVH(meta=m, order=order, boxes=b, tris=tris,
@@ -256,10 +261,11 @@ def build_wide_bvh(
             r0 = (n * WIDTH + oct_) * WIDTH
             boxes_arr[r0 : r0 + WIDTH, 0:6] = wb[perm]
 
-    # Leaf slabs (lane width stays 128: slots pad with rejecting rows
-    # when leaf_slots < 128 so the physical tile is always full).
+    # Leaf slabs: lane width = max(leaf_slots, 128) (tiles stay full
+    # 128-lane multiples; slots beyond gcnt pad with rejecting rows).
     ng = len(groups)
-    tris = np.zeros((ng * grows, 128), np.float32)
+    lanes = max(leaf_slots, 128)
+    tris = np.zeros((ng * grows, lanes), np.float32)
     tri = np.asarray(tri_isect, np.float32)
     sub_w = leaf_slots // sub
     for g, (glo, gcnt) in enumerate(groups):
@@ -269,18 +275,18 @@ def build_wide_bvh(
         tris[r0 + 9, :gcnt] = np.arange(glo, glo + gcnt, dtype=np.float32)
         tris[r0 + 9, gcnt:] = -1.0
         # Sub-cluster AABBs from triangle vertices (v0, v0+e1, v0+e2):
-        # sub s at row r0 + 10 + s, bounds on lanes 0..5.
+        # sub s at row r0 + 16 + s, bounds on lanes 0..5.
         for s in range(sub):
             a, b2 = s * sub_w, min((s + 1) * sub_w, gcnt)
             if a >= gcnt:
-                tris[r0 + 10 + s, 0:6] = np.nan
+                tris[r0 + 16 + s, 0:6] = np.nan
                 continue
             v0 = rows[a:b2, 0:3]
             v1 = v0 + rows[a:b2, 3:6]
             v2 = v0 + rows[a:b2, 6:9]
             allv = np.concatenate([v0, v1, v2], axis=0)
-            tris[r0 + 10 + s, 0:3] = allv.min(axis=0)
-            tris[r0 + 10 + s, 3:6] = allv.max(axis=0)
+            tris[r0 + 16 + s, 0:3] = allv.min(axis=0)
+            tris[r0 + 16 + s, 3:6] = allv.max(axis=0)
 
     _check_stack_depth(meta_arr)
     return WideBVH(meta=meta_arr, order=order_arr, boxes=boxes_arr,

@@ -34,6 +34,7 @@ struct Ctx {
   int32_t leaf_slots = 0;
   int32_t sub = 0;
   int32_t grows = 0;
+  int32_t lanes = 0;  // slab lane width = max(leaf_slots, 128)
   // derived
   std::vector<int64_t> lo, hi;  // subtree triangle ranges
   // emission state
@@ -243,22 +244,24 @@ void finalize(Ctx& c, int32_t* worder, float* wboxes) {
   }
 
   // Leaf slabs: rows 0-8 component-major triangles, row 9 global indices
-  // (-1 padding), rows 10..10+sub the sub-cluster boxes on lanes 0..5.
+  // (-1 padding), rows 16..16+sub the sub-cluster boxes on lanes 0..5
+  // (8-aligned base for the walk kernel's dynamic sublane load).
   const int64_t sub_w = c.leaf_slots / c.sub;
+  const int64_t lanes = c.lanes;
   for (int64_t g = 0; g < c.ng; ++g) {
     const int64_t glo = c.groups[g].first, gcnt = c.groups[g].second;
-    float* slab = &c.wtris[g * c.grows * 128];
-    std::memset(slab, 0, sizeof(float) * c.grows * 128);
+    float* slab = &c.wtris[g * c.grows * lanes];
+    std::memset(slab, 0, sizeof(float) * c.grows * lanes);
     for (int r = 0; r < 9; ++r) {
       for (int64_t j = 0; j < gcnt; ++j) {
-        slab[r * 128 + j] = c.tri[(glo + j) * 9 + r];
+        slab[r * lanes + j] = c.tri[(glo + j) * 9 + r];
       }
     }
-    for (int64_t j = 0; j < 128; ++j) {
-      slab[9 * 128 + j] = j < gcnt ? (float)(glo + j) : -1.0f;
+    for (int64_t j = 0; j < lanes; ++j) {
+      slab[9 * lanes + j] = j < gcnt ? (float)(glo + j) : -1.0f;
     }
     for (int32_t s = 0; s < c.sub; ++s) {
-      float* row = &slab[(10 + s) * 128];
+      float* row = &slab[(16 + s) * lanes];
       const int64_t a = s * sub_w;
       const int64_t b2 = std::min<int64_t>((s + 1) * sub_w, gcnt);
       if (a >= gcnt) {
@@ -321,11 +324,11 @@ int64_t wpt_wide_counts(const int32_t* meta, int64_t nnodes, int64_t T,
 int64_t wpt_build_wide(const float* amin, const float* amax,
                        const int32_t* meta, int64_t nnodes, const float* tri,
                        int64_t T, int32_t leaf_slots, int32_t sub,
-                       int32_t grows, int32_t* wmeta, int32_t* worder,
-                       float* wboxes, float* wtris, int64_t nn_cap,
-                       int64_t ng_cap) {
+                       int32_t grows, int32_t lanes, int32_t* wmeta,
+                       int32_t* worder, float* wboxes, float* wtris,
+                       int64_t nn_cap, int64_t ng_cap) {
   if (nnodes <= 0 || T <= 0 || leaf_slots < 1 || sub < 1 ||
-      leaf_slots % sub != 0) {
+      leaf_slots % sub != 0 || lanes < leaf_slots || lanes < 128) {
     return -1;
   }
   Ctx c;
@@ -337,6 +340,7 @@ int64_t wpt_build_wide(const float* amin, const float* amax,
   c.leaf_slots = leaf_slots;
   c.sub = sub;
   c.grows = grows;
+  c.lanes = lanes;
   c.emit = true;
   c.nn_cap = nn_cap;
   c.ng_cap = ng_cap;

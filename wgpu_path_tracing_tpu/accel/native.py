@@ -72,7 +72,7 @@ def _compile_library() -> ctypes.CDLL | None:
     lib.wpt_build_wide.restype = ctypes.c_int64
     lib.wpt_build_wide.argtypes = [
         _F32P, _F32P, _I32P, ctypes.c_int64, _F32P, ctypes.c_int64,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         _I32P, _I32P, _F32P, _F32P, ctypes.c_int64, ctypes.c_int64,
     ]
     return lib
@@ -177,10 +177,11 @@ def build_wide_native(
         raise RuntimeError(f"native wide count failed (rc={rc})")
     nn, ng = nn.value, ng.value
 
+    lanes = max(leaf_slots, 128)
     wmeta = np.empty((nn, 8), np.int32)
     worder = np.empty((nn, 64), np.int32)
     wboxes = np.empty((nn * 64, 8), np.float32)
-    wtris = np.empty((ng * grows, 128), np.float32)
+    wtris = np.empty((ng * grows, lanes), np.float32)
     rc = _LIB.wpt_build_wide(
         amin_c.ctypes.data_as(_F32P),
         amax_c.ctypes.data_as(_F32P),
@@ -191,6 +192,7 @@ def build_wide_native(
         leaf_slots,
         sub,
         grows,
+        lanes,
         wmeta.ctypes.data_as(_I32P),
         worder.ctypes.data_as(_I32P),
         wboxes.ctypes.data_as(_F32P),

@@ -222,8 +222,8 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                 def _leaf(w=w, y=y):
                     g = -y.node - 1
                     r0 = g * grows
-                    # Sub-cluster boxes: rows 10..10+sub, lanes 0..5.
-                    sb = tri_ref[pl.ds(r0 + 10, sub), 0:8]  # (sub, 8)
+                    # Sub-cluster boxes: rows 16..16+sub (8-aligned), lanes 0..5.
+                    sb = tri_ref[pl.ds(r0 + 16, sub), 0:8]  # (sub, 8)
                     sub_tn = entry_tn(y, sb)  # (sub, 1)
                     ccol = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
                     pk[w, 4] = jnp.sum(
