@@ -191,6 +191,38 @@ def test_wide_native_matches_python():
         )
 
 
+def test_stack_depth_guard(monkeypatch):
+    """A wide tree deeper than the kernel's DFS stack bound must be
+    rejected by the builder (the count-ratio SAH always produces balanced
+    trees, so this is a backstop), and pack_device_scene must then omit
+    the walk tables so auto selection falls back to pair dispatch."""
+    from wgpu_path_tracing_tpu.accel import bvh8
+
+    nn = 100  # pure interior chain: depth 100 -> needs a 708-entry stack
+    wmeta = np.zeros((nn, 8), np.int32)
+    for i in range(nn - 1):
+        wmeta[i, 0] = i + 1
+        wmeta[i, 1] = -(i + 1)
+    with pytest.raises(ValueError, match="pathologically deep"):
+        bvh8._check_stack_depth(wmeta)
+
+    def boom(*a, **k):
+        raise ValueError("pathologically deep (simulated)")
+
+    import wgpu_path_tracing_tpu.models.types as T
+
+    monkeypatch.setattr(bvh8, "build_wide_bvh", boom)
+    dev = T.pack_device_scene(cornell_box())
+    assert "walk_tris" not in dev and "walk_order" not in dev
+    # The auto intersector still works without the tables.
+    from wgpu_path_tracing_tpu.ops.intersect import make_closest_hit
+
+    ch = make_closest_hit(
+        {k: jnp.asarray(v) for k, v in dev.items()}, "auto", 4, 4
+    )
+    assert ch is not None
+
+
 def test_wide_bvh_degenerate_empty():
     from wgpu_path_tracing_tpu.accel.bvh8 import WideBVH
 

@@ -287,6 +287,9 @@ def main(argv=None) -> int:
                     help="samples rendered per viewer tick")
     pv.add_argument("--mode", choices=("pt",), default="pt")
     pv.add_argument("--rng", choices=("reference", "hash"), default="reference")
+    pv.add_argument("--env-map", default=None, metavar="PATH")
+    pv.add_argument("--env-intensity", type=float, default=1.0)
+    pv.add_argument("--env-rotation", type=float, default=0.0)
     pv.add_argument("--intersector",
                     choices=("auto", "brute", "bvh", "cluster", "stack"),
                     default="auto")
