@@ -59,11 +59,13 @@ BN = 4096  # rays per block (measured best on the 103k-tri sweep: larger
 WAYS = 1  # independent blocks interleaved per grid step; >1 measured a
 # wash on the 103k sweep (cost tracks visits, not handoffs) — kept as a
 # tested knob for scenes with different visit/VPU balance
+UNROLL = 1  # stack pops per while-loop iteration (amortizes the measured
+# ~1.65 us fixed body cost; swept on TPU)
 
 
 def _walk_kernel(bn: int, max_stack: int, stats: bool,
                  leaf_slots: int = LEAF_SLOTS, sub: int = SUB,
-                 ways: int = 1, any_hit: bool = False):
+                 ways: int = 1, any_hit: bool = False, unroll: int = 1):
     sub_w = leaf_slots // sub
     grows = group_rows(sub)
 
@@ -170,7 +172,7 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                 jnp.where(enter, tn, INF), axis=1, keepdims=True
             )
 
-        def body(carry):
+        def one_pass(carry):
             sps = list(carry[:ways])
             n_int, n_leaf, n_sub = carry[ways:]
 
@@ -345,6 +347,15 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
 
             return (*sps, n_int, n_leaf, n_sub)
 
+        def body(carry):
+            # Unrolled pops: the Pallas loop body carries a measured
+            # ~1.65 us fixed cost independent of its work (TODO.md
+            # microbenches); processing ``unroll`` stack entries per
+            # iteration amortizes it. Empty-stack passes gate to no-ops.
+            for _ in range(unroll):
+                carry = one_pass(carry)
+            return carry
+
         def cond(carry):
             any_live = carry[0] > 0
             for w in range(1, ways):
@@ -374,7 +385,7 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("num_tris", "any_hit", "interpret", "bn", "stats",
-                     "leaf_slots", "sub", "ways"),
+                     "leaf_slots", "sub", "ways", "unroll"),
 )
 def closest_hit_walk(
     walk_order,
@@ -392,6 +403,7 @@ def closest_hit_walk(
     leaf_slots: int = LEAF_SLOTS,
     sub: int = SUB,
     ways: int = WAYS,
+    unroll: int = UNROLL,
 ):
     """Wide-BVH block walk closest hit. Returns (t, idx); idx == -1 on miss.
 
@@ -460,7 +472,8 @@ def closest_hit_walk(
         ],
     )
     outs = pl.pallas_call(
-        _walk_kernel(bn, MAX_STACK, stats, leaf_slots, sub, ways, any_hit),
+        _walk_kernel(bn, MAX_STACK, stats, leaf_slots, sub, ways, any_hit,
+                     unroll),
         grid_spec=grid_spec,
         # The scene tables are deliberately VMEM-resident (loaded once,
         # reused every grid step); v5e has 128 MiB of VMEM, well above the
