@@ -79,12 +79,11 @@ def test_diffuse_pdf_normalization():
     rd = _v3(0.0, 0.0, -1.0)
     d, _ = BSDF.sample_bsdf(hit, rd, hit.is_front, state, mask)
     v = V3(*_v3(0, 0, 1))  # -normalize(rd)
-    _, pdf = BSDF.eval_bsdf(hit, hit.normal, v, d, hit.is_front)
+    f, pdf = BSDF.eval_bsdf(hit, hit.normal, v, d, hit.is_front)
     got = float(np.asarray(1.0 / jnp.maximum(pdf, 1e-6)).mean())
     assert abs(got - 2.0 * np.pi) < 0.06, got
     # And the reference's bsdf/pdf throughput ratio (pt.wgsl:696) stays
     # close to the albedo: (1-F)*albedo + sampled dielectric specular.
-    f, pdf = BSDF.eval_bsdf(hit, hit.normal, v, d, hit.is_front)
     ratio = float(np.asarray(f.x / jnp.maximum(pdf, 1e-6)).mean())
     assert 0.6 < ratio < 0.85, ratio
 

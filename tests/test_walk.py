@@ -207,7 +207,7 @@ def test_stack_depth_guard(monkeypatch):
         bvh8._check_stack_depth(wmeta)
 
     def boom(*a, **k):
-        raise ValueError("pathologically deep (simulated)")
+        raise bvh8.WideBVHDepthError("pathologically deep (simulated)")
 
     import wgpu_path_tracing_tpu.models.types as T
 

@@ -64,10 +64,9 @@ _DUMMY_TABLES = {
     "cluster_aabb": np.zeros((1, 8), np.float32),
     "pairs_tris": np.zeros((1, 16), np.float32),
     "pairs_super_aabb": np.zeros((8, 8), np.float32),
-    "walk_meta": np.zeros((1, 8), np.int32),
     "walk_order": np.zeros((1, 64), np.int32),
     "walk_boxes": np.zeros((64, 8), np.float32),
-    "walk_tris": np.zeros((24, 128), np.float32),
+    "walk_tris": np.zeros((32, 128), np.float32),
 }
 
 # (param, initial step); geometry in world units, colors in linear sRGB.

@@ -50,20 +50,29 @@ SUB = 16  # sub-clusters per leaf group, the MT gating unit
 MAX_STACK = 512  # walk-kernel DFS stack entries (ops/walk.py scratch)
 
 
+class WideBVHDepthError(ValueError):
+    """Wide tree too deep for the walk kernel's DFS stack bound."""
+
+
 def _check_stack_depth(wmeta: np.ndarray) -> None:
     """The walk kernel's SMEM stack holds MAX_STACK entries; a DFS pushes
     at most WIDTH-1 extra entries per interior level, so the wide-tree
-    depth bounds the worst case. Children are allocated after their
-    parent (pre-order), so one reverse sweep computes depths."""
+    depth bounds the worst case. Fixpoint sweep: each pass propagates
+    child depths one level (tree-depth passes, all-node vectorized)."""
     nn = wmeta.shape[0]
+    kids = np.clip(wmeta, 0, None)  # (nn, 8); 0 is never a real child
+    interior = wmeta > 0
     depth = np.ones(nn, np.int64)
-    for n in range(nn - 1, -1, -1):
-        kids = wmeta[n][wmeta[n] > 0]
-        if kids.size:
-            depth[n] = 1 + depth[kids].max()
+    max_need = MAX_STACK // (WIDTH - 1) + 2
+    for _ in range(max_need + 1):
+        kd = np.where(interior, depth[kids], 0).max(axis=1)
+        new = np.maximum(depth, 1 + np.where(kd > 0, kd, 0))
+        if (new == depth).all():
+            break
+        depth = new
     need = int(depth[0]) * (WIDTH - 1) + WIDTH
     if need > MAX_STACK:
-        raise ValueError(
+        raise WideBVHDepthError(
             f"wide-BVH depth {int(depth[0])} needs a {need}-entry DFS "
             f"stack > MAX_STACK={MAX_STACK}; this tree is pathologically "
             "deep (degenerate SAH spine) — rebuild with larger leaves"

@@ -318,7 +318,10 @@ def pack_device_scene(scene: SceneArrays, cluster_k: int = 64):
     # pathologically deep tree (degenerate SAH spine beyond the kernel's
     # DFS stack bound) simply omits the tables; the auto selection then
     # falls back to the pair dispatch.
-    from wgpu_path_tracing_tpu.accel.bvh8 import build_wide_bvh
+    from wgpu_path_tracing_tpu.accel.bvh8 import (
+        WideBVHDepthError,
+        build_wide_bvh,
+    )
 
     try:
         wide = build_wide_bvh(
@@ -327,7 +330,13 @@ def pack_device_scene(scene: SceneArrays, cluster_k: int = 64):
             bvh_meta[:b] if b else np.zeros((1, 4), np.int32),
             tri_isect[:t],
         )
-    except ValueError:
+    except WideBVHDepthError as e:
+        import warnings
+
+        warnings.warn(
+            f"walk tables skipped (pair-dispatch fallback): {e}",
+            stacklevel=2,
+        )
         wide = None
 
     return {

@@ -62,7 +62,10 @@ def load_env_image(source) -> np.ndarray:
     reference's texture convention, atlas.ts:143-147)."""
     if isinstance(source, np.ndarray):
         arr = np.asarray(source, np.float32)
-        assert arr.ndim == 3 and arr.shape[2] >= 3
+        if arr.ndim != 3 or arr.shape[2] < 3:
+            raise ValueError(
+                f"environment array must be (H, W, >=3); got {arr.shape}"
+            )
         return np.ascontiguousarray(arr[:, :, :3])
     lower = str(source).lower()
     if lower.endswith(".hdr"):

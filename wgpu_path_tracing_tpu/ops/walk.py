@@ -409,7 +409,7 @@ def closest_hit_walk(
 
     walk_order (Nn, 64) i32 (per-octant ordered child metas — the only
     scalar table the kernel needs), walk_boxes (Nn*64, 8) f32, walk_tris
-    (Ng*group_rows(sub), 128) f32 from accel/bvh8.py; ro/rd: (3, N) SoA or
+    (Ng*group_rows(sub), max(leaf_slots, 128)) f32 from accel/bvh8.py; ro/rd: (3, N) SoA or
     (N, 3) AoS. ``ways`` independent bn-ray blocks interleave per grid
     step to hide per-visit handoff latency. With ``any_hit`` the returned
     t is SOME hit below the lane's limit (not necessarily the closest) —

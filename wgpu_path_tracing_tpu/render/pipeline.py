@@ -47,6 +47,14 @@ def make_trace_fn(scene, closest_hit, *, bounce_kernel: str, max_bounces: int,
     has_env = "env" in scene and (
         scene["env"].shape[0] > 1 or scene["env"].shape[1] > 1
     )
+    if bounce_kernel == "pallas" and has_env:
+        import warnings
+
+        warnings.warn(
+            "bounce_kernel='pallas' overridden to XLA: environment "
+            "lighting runs on the XLA bounce path only",
+            stacklevel=2,
+        )
     use_pallas = bounce_kernel == "pallas" and not has_env
     if bounce_kernel == "auto":
         from wgpu_path_tracing_tpu.ops.pallas_bounce import (

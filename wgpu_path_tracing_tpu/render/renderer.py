@@ -103,7 +103,6 @@ class Renderer:
         packed = pack_device_scene(scene)
         if self.config.env_map is not None:
             from wgpu_path_tracing_tpu.ops.env import load_env_image
-            import numpy as np
 
             packed["env"] = load_env_image(self.config.env_map)
             packed["env_params"] = np.array(
@@ -124,8 +123,6 @@ class Renderer:
         environment map — an extension over the reference's miss -> black
         (pt.wgsl:646-649). ``source``: (H, W, 3) array or .hdr/.exr/LDR
         path; ``rotation`` in radians. Resets accumulation."""
-        import numpy as np
-
         if self._scene_dev is None:
             raise RuntimeError("Load a scene first")
         from wgpu_path_tracing_tpu.ops.env import load_env_image
