@@ -111,6 +111,22 @@ def test_cli_render_and_info(tmp_path, capsys):
     assert '"triangles": 36' in capsys.readouterr().out
 
 
+def test_cli_render_with_env_map(tmp_path):
+    """--env-map plumbs through the CLI to the renderer (extension)."""
+    from wgpu_path_tracing_tpu.cli import main
+    from wgpu_path_tracing_tpu.utils.image import write_hdr
+
+    env = np.full((4, 8, 3), 0.5, np.float32)
+    hdr = str(tmp_path / "sky.hdr")
+    write_hdr(hdr, env)
+    out = str(tmp_path / "env.png")
+    rc = main(["render", "cornell", "-o", out, "--spp", "2",
+               "--width", "12", "--height", "12", "--chunk", "2",
+               "--env-map", hdr, "--env-intensity", "2.0",
+               "--env-rotation", "90"])
+    assert rc == 0 and os.path.exists(out)
+
+
 def test_checkpoint_path_without_npz_suffix(tmp_path):
     """np.savez appends '.npz'; save/load must agree on the real filename."""
     from wgpu_path_tracing_tpu import Renderer, RenderConfig
