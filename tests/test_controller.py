@@ -68,6 +68,27 @@ def test_mouse_look_resets_accumulation(renderer):
     assert renderer.frame_index == 0
 
 
+def test_pinch_dolly(renderer):
+    """Two-finger pinch (controller.ts:85-101): delta-distance * 0.001
+    dollies forward immediately, outside the per-frame update."""
+    c = Controller(renderer)
+    start = renderer.camera.position.copy()
+    renderer.render(spp=2)
+    c.pinch(500.0)  # fingers spread 500 px -> 0.5 units forward
+    np.testing.assert_allclose(
+        renderer.camera.position, start + np.array([0, 0, -0.5]), atol=1e-6
+    )
+    assert renderer.frame_index == 0  # motion reset accumulation
+    c.pinch(0.0)  # no-op: must not reset again after a render
+    renderer.render(spp=2)
+    c.pinch(0.0)
+    assert renderer.frame_index == 2
+    # one-finger touch feeds the same path as the mouse
+    c.touch_move(10.0, 0.0)
+    c.update(0.1)
+    assert renderer.frame_index == 0
+
+
 @pytest.mark.skipif(not os.path.exists(MODELS), reason="reference models absent")
 def test_load_model_async():
     r = Renderer(RenderConfig(width=8, height=8, frames_per_chunk=2))
@@ -118,5 +139,61 @@ def test_http_viewer_drives_controller():
         fwd0 = r.camera.forward.copy()
         server.step(1 / 60)
         assert not np.allclose(r.camera.forward, fwd0)  # looked around
+
+        pos1 = r.camera.position.copy()
+        urllib.request.urlopen(f"{base}/pinch?d=500", timeout=10).read()
+        server.step(1 / 60)  # wheel/pinch dolly
+        assert not np.allclose(r.camera.position, pos1)
+    finally:
+        server.stop()
+
+
+@pytest.mark.skipif(not os.path.exists(MODELS), reason="reference models absent")
+def test_http_viewer_scene_swap():
+    """Runtime scene swap on a RUNNING viewer — the reference's drag-drop
+    flow (App.tsx:12-34 -> loader.ts:19-46): POST /load with a path, then
+    with raw .glb bytes; both install at the next chunk boundary."""
+    import urllib.request
+
+    from wgpu_path_tracing_tpu.viewer import ViewerServer
+
+    r = Renderer(RenderConfig(width=8, height=8, frames_per_chunk=2))
+    r.load_scene(cornell_box())
+    n_cornell = r.scene.num_triangles
+    server = ViewerServer(r, port=0, frames_per_update=2)
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        server.step(1 / 60)
+        # path-based swap
+        req = urllib.request.Request(
+            f"{base}/load?path={MODELS}/transform.glb", method="POST"
+        )
+        assert urllib.request.urlopen(req, timeout=30).read() == b"staged"
+        deadline = 30.0
+        import time as T
+        t0 = T.perf_counter()
+        while r._pending_scene is None and T.perf_counter() - t0 < deadline:
+            T.sleep(0.05)
+        server.step(1 / 60)  # render tick installs the staged scene
+        assert r.scene.num_triangles == 40  # transform.glb
+        # bytes-based swap (the browser drop handler posts the file body)
+        with open(f"{MODELS}/transform.glb", "rb") as f:
+            body = f.read()
+        req = urllib.request.Request(f"{base}/load", data=body, method="POST")
+        assert urllib.request.urlopen(req, timeout=30).read() == b"staged"
+        t0 = T.perf_counter()
+        while r._pending_scene is None and T.perf_counter() - t0 < deadline:
+            T.sleep(0.05)
+        assert r._pending_scene is not None
+        server.step(1 / 60)
+        assert r.scene.num_triangles == 40
+        assert n_cornell != 40  # the swap actually changed the scene
+        # bad request: neither path nor body
+        req = urllib.request.Request(f"{base}/load", method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         server.stop()

@@ -142,6 +142,67 @@ def test_glb_parser_rejects_bad_magic(tmp_path):
         GLTFFile.load(str(bad))
 
 
+def test_sparse_accessor_decode(tmp_path):
+    """glTF 2.0 sparse accessors (§3.6.2.3): indices select rows of the
+    base view (zeros when bufferView is absent) that values overwrite —
+    the decode loaders.gl gives the reference (loader.ts:13-17)."""
+    import base64
+    import json
+    import struct
+
+    base = [(float(i), 0.0, 0.0) for i in range(5)]
+    sparse_idx = [1, 3]
+    sparse_val = [(9.0, 9.0, 9.0), (7.0, 7.0, 7.0)]
+    buf = b"".join(struct.pack("<3f", *p) for p in base)  # 60 B
+    buf += struct.pack("<2H", *sparse_idx)  # 4 B
+    buf += b"".join(struct.pack("<3f", *v) for v in sparse_val)  # 24 B
+    gltf = {
+        "asset": {"version": "2.0"},
+        "accessors": [
+            {  # sparse overlay on a dense base view
+                "bufferView": 0, "componentType": 5126, "count": 5,
+                "type": "VEC3",
+                "sparse": {
+                    "count": 2,
+                    "indices": {"bufferView": 1, "componentType": 5123},
+                    "values": {"bufferView": 2},
+                },
+            },
+            {  # sparse with NO base view: zeros + overlay
+                "componentType": 5126, "count": 5, "type": "VEC3",
+                "sparse": {
+                    "count": 2,
+                    "indices": {"bufferView": 1, "componentType": 5123},
+                    "values": {"bufferView": 2},
+                },
+            },
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 60},
+            {"buffer": 0, "byteOffset": 60, "byteLength": 4},
+            {"buffer": 0, "byteOffset": 64, "byteLength": 24},
+        ],
+        "buffers": [{
+            "byteLength": len(buf),
+            "uri": "data:application/octet-stream;base64,"
+                   + base64.b64encode(buf).decode(),
+        }],
+    }
+    p = tmp_path / "sparse.gltf"
+    p.write_text(json.dumps(gltf))
+    f = GLTFFile.load(str(p))
+    got = f.accessor(0)
+    expect = np.asarray(base, np.float32)
+    expect[1] = (9, 9, 9)
+    expect[3] = (7, 7, 7)
+    np.testing.assert_array_equal(got, expect)
+    got_zero = f.accessor(1)
+    expect_zero = np.zeros((5, 3), np.float32)
+    expect_zero[1] = (9, 9, 9)
+    expect_zero[3] = (7, 7, 7)
+    np.testing.assert_array_equal(got_zero, expect_zero)
+
+
 def _spot_scene_gltf(tmp_path):
     """Minimal .gltf: one floor quad + a KHR spot light 2 units above it
     pointing straight down (node rotation turns (0,0,-1) into (0,-1,0))."""

@@ -84,3 +84,39 @@ def test_hdr_roundtrip(tmp_path):
     # per-pixel MAX channel (~1/128), not to each channel.
     maxc = hdr.max(axis=2, keepdims=True)
     assert np.all(np.abs(back - hdr) <= 0.01 * maxc + 1e-4)
+
+
+def test_exr_rejects_unsupported(tmp_path):
+    """read_exr raises ValueError (not assert, which -O strips) naming the
+    limitation for non-EXR, compressed, and HALF-channel files."""
+    import struct
+
+    import pytest
+
+    from wgpu_path_tracing_tpu.utils.image import read_exr, write_exr
+
+    bad = tmp_path / "not.exr"
+    bad.write_bytes(b"\x00" * 64)
+    with pytest.raises(ValueError, match="not an EXR"):
+        read_exr(str(bad))
+
+    # Start from a valid file, then flip single header bytes.
+    hdr = np.ones((4, 4, 3), np.float32)
+    good = tmp_path / "good.exr"
+    write_exr(str(good), hdr)
+    data = bytearray(good.read_bytes())
+
+    zipped = bytearray(data)
+    at = bytes(data).index(b"compression\0compression\0")
+    zipped[at + len(b"compression\0compression\0") + 4] = 3  # ZIP_COMPRESSION
+    (tmp_path / "zip.exr").write_bytes(bytes(zipped))
+    with pytest.raises(ValueError, match="NO_COMPRESSION"):
+        read_exr(str(tmp_path / "zip.exr"))
+
+    half = bytearray(data)
+    at = bytes(data).index(b"channels\0chlist\0") + len(b"channels\0chlist\0") + 4
+    # first channel entry: b"B\0" then int32 pixel type at +2
+    half[at + 2] = 1  # HALF
+    (tmp_path / "half.exr").write_bytes(bytes(half))
+    with pytest.raises(ValueError, match="not FLOAT"):
+        read_exr(str(tmp_path / "half.exr"))

@@ -246,7 +246,8 @@ def main(argv=None) -> int:
     pr.add_argument("--mode", choices=("pt", "normal", "bvh_depth"), default="pt")
     pr.add_argument("--rng", choices=("reference", "hash"), default="reference")
     pr.add_argument("--intersector",
-                    choices=("auto", "brute", "bvh", "cluster", "stack"),
+                    choices=("auto", "brute", "bvh", "cluster", "stack",
+                             "walk", "pairs"),
                     default="auto")
     pr.add_argument("--preview", nargs="?", const="", default=None,
                     metavar="PATH",
@@ -258,8 +259,9 @@ def main(argv=None) -> int:
     pr.add_argument("--exr", metavar="PATH",
                     help="also write the linear radiance as OpenEXR (f32)")
     pr.add_argument("--env-map", default=None, metavar="PATH",
-                    help="equirect environment map (.hdr/.exr/LDR) — an "
-                         "extension; default keeps reference miss->black")
+                    help="equirect environment map (.hdr, uncompressed-FLOAT"
+                         " .exr, or LDR) — an extension; default keeps "
+                         "reference miss->black")
     pr.add_argument("--env-intensity", type=float, default=1.0)
     pr.add_argument("--env-rotation", type=float, default=0.0,
                     help="environment yaw in degrees")
@@ -291,8 +293,12 @@ def main(argv=None) -> int:
     pv.add_argument("--env-intensity", type=float, default=1.0)
     pv.add_argument("--env-rotation", type=float, default=0.0)
     pv.add_argument("--intersector",
-                    choices=("auto", "brute", "bvh", "cluster", "stack"),
+                    choices=("auto", "brute", "bvh", "cluster", "stack",
+                             "walk", "pairs"),
                     default="auto")
+    pv.add_argument("--spot-lights", action="store_true",
+                    help="render KHR spot lights (extension; the reference "
+                         "warns-and-skips them, gpu.ts:234-236)")
     pv.add_argument("--seconds", type=float, default=None,
                     help="stop after N seconds (default: run until Ctrl-C)")
     _add_camera_args(pv)

@@ -119,28 +119,53 @@ class GLTFFile:
                     buffers.append(f.read())
         return buffers
 
-    def accessor(self, idx: int) -> np.ndarray:
-        """Read accessor ``idx`` as a (count, n) array (interleaved and
-        normalized accessors supported; sparse not)."""
-        acc = self.gltf["accessors"][idx]
-        if "sparse" in acc:
-            raise NotImplementedError("sparse accessors not supported")
-        n = _NUM_COMPONENTS[acc["type"]]
-        dtype = np.dtype(_COMPONENT_DTYPES[acc["componentType"]])
-        count = acc["count"]
-        if "bufferView" not in acc:
-            return np.zeros((count, n), dtype)
-        bv = self.gltf["bufferViews"][acc["bufferView"]]
+    def _read_view(self, view_idx: int, extra_offset: int, count: int,
+                   n: int, dtype: np.dtype) -> np.ndarray:
+        """Read (count, n) elements of ``dtype`` from a bufferView,
+        honoring its byteStride (interleaved views)."""
+        bv = self.gltf["bufferViews"][view_idx]
         buf = self.buffers[bv.get("buffer", 0)]
-        offset = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        offset = bv.get("byteOffset", 0) + extra_offset
         stride = bv.get("byteStride") or dtype.itemsize * n
-        arr = np.ndarray(
+        return np.ndarray(
             shape=(count, n),
             dtype=dtype,
             buffer=buf,
             offset=offset,
             strides=(stride, dtype.itemsize),
         ).copy()
+
+    def accessor(self, idx: int) -> np.ndarray:
+        """Read accessor ``idx`` as a (count, n) array. Interleaved,
+        normalized, and sparse accessors are all decoded — the same
+        ingestion surface the reference gets from loaders.gl
+        (loader.ts:13-17). Sparse substitution (glTF 2.0 §3.6.2.3:
+        ``indices`` select rows of the base view — zeros when absent —
+        that ``values`` overwrite) happens before normalization."""
+        acc = self.gltf["accessors"][idx]
+        n = _NUM_COMPONENTS[acc["type"]]
+        dtype = np.dtype(_COMPONENT_DTYPES[acc["componentType"]])
+        count = acc["count"]
+        if "bufferView" in acc:
+            arr = self._read_view(
+                acc["bufferView"], acc.get("byteOffset", 0), count, n, dtype
+            )
+        else:
+            arr = np.zeros((count, n), dtype)
+        if "sparse" in acc:
+            sp = acc["sparse"]
+            sidx = sp["indices"]
+            idx_dtype = np.dtype(_COMPONENT_DTYPES[sidx["componentType"]])
+            rows = self._read_view(
+                sidx["bufferView"], sidx.get("byteOffset", 0),
+                sp["count"], 1, idx_dtype,
+            ).reshape(-1).astype(np.int64)
+            vals = self._read_view(
+                sp["values"]["bufferView"],
+                sp["values"].get("byteOffset", 0),
+                sp["count"], n, dtype,
+            )
+            arr[rows] = vals
         if acc.get("normalized"):
             if dtype == np.uint8:
                 arr = arr.astype(np.float32) / 255.0

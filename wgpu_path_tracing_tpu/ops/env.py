@@ -58,8 +58,10 @@ def load_env_image(source) -> np.ndarray:
     """Read an environment image: (H, W, 3) float32 linear radiance.
 
     ``source`` may be a numpy array (used as-is), a Radiance .hdr, an
-    OpenEXR .exr, or an LDR image file (sRGB-decoded with gamma 2.2, the
-    reference's texture convention, atlas.ts:143-147)."""
+    OpenEXR .exr (uncompressed FLOAT scanlines only — ZIP/PIZ/HALF EXRs
+    raise ValueError from utils.image.read_exr; convert those first), or an
+    LDR image file (sRGB-decoded with gamma 2.2, the reference's texture
+    convention, atlas.ts:143-147)."""
     if isinstance(source, np.ndarray):
         arr = np.asarray(source, np.float32)
         if arr.ndim != 3 or arr.shape[2] < 3:

@@ -15,6 +15,7 @@ import math
 
 MOVE_SPEED = 2.0  # controller.ts:3
 ROTATE_SPEED = math.pi / 18  # controller.ts:4
+PINCH_DOLLY_SCALE = 0.001  # controller.ts:96-97 (deltaDistance * 0.001)
 
 
 class Controller:
@@ -35,6 +36,21 @@ class Controller:
         """Accumulate pointer deltas (controller.ts:41-48)."""
         self._mouse_dx += dx
         self._mouse_dy += dy
+
+    def touch_move(self, dx: float, dy: float) -> None:
+        """One-finger touch look: same accumulation path as the mouse
+        (controller.ts:69-84 feeds mouseMovement from single-touch deltas)."""
+        self.mouse_move(dx, dy)
+
+    def pinch(self, delta_distance: float) -> None:
+        """Two-finger pinch dolly (controller.ts:85-101): the change in
+        finger separation, in pixels, dollies the camera forward/backward
+        IMMEDIATELY (the reference applies it in the touch handler, not the
+        per-frame update), scaled by PINCH_DOLLY_SCALE."""
+        if delta_distance != 0.0:
+            self.renderer.move_camera(
+                delta_distance * PINCH_DOLLY_SCALE, 0.0, 0.0
+            )
 
     # --- per-frame integration (controller.ts:136-170) ---------------------
     def update(self, delta_time: float) -> None:

@@ -127,13 +127,19 @@ def write_exr(path: str, hdr: np.ndarray) -> None:
 
 def read_exr(path: str) -> np.ndarray:
     """Read an uncompressed FLOAT-scanline OpenEXR (as written by
-    ``write_exr``) -> (H, W, 3) f32, top row first."""
+    ``write_exr``) -> (H, W, 3) f32, top row first.
+
+    Only the NO_COMPRESSION + FLOAT-channel subset is supported; real-world
+    EXRs (ZIP/PIZ-compressed, HALF channels — the common case for downloaded
+    HDRIs) raise ValueError naming the limitation. Convert such files to
+    Radiance .hdr (read_hdr) or uncompressed FLOAT first."""
     import struct
 
     with open(path, "rb") as f:
         data = f.read()
     magic, version = struct.unpack_from("<Ii", data, 0)
-    assert magic == 20000630, "not an EXR file"
+    if magic != 20000630:
+        raise ValueError(f"{path}: not an EXR file (bad magic)")
     pos = 8
     attrs = {}
     while data[pos] != 0:
@@ -145,14 +151,31 @@ def read_exr(path: str) -> np.ndarray:
         attrs[name] = val
         pos = tend + 5 + size
     pos += 1  # header terminator
-    assert attrs["compression"] == b"\0", "only NO_COMPRESSION supported"
+    if attrs.get("compression", b"?") != b"\0":
+        raise ValueError(
+            f"{path}: only uncompressed (NO_COMPRESSION) FLOAT-scanline EXRs "
+            "are supported — ZIP/PIZ-compressed or HALF-channel EXRs must be "
+            "converted first (e.g. to Radiance .hdr)")
+    chlist, cpos = attrs.get("channels", b"\0"), 0
+    while chlist[cpos] != 0:  # per channel: name\0 i32 type, 4B flags, 2xi32
+        cend = chlist.index(b"\0", cpos)
+        (ctype,) = struct.unpack_from("<i", chlist, cend + 1)
+        if ctype != 2:  # 0=UINT, 1=HALF, 2=FLOAT
+            raise ValueError(
+                f"{path}: channel {chlist[cpos:cend].decode()!r} is not FLOAT"
+                " — HALF/UINT EXRs must be converted to uncompressed FLOAT "
+                "or Radiance .hdr first")
+        cpos = cend + 17
     x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"])
     w, h = x1 - x0 + 1, y1 - y0 + 1
     offsets = struct.unpack_from("<" + "Q" * h, data, pos)
     out = np.empty((h, w, 3), np.float32)
     for row, off in enumerate(offsets):
         y, size = struct.unpack_from("<ii", data, off)
-        assert size == 12 * w, (size, w)
+        if size != 12 * w:
+            raise ValueError(
+                f"{path}: scanline {row} has {size} bytes, expected {12 * w} "
+                "(multi-channel or tiled EXRs are not supported)")
         line = np.frombuffer(data, np.float32, count=3 * w, offset=off + 8)
         out[y - y0, :, 2] = line[0:w]  # B
         out[y - y0, :, 1] = line[w : 2 * w]  # G
@@ -165,7 +188,8 @@ def read_hdr(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         data = f.read()
     head, _, rest = data.partition(b"\n\n")
-    assert data.startswith(b"#?RADIANCE"), "not a Radiance file"
+    if not data.startswith(b"#?RADIANCE"):
+        raise ValueError(f"{path}: not a Radiance .hdr file (bad magic)")
     dims, _, pix = rest.partition(b"\n")
     parts = dims.split()
     h, w = int(parts[1]), int(parts[3])

@@ -12,6 +12,10 @@ background thread that only touches a lock-guarded snapshot + input queue.
     curl 'http://localhost:8080/key?k=w&down=1' ; sleep 1
     curl 'http://localhost:8080/key?k=w&down=0'
     curl -o frame.png http://localhost:8080/frame.png
+    # runtime scene swap (App.tsx:12-34 drag-drop parity): either a server
+    # path or the .glb bytes themselves; installs at the next chunk boundary
+    curl 'http://localhost:8080/load?path=/path/to/scene.glb' -X POST
+    curl --data-binary @scene.glb http://localhost:8080/load
 """
 
 from __future__ import annotations
@@ -30,7 +34,8 @@ img{image-rendering:pixelated;width:70vmin;height:70vmin;margin-top:2vmin}
 </style></head><body>
 <div id=s>connecting...</div>
 <img id=v src="/frame.png" draggable=false>
-<div>WASD/space/shift to fly &middot; drag to look</div>
+<div>WASD/space/shift to fly &middot; drag to look &middot; wheel to dolly
+ &middot; drop a .glb to swap scenes</div>
 <script>
 const v=document.getElementById('v'),s=document.getElementById('s');
 setInterval(()=>{v.src='/frame.png?'+Date.now();
@@ -45,6 +50,14 @@ addEventListener('mouseup',()=>drag=null);
 addEventListener('mousemove',e=>{if(!drag)return;
  fetch(`/look?dx=${e.clientX-drag[0]}&dy=${e.clientY-drag[1]}`);
  drag=[e.clientX,e.clientY];});
+v.addEventListener('wheel',e=>{e.preventDefault();
+ fetch(`/pinch?d=${-e.deltaY}`);},{passive:false});
+// Drag-drop scene swap — the reference's signature flow (App.tsx:12-34).
+addEventListener('dragover',e=>e.preventDefault());
+addEventListener('drop',e=>{e.preventDefault();
+ const f=e.dataTransfer.files[0];if(!f)return;
+ s.textContent=`loading ${f.name}...`;
+ f.arrayBuffer().then(b=>fetch('/load',{method:'POST',body:b}));});
 </script></body></html>"""
 
 
@@ -98,6 +111,11 @@ class ViewerServer:
                     with viewer._lock:
                         viewer._events.append(("look", dx, dy))
                     self._send(200, "text/plain", b"ok")
+                elif url.path == "/pinch":
+                    d = float(q.get("d", ["0"])[0])
+                    with viewer._lock:
+                        viewer._events.append(("pinch", d))
+                    self._send(200, "text/plain", b"ok")
                 elif url.path == "/stats":
                     st = viewer.renderer.stats()
                     body = json.dumps({
@@ -108,6 +126,40 @@ class ViewerServer:
                     self._send(200, "application/json", body)
                 else:
                     self._send(404, "text/plain", b"not found")
+
+            def do_POST(self):
+                url = urlparse(self.path)
+                q = parse_qs(url.query)
+                if url.path != "/load":
+                    self._send(404, "text/plain", b"not found")
+                    return
+                # Runtime scene swap — drag-drop parity (App.tsx:12-34 →
+                # loader.ts:19-46). A ?path= query loads a server-side file;
+                # a non-empty body is the .glb bytes themselves (the browser
+                # drop handler posts them). Either way the scene is prepared
+                # off-thread and installed race-free at the next chunk
+                # boundary (Renderer.load_model_async).
+                path = q.get("path", [None])[0]
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n) if n else b""
+                try:
+                    if path is None and body:
+                        import tempfile
+
+                        suffix = ".glb" if body[:4] == b"glTF" else ".gltf"
+                        with tempfile.NamedTemporaryFile(
+                            suffix=suffix, delete=False
+                        ) as f:
+                            f.write(body)
+                            path = f.name
+                    if path is None:
+                        self._send(400, "text/plain",
+                                   b"need ?path= or a .glb body")
+                        return
+                    viewer.renderer.load_model_async(path)
+                    self._send(200, "text/plain", b"staged")
+                except Exception as e:  # surface parse errors to the client
+                    self._send(500, "text/plain", str(e).encode())
 
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
         self.port = self.httpd.server_address[1]
@@ -123,6 +175,8 @@ class ViewerServer:
             if ev[0] == "key":
                 (self.controller.key_down if ev[2]
                  else self.controller.key_up)(ev[1])
+            elif ev[0] == "pinch":
+                self.controller.pinch(ev[1])
             else:
                 self.controller.mouse_move(ev[1], ev[2])
         self.controller.update(dt)
