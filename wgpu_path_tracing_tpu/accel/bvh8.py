@@ -48,6 +48,21 @@ WIDTH = 8
 LEAF_SLOTS = 128  # triangle slots per leaf group (one slab of lanes)
 SUB = 16  # sub-clusters per leaf group, the MT gating unit
 MAX_STACK = 512  # walk-kernel DFS stack entries (ops/walk.py scratch)
+POPS_NODE_THRESHOLD = 128  # wide-node count below which the walk runs
+# pops=2 (two stack entries per loop iteration under one sync point).
+# Measured (round 3, within one process each): glass 11.8k tris /
+# 48 nodes: 58.7 ms vs 84.9 at pops=1 (+42%); 103k tris / 356 nodes:
+# pops=2 within noise of pops=1 but both trail the one-pop structure by
+# ~0-17% across process reruns, so deep trees stay at pops=1. pops>=4
+# REJECTED by measurement on both scene classes (0.9-2.9 Mrays/s vs
+# 2.0-4.6 — the fused-sync win is eaten by the longer serialized body).
+
+
+def pops_for_tree(num_wide_nodes: int) -> int:
+    """Stack entries the walk kernel pops per loop iteration for a tree of
+    this size — shared by the build-time stack-depth guard and the runtime
+    kernel selection (ops/intersect.py) so the guarantee matches the use."""
+    return 2 if num_wide_nodes <= POPS_NODE_THRESHOLD else 1
 
 
 class WideBVHDepthError(ValueError):
@@ -55,10 +70,12 @@ class WideBVHDepthError(ValueError):
 
 
 def _check_stack_depth(wmeta: np.ndarray) -> None:
-    """The walk kernel's SMEM stack holds MAX_STACK entries; a DFS pushes
-    at most WIDTH-1 extra entries per interior level, so the wide-tree
+    """The walk kernel's SMEM stack holds MAX_STACK entries; a K-pop DFS
+    (K = pops_for_tree at this node count, matching the runtime selection
+    in ops/intersect.py) leaves at most (WIDTH-1)*K lingering entries per
+    interior level plus the WIDTH*K pushes in flight, so the wide-tree
     depth bounds the worst case. Fixpoint sweep: each pass propagates
-    child depths one level (tree-depth passes, all-node vectorized)."""
+    child depths one level (tree-depth passes, vectorized)."""
     nn = wmeta.shape[0]
     kids = np.clip(wmeta, 0, None)  # (nn, 8); 0 is never a real child
     interior = wmeta > 0
@@ -70,12 +87,14 @@ def _check_stack_depth(wmeta: np.ndarray) -> None:
         if (new == depth).all():
             break
         depth = new
-    need = int(depth[0]) * (WIDTH - 1) + WIDTH
+    pops = pops_for_tree(nn)
+    need = pops * (int(depth[0]) * (WIDTH - 1) + WIDTH)
     if need > MAX_STACK:
         raise WideBVHDepthError(
             f"wide-BVH depth {int(depth[0])} needs a {need}-entry DFS "
-            f"stack > MAX_STACK={MAX_STACK}; this tree is pathologically "
-            "deep (degenerate SAH spine) — rebuild with larger leaves"
+            f"stack > MAX_STACK={MAX_STACK} at pops={pops}; this tree "
+            "is pathologically deep (degenerate SAH spine) — rebuild with "
+            "larger leaves"
         )
 
 

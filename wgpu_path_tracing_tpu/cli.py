@@ -141,6 +141,7 @@ def cmd_render(args) -> int:
         r.render(
             remaining,
             on_chunk=on_chunk if (args.verbose or preview_path) else None,
+            fetch=False,  # save_png below pulls the buffer once
         )
     r.save_png(args.output)
     if args.hdr:

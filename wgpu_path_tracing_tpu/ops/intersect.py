@@ -395,7 +395,15 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
             or (intersector == "auto" and walk_bytes <= 80 * 1024 * 1024)
         )
         if use_walk:
+            from wgpu_path_tracing_tpu.accel.bvh8 import pops_for_tree
             from wgpu_path_tracing_tpu.ops.walk import closest_hit_walk
+
+            # Static per-scene batching factor: shallow trees amortize the
+            # per-iteration sync by popping 2 stack entries per pass; deep
+            # trees measured best one at a time (accel/bvh8.py numbers).
+            # Must match the build-time stack-depth guarantee, so the rule
+            # lives next to it in bvh8.pops_for_tree.
+            walk_pops = pops_for_tree(scene["walk_order"].shape[0])
 
             def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False):
                 return closest_hit_walk(
@@ -408,6 +416,7 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
                     t_max=t_max,
                     num_tris=num_tris,
                     any_hit=any_hit,
+                    pops=walk_pops,
                 )
 
         else:

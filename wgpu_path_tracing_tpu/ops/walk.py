@@ -59,13 +59,22 @@ BN = 4096  # rays per block (measured best on the 103k-tri sweep: larger
 WAYS = 1  # independent blocks interleaved per grid step; >1 measured a
 # wash on the 103k sweep (cost tracks visits, not handoffs) — kept as a
 # tested knob for scenes with different visit/VPU balance
-UNROLL = 1  # stack pops per while-loop iteration (amortizes the measured
-# ~1.65 us fixed body cost; swept on TPU)
+POPS = 2  # stack entries processed per while-loop iteration UNDER ONE
+# scalar<->vector sync point: all pops read the stack before any of the
+# iteration's pushes, every entry's gate test issues back-to-back in one
+# vector phase, and the scalar core waits once for the last packed word.
+# This is NOT the rejected round-2 unrolling (which chained K full
+# pop->test->push visits and kept K sync points; TODO.md). Measured
+# in-process A/B (round 3): +42% on the 48-node glass tree (58.7 ms vs
+# 84.9 at pops=1), within noise on the 356-node 103k tree; pops>=4
+# REJECTED on both (2x slower — the longer serialized body eats the
+# fused-sync win). Production selection is per scene via
+# accel.bvh8.pops_for_tree (deep trees run pops=1).
 
 
 def _walk_kernel(bn: int, max_stack: int, stats: bool,
                  leaf_slots: int = LEAF_SLOTS, sub: int = SUB,
-                 ways: int = 1, any_hit: bool = False, unroll: int = 1):
+                 ways: int = 1, any_hit: bool = False, pops: int = POPS):
     sub_w = leaf_slots // sub
     grows = group_rows(sub)
 
@@ -172,138 +181,174 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                 jnp.where(enter, tn, INF), axis=1, keepdims=True
             )
 
+        class Entry:
+            pass
+
         def one_pass(carry):
             sps = list(carry[:ways])
             n_int, n_leaf, n_sub = carry[ways:]
 
-            # Phase 1 (scalar): pop one entry per live way.
+            # Phase 1 (scalar): pop the top ``pops`` entries per way in one
+            # go. All pops read the stack BEFORE any of this iteration's
+            # pushes, so the serializing pop->push scalar chain runs once
+            # per ITERATION, not once per visit.
             for w, y in enumerate(wv):
-                alive = sps[w] > 0
-                top = jnp.maximum(sps[w] - 1, 0)
-                y.node = stack[w, top]
-                # Pop-time culling (quantized keys): the subtree is farther
-                # than the worst live per-ray limit since the push.
-                y.live = alive & (stack_tq[w, top] <= wbq[w])
-                sps[w] = top
-                y.is_interior = y.live & (y.node >= 0)
-                y.is_leaf = y.live & (y.node < 0)
-                y.safe_nid = jnp.where(y.node >= 0, y.node, 0)
+                y.ent = []
+                sp = sps[w]
+                for k in range(pops):
+                    pos = sp - 1 - k
+                    safe_pos = jnp.maximum(pos, 0)
+                    e = Entry()
+                    e.node = stack[w, safe_pos]
+                    # Pop-time culling (quantized keys): the subtree is
+                    # farther than the worst live per-ray limit at push time.
+                    e.live = (pos >= 0) & (stack_tq[w, safe_pos] <= wbq[w])
+                    e.is_interior = e.live & (e.node >= 0)
+                    e.is_leaf = e.live & (e.node < 0)
+                    e.safe_nid = jnp.where(e.node >= 0, e.node, 0)
+                    y.ent.append(e)
+                    n_int = n_int + e.is_interior.astype(jnp.int32)
+                    n_leaf = n_leaf + e.is_leaf.astype(jnp.int32)
+                sps[w] = jnp.maximum(sp - pops, 0)
 
-            # Phase 2 (vector, async): slab tests; results handed to the
-            # scalar core as a few SMEM words written by vector reduces
-            # (one entered bitmask + four packed 16-bit entry keys) rather
-            # than 8-16 per-child VMEM scalar reads.
+            # Phase 2 (vector, async): every entry's gate test issues
+            # back-to-back with NO intervening scalar reads of the results;
+            # each writes its own SMEM slot (one entered bitmask + four
+            # packed 16-bit entry keys at pk[w, k*8..k*8+4]), and the
+            # scalar core waits ONCE (phase 3's first read) for all of
+            # them — the single shared sync point the round-2 microbenches
+            # showed packed work needs to amortize.
             for w, y in enumerate(wv):
+                for k, e in enumerate(y.ent):
+                    o = k * 8
 
-                @pl.when(y.is_interior)
-                def _interior(w=w, y=y):
-                    # Octant-ordered slab: row k = k-th child in push order.
-                    slab = box_ref[
-                        pl.ds((y.safe_nid * WIDTH + y.oc) * WIDTH, 8), :
-                    ]
-                    tn = entry_tn(y, slab)  # (8, 1), push order
-                    kcol = jax.lax.broadcasted_iota(
-                        jnp.int32, (WIDTH, 1), 0
-                    )
-                    pk[w, 4] = jnp.sum(
-                        jnp.where(tn < INF, jnp.int32(1) << kcol, 0)
-                    )
-                    q = (
-                        jax.lax.bitcast_convert_type(
-                            jnp.maximum(tn, 0.0), jnp.int32
+                    @pl.when(e.is_interior)
+                    def _interior(w=w, y=y, e=e, o=o):
+                        # Octant-ordered slab: row k = k-th child in push
+                        # order.
+                        slab = box_ref[
+                            pl.ds((e.safe_nid * WIDTH + y.oc) * WIDTH, 8), :
+                        ]
+                        tn = entry_tn(y, slab)  # (8, 1), push order
+                        kcol = jax.lax.broadcasted_iota(
+                            jnp.int32, (WIDTH, 1), 0
                         )
-                        >> 16
-                    )  # round-down 16-bit keys (q <= tn in key order)
-                    val = jnp.where(kcol % 2 == 0, q, q << 16)
-                    pk[w, 0] = jnp.sum(jnp.where(kcol // 2 == 0, val, 0))
-                    pk[w, 1] = jnp.sum(jnp.where(kcol // 2 == 1, val, 0))
-                    pk[w, 2] = jnp.sum(jnp.where(kcol // 2 == 2, val, 0))
-                    pk[w, 3] = jnp.sum(jnp.where(kcol // 2 == 3, val, 0))
+                        pk[w, o + 4] = jnp.sum(
+                            jnp.where(tn < INF, jnp.int32(1) << kcol, 0)
+                        )
+                        q = (
+                            jax.lax.bitcast_convert_type(
+                                jnp.maximum(tn, 0.0), jnp.int32
+                            )
+                            >> 16
+                        )  # round-down 16-bit keys (q <= tn in key order)
+                        val = jnp.where(kcol % 2 == 0, q, q << 16)
+                        pk[w, o + 0] = jnp.sum(
+                            jnp.where(kcol // 2 == 0, val, 0)
+                        )
+                        pk[w, o + 1] = jnp.sum(
+                            jnp.where(kcol // 2 == 1, val, 0)
+                        )
+                        pk[w, o + 2] = jnp.sum(
+                            jnp.where(kcol // 2 == 2, val, 0)
+                        )
+                        pk[w, o + 3] = jnp.sum(
+                            jnp.where(kcol // 2 == 3, val, 0)
+                        )
 
-                @pl.when(y.is_leaf)
-                def _leaf(w=w, y=y):
-                    g = -y.node - 1
-                    r0 = g * grows
-                    # Sub-cluster boxes: rows 16..16+sub (8-aligned), lanes 0..5.
-                    sb = tri_ref[pl.ds(r0 + 16, sub), 0:8]  # (sub, 8)
-                    sub_tn = entry_tn(y, sb)  # (sub, 1)
-                    ccol = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
-                    pk[w, 4] = jnp.sum(
-                        jnp.where(sub_tn < INF, jnp.int32(1) << ccol, 0)
-                    )
-
-                n_int = n_int + y.is_interior.astype(jnp.int32)
-                n_leaf = n_leaf + y.is_leaf.astype(jnp.int32)
+                    @pl.when(e.is_leaf)
+                    def _leaf(w=w, y=y, e=e, o=o):
+                        g = -e.node - 1
+                        r0 = g * grows
+                        # Sub-cluster boxes: rows 16..16+sub (8-aligned),
+                        # lanes 0..5.
+                        sb = tri_ref[pl.ds(r0 + 16, sub), 0:8]  # (sub, 8)
+                        sub_tn = entry_tn(y, sb)  # (sub, 1)
+                        ccol = jax.lax.broadcasted_iota(
+                            jnp.int32, (sub, 1), 0
+                        )
+                        pk[w, o + 4] = jnp.sum(
+                            jnp.where(sub_tn < INF, jnp.int32(1) << ccol, 0)
+                        )
 
             # Phase 3: per way, consume the packed words — Moller-Trumbore
-            # per entered sub-cluster, one limit refresh per leaf visit,
-            # pushes in the precomputed far-to-near octant order (LIFO
-            # pops nearest first; packed words are already in push order).
+            # per entered sub-cluster of each leaf entry (in pop order, so
+            # nearer leaves usually tighten best_t before farther ones
+            # run), ONE limit refresh per iteration, then pushes in the
+            # precomputed far-to-near octant order (LIFO pops nearest
+            # first; packed words are already in push order).
             for w, y in enumerate(wv):
-                msk = pk[w, 4]
-                for c in range(sub):
-                    hit_sub = y.is_leaf & (((msk >> c) & 1) != 0)
-                    n_sub = n_sub + hit_sub.astype(jnp.int32)
+                any_mt = None
+                for k, e in enumerate(y.ent):
+                    e.msk = pk[w, k * 8 + 4]
+                for k, e in enumerate(y.ent):
+                    msk = e.msk
+                    for c in range(sub):
+                        hit_sub = e.is_leaf & (((msk >> c) & 1) != 0)
+                        n_sub = n_sub + hit_sub.astype(jnp.int32)
 
-                    @pl.when(hit_sub)
-                    def _mt(c=c, w=w, y=y):
-                        g = -y.node - 1
-                        r0 = g * grows
-                        lo, hi = c * sub_w, (c + 1) * sub_w
-                        slab = tri_ref[pl.ds(r0, 10), lo:hi]
-                        tr = jnp.swapaxes(slab, 0, 1)  # (sub_w, 10)
-                        v0x = tr[:, 0:1]
-                        v0y = tr[:, 1:2]
-                        v0z = tr[:, 2:3]
-                        e1x = tr[:, 3:4]
-                        e1y = tr[:, 4:5]
-                        e1z = tr[:, 5:6]
-                        e2x = tr[:, 6:7]
-                        e2y = tr[:, 7:8]
-                        e2z = tr[:, 8:9]
-                        gidx = tr[:, 9:10]
+                        @pl.when(hit_sub)
+                        def _mt(c=c, w=w, y=y, e=e):
+                            g = -e.node - 1
+                            r0 = g * grows
+                            lo, hi = c * sub_w, (c + 1) * sub_w
+                            slab = tri_ref[pl.ds(r0, 10), lo:hi]
+                            tr = jnp.swapaxes(slab, 0, 1)  # (sub_w, 10)
+                            v0x = tr[:, 0:1]
+                            v0y = tr[:, 1:2]
+                            v0z = tr[:, 2:3]
+                            e1x = tr[:, 3:4]
+                            e1y = tr[:, 4:5]
+                            e1z = tr[:, 5:6]
+                            e2x = tr[:, 6:7]
+                            e2y = tr[:, 7:8]
+                            e2z = tr[:, 8:9]
+                            gidx = tr[:, 9:10]
 
-                        hx = y.dy * e2z - y.dz * e2y
-                        hy = y.dz * e2x - y.dx * e2z
-                        hz = y.dx * e2y - y.dy * e2x
-                        a = e1x * hx + e1y * hy + e1z * hz
-                        fInv = 1.0 / a
-                        sx = y.ox - v0x
-                        sy = y.oy - v0y
-                        sz = y.oz - v0z
-                        u = fInv * (sx * hx + sy * hy + sz * hz)
-                        qx = sy * e1z - sz * e1y
-                        qy = sz * e1x - sx * e1z
-                        qz = sx * e1y - sy * e1x
-                        v = fInv * (y.dx * qx + y.dy * qy + y.dz * qz)
-                        tt = fInv * (e2x * qx + e2y * qy + e2z * qz)
-                        valid = (
-                            (jnp.abs(a) >= EPSILON)
-                            & (u >= 0.0)
-                            & (u <= 1.0)
-                            & (v >= 0.0)
-                            & (u + v <= 1.0)
-                            & (tt > EPSILON)
-                            & (gidx >= 0.0)
-                        )
-                        t_masked = jnp.where(valid, tt, INF)  # (sub_w, bn)
-                        min_t = jnp.min(t_masked, axis=0, keepdims=True)
-                        idx_m = jnp.where(t_masked == min_t, gidx, INF)
-                        min_idx = jnp.min(idx_m, axis=0, keepdims=True)
-                        cur = best_t[0:1, y.s]
-                        better = min_t < cur
-                        new_t = jnp.where(better, min_t, cur)
-                        best_t[0:1, y.s] = new_t
-                        best_i[0:1, y.s] = jnp.where(
-                            better,
-                            min_idx.astype(jnp.int32),
-                            best_i[0:1, y.s],
-                        )
+                            hx = y.dy * e2z - y.dz * e2y
+                            hy = y.dz * e2x - y.dx * e2z
+                            hz = y.dx * e2y - y.dy * e2x
+                            a = e1x * hx + e1y * hy + e1z * hz
+                            fInv = 1.0 / a
+                            sx = y.ox - v0x
+                            sy = y.oy - v0y
+                            sz = y.oz - v0z
+                            u = fInv * (sx * hx + sy * hy + sz * hz)
+                            qx = sy * e1z - sz * e1y
+                            qy = sz * e1x - sx * e1z
+                            qz = sx * e1y - sy * e1x
+                            v = fInv * (y.dx * qx + y.dy * qy + y.dz * qz)
+                            tt = fInv * (e2x * qx + e2y * qy + e2z * qz)
+                            valid = (
+                                (jnp.abs(a) >= EPSILON)
+                                & (u >= 0.0)
+                                & (u <= 1.0)
+                                & (v >= 0.0)
+                                & (u + v <= 1.0)
+                                & (tt > EPSILON)
+                                & (gidx >= 0.0)
+                            )
+                            t_masked = jnp.where(valid, tt, INF)
+                            min_t = jnp.min(t_masked, axis=0, keepdims=True)
+                            idx_m = jnp.where(t_masked == min_t, gidx, INF)
+                            min_idx = jnp.min(idx_m, axis=0, keepdims=True)
+                            cur = best_t[0:1, y.s]
+                            better = min_t < cur
+                            new_t = jnp.where(better, min_t, cur)
+                            best_t[0:1, y.s] = new_t
+                            best_i[0:1, y.s] = jnp.where(
+                                better,
+                                min_idx.astype(jnp.int32),
+                                best_i[0:1, y.s],
+                            )
 
-                # One limit refresh per leaf visit (the sub gates used the
-                # visit-entry limit anyway; intra-visit updates only ever
-                # helped FUTURE visits).
-                @pl.when(y.is_leaf & (msk != 0))
+                    mt_here = e.is_leaf & (msk != 0)
+                    any_mt = mt_here if any_mt is None else (any_mt | mt_here)
+
+                # ONE limit refresh per iteration (was per leaf visit —
+                # the sub gates used the visit-entry limit anyway; intra-
+                # iteration updates only ever helped FUTURE iterations).
+                @pl.when(any_mt)
                 def _refresh_limit(w=w, y=y):
                     if any_hit:
                         # Shadow semantics: ANY hit below the limit settles
@@ -325,36 +370,40 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                         + 0xFFFF
                     ) >> 16  # round-up key vs round-down tn keys
 
+                # Pushes in REVERSE pop order: the nearest popped entry's
+                # children land on top of the stack and pop first next
+                # iteration, keeping the approximate near-first order.
                 sp = sps[w]
-                for k in range(WIDTH):
-                    tq_c = (pk[w, k // 2] >> (16 * (k % 2))) & 0xFFFF
-                    m = ord_ref[y.safe_nid, y.oc8 + k]
-                    do_push = (
-                        y.is_interior & (((msk >> k) & 1) != 0) & (m != 0)
-                    )
-                    # Memory-safety clamp: build_wide_bvh asserts the worst
-                    # DFS depth fits MAX_STACK, so the clamp never engages
-                    # on real tables; it only bounds SMEM writes.
-                    slot = jnp.minimum(sp, max_stack - 1)
-                    old_n = stack[w, slot]
-                    old_t = stack_tq[w, slot]
-                    stack[w, slot] = jnp.where(do_push, m, old_n)
-                    stack_tq[w, slot] = jnp.where(do_push, tq_c, old_t)
-                    sp = jnp.minimum(
-                        sp + do_push.astype(jnp.int32), max_stack
-                    )
+                for k in reversed(range(pops)):
+                    e = y.ent[k]
+                    msk = e.msk
+                    for j in range(WIDTH):
+                        tq_c = (pk[w, k * 8 + j // 2] >> (16 * (j % 2))) \
+                            & 0xFFFF
+                        m = ord_ref[e.safe_nid, y.oc8 + j]
+                        do_push = (
+                            e.is_interior
+                            & (((msk >> j) & 1) != 0)
+                            & (m != 0)
+                        )
+                        # Memory-safety clamp: build_wide_bvh asserts the
+                        # worst K-pop DFS depth fits MAX_STACK, so the
+                        # clamp never engages on real tables; it only
+                        # bounds SMEM writes.
+                        slot = jnp.minimum(sp, max_stack - 1)
+                        old_n = stack[w, slot]
+                        old_t = stack_tq[w, slot]
+                        stack[w, slot] = jnp.where(do_push, m, old_n)
+                        stack_tq[w, slot] = jnp.where(do_push, tq_c, old_t)
+                        sp = jnp.minimum(
+                            sp + do_push.astype(jnp.int32), max_stack
+                        )
                 sps[w] = sp
 
             return (*sps, n_int, n_leaf, n_sub)
 
         def body(carry):
-            # Unrolled pops: the Pallas loop body carries a measured
-            # ~1.65 us fixed cost independent of its work (TODO.md
-            # microbenches); processing ``unroll`` stack entries per
-            # iteration amortizes it. Empty-stack passes gate to no-ops.
-            for _ in range(unroll):
-                carry = one_pass(carry)
-            return carry
+            return one_pass(carry)
 
         def cond(carry):
             any_live = carry[0] > 0
@@ -385,7 +434,7 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("num_tris", "any_hit", "interpret", "bn", "stats",
-                     "leaf_slots", "sub", "ways", "unroll"),
+                     "leaf_slots", "sub", "ways", "pops"),
 )
 def closest_hit_walk(
     walk_order,
@@ -403,7 +452,7 @@ def closest_hit_walk(
     leaf_slots: int = LEAF_SLOTS,
     sub: int = SUB,
     ways: int = WAYS,
-    unroll: int = UNROLL,
+    pops: int = POPS,
 ):
     """Wide-BVH block walk closest hit. Returns (t, idx); idx == -1 on miss.
 
@@ -411,7 +460,9 @@ def closest_hit_walk(
     scalar table the kernel needs), walk_boxes (Nn*64, 8) f32, walk_tris
     (Ng*group_rows(sub), max(leaf_slots, 128)) f32 from accel/bvh8.py; ro/rd: (3, N) SoA or
     (N, 3) AoS. ``ways`` independent bn-ray blocks interleave per grid
-    step to hide per-visit handoff latency. With ``any_hit`` the returned
+    step to hide per-visit handoff latency; ``pops`` stack entries are
+    processed per loop iteration under a single scalar<->vector sync
+    point (see POPS above). With ``any_hit`` the returned
     t is SOME hit below the lane's limit (not necessarily the closest) —
     occluded lanes stop traversing immediately.
     """
@@ -435,8 +486,16 @@ def closest_hit_walk(
     np_ = ro3.shape[1]
     nb = np_ // step
 
+    # NaN-safe reciprocal: a ray with d[a] == 0 whose origin lies exactly on
+    # a slab plane would produce 0 * inf = NaN in the entry test, and JAX
+    # min/max PROPAGATE NaN (skipping the subtree) where WGSL min/max drop
+    # the NaN operand (still traversing, pt.wgsl:234-245). Clamping the
+    # zero component to a tiny signed value keeps 1/d finite-huge: on-plane
+    # axes contribute 0 (as if ignored) and off-plane axes +-overflow to
+    # the same +-inf the true reciprocal gives.
+    rd_safe = jnp.where(rd3 == 0.0, jnp.float32(1e-30), rd3)
     rays = jnp.concatenate(
-        [ro3, rd3, 1.0 / rd3, jnp.zeros((7, np_), ro3.dtype)], axis=0
+        [ro3, rd3, 1.0 / rd_safe, jnp.zeros((7, np_), ro3.dtype)], axis=0
     )  # (16, np_): o, d, 1/d component rows, rays on lanes
     lim = limit0.reshape(1, np_)
 
@@ -465,7 +524,8 @@ def closest_hit_walk(
             pltpu.VMEM((1, step), jnp.int32),  # best_i
             pltpu.VMEM((1, step), jnp.float32),  # limcur = min(best_t, lim0)
             pltpu.SMEM((ways,), jnp.int32),  # octant * WIDTH per way
-            pltpu.SMEM((ways, 8), jnp.int32),  # packed child keys + mask
+            # packed child keys + mask, 8 words per popped entry
+            pltpu.SMEM((ways, pops * 8), jnp.int32),
             pltpu.SMEM((ways,), jnp.int32),  # worst live limit, 16-bit key
             pltpu.SMEM((ways, MAX_STACK), jnp.int32),  # DFS stacks
             pltpu.SMEM((ways, MAX_STACK), jnp.int32),  # entry keys at push
@@ -473,7 +533,7 @@ def closest_hit_walk(
     )
     outs = pl.pallas_call(
         _walk_kernel(bn, MAX_STACK, stats, leaf_slots, sub, ways, any_hit,
-                     unroll),
+                     pops),
         grid_spec=grid_spec,
         # The scene tables are deliberately VMEM-resident (loaded once,
         # reused every grid step); v5e has 128 MiB of VMEM, well above the

@@ -270,10 +270,17 @@ class Renderer:
         perm = tile_permutation(self.config.width, self.config.height)
         return jnp.asarray(accum_row_major[perm])
 
-    def render(self, spp: int, on_chunk=None) -> np.ndarray:
+    def render(self, spp: int, on_chunk=None, fetch: bool = True):
         """Accumulate ``spp`` more samples per pixel; returns the HDR buffer
         as (H, W, 3) NumPy (row 0 = bottom of view, as in the reference's
-        output buffer)."""
+        output buffer).
+
+        ``fetch=False`` skips the final device->host image transfer and
+        returns None — the small-canvas fast path (the reference never
+        reads the GPU buffer back either; its blit stays on-device,
+        renderer.ts:434-448). Timing stays honest: the ray counters are
+        pulled once at the end, which forces the whole chunk chain to
+        complete before the wall clock stops."""
         self.poll_pending_scene()
         if self._scene_dev is None:
             raise RuntimeError("No scene loaded — call load_model/load_scene first")
@@ -286,7 +293,7 @@ class Renderer:
 
         t0 = time.perf_counter()
         remaining = spp
-        render_counters = np.zeros(2, np.int64)
+        counters_dev: list = []
         while remaining > 0:
             self.poll_pending_scene()
             for task in self._on_update:
@@ -338,20 +345,34 @@ class Renderer:
                     bounce_kernel=cfg.bounce_kernel,
                     **common,
                 )
-            self._accum.block_until_ready()
+            # Counters stay ON DEVICE until the render completes (a host
+            # pull per chunk costs a tunnel round trip each — the measured
+            # config-1 dispatch floor); pulling the LAST chunk's counters
+            # at the end syncs the whole chain through the donated-accum
+            # data dependency, then the rest are already-computed fetches.
+            # (Int32 per chunk, summed in int64 on the host — a single
+            # device-side int32 running sum could overflow on deep spp.)
+            counters_dev.append(counters)
+            if on_chunk is not None:
+                # Per-chunk consumers (preview PNG, progress) need real
+                # data — sync here so their view is complete.
+                np.asarray(counters)
             self.profiler.add("path-trace-pass", (time.perf_counter() - chunk_t0) / chunk)
             for _ in range(chunk):
                 self.frame_meter.tick()
             self.frame_index += chunk
             remaining -= chunk
-            render_counters = render_counters + np.asarray(counters, np.int64)
             if on_chunk is not None:
                 on_chunk(self.frame_index)
-        self._accum.block_until_ready()
+        render_counters = np.zeros(2, np.int64)
+        for c in reversed(counters_dev):  # last first: one sync, then fetches
+            render_counters = render_counters + np.asarray(c, np.int64)
         self._last_counters = render_counters
         self._counters = self._counters + render_counters
         self._last_render_seconds = time.perf_counter() - t0
 
+        if not fetch:
+            return None
         return self._row_major(self._accum).reshape(cfg.height, cfg.width, 3)
 
     def render_debug(self) -> np.ndarray:

@@ -197,8 +197,8 @@ class ViewerServer:
         """One viewer tick: apply input, render a chunk, publish the frame
         (the rAF-loop body, renderer.ts:456-473)."""
         self._drain_events(dt)
-        self.renderer.render(spp=self.frames_per_update)
-        self._snapshot()
+        self.renderer.render(spp=self.frames_per_update, fetch=False)
+        self._snapshot()  # pulls + tonemaps the frame once per tick
 
     def run_loop(self, max_seconds: float | None = None) -> None:
         t_prev = time.perf_counter()
