@@ -16,6 +16,9 @@ across rounds. The per-config lines cover BASELINE.json's five workloads:
                           intersector); multi-chip sharding of this config is
                           validated separately by __graft_entry__.dryrun_multichip
                           (only one physical chip is reachable here)
+6. textured-512atlas      512x512 texel atlas (production scale) through the
+                          tiled in-VMEM Pallas sampler — measures the cliff
+                          the UNTILED_ATLAS_TEXELS bound used to hide
 
 Each line: {"metric": "mrays_per_sec", "value": N, "unit": "Mrays/s",
 "vs_baseline": N, "scene": ..., ...}. Select configs with
@@ -90,7 +93,7 @@ def main():
     )
 
     dev = str(jax.devices()[0])
-    sel = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,headline")
+    sel = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,headline")
     sel = {s.strip() for s in sel.split(",")}
 
     if "1" in sel:
@@ -129,6 +132,13 @@ def main():
         _emit("large-100k", mrays, wall, rays, 8,
               {"device": dev, "tris": r.scene.num_triangles,
                "multichip": "validated via dryrun_multichip (1 physical chip)"})
+
+    if "6" in sel:
+        r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=64))
+        r.load_scene(textured_cornell(atlas_size=512))
+        mrays, wall, rays = _bench_renderer(r, spp=64)
+        _emit("textured-512atlas", mrays, wall, rays, 64,
+              {"device": dev, "atlas": "512x512 tiled in-VMEM sampler"})
 
     if "headline" in sel:
         r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=128))

@@ -105,6 +105,42 @@ def test_pallas_bounce_textured():
     )
 
 
+def test_pallas_bounce_textured_tiled():
+    """Atlases above UNTILED_ATLAS_TEXELS run the tiled in-kernel sampler
+    (pl.when-gated (ATLAS_TILE_H x ATLAS_TILE_W) tiles); radiance and RNG
+    streams must still match the XLA path's native texel gathers exactly.
+    256^2 exercises multiple row bands, column groups, and both paddings
+    (non-multiple sizes are padded up in prepare_tables)."""
+    from wgpu_path_tracing_tpu.models.procedural import textured_cornell
+    from wgpu_path_tracing_tpu.ops.pallas_bounce import (
+        UNTILED_ATLAS_TEXELS,
+        prepare_tables,
+    )
+
+    sc = textured_cornell(atlas_size=256)
+    scene = jax.device_put(pack_device_scene(sc))
+    assert scene["atlas"].shape[0] * scene["atlas"].shape[1] \
+        > UNTILED_ATLAS_TEXELS
+    tables = prepare_tables(scene)
+    assert tables is not None and tables[3][2], "tiled path not selected"
+    cam = camera_device(Camera(width=W, height=H).as_pytree(), W, H)
+    x, y = CAM.pixel_grid(W, H)
+    ro, rd, state = CAM.generate_rays(cam, x, y, jnp.int32(0), use_dof=True)
+    ch = make_closest_hit(scene, "brute", 4096, 4)
+    rad_x, st_x, _ = TRACE.trace(
+        scene, ch, ro, rd, state,
+        max_bounces=4, do_mis=True, num_lights=sc.num_lights,
+    )
+    rad_p, st_p, _ = trace_pallas(
+        scene, ch, ro, rd, state,
+        max_bounces=4, do_mis=True, num_lights=sc.num_lights, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(st_x), np.asarray(st_p))
+    np.testing.assert_allclose(
+        np.asarray(rad_x), np.asarray(rad_p), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_pallas_bounce_spot_light():
     """Spot-light rows (extension type 3) ride the same light_full table;
     the in-VMEM row select must reproduce the XLA path bit-for-bit."""

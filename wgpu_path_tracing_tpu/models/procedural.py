@@ -272,33 +272,40 @@ def random_triangles(
     )
 
 
-def textured_cornell(tessellation: int = 1) -> SceneArrays:
+def textured_cornell(tessellation: int = 1, atlas_size: int = 32) -> SceneArrays:
     """Cornell box with a synthetic texture atlas (the reference's surviving
     sample scenes ship no textures — sponza.glb is stripped): checkerboard
     albedo + random rough/metal PBR map on the white material, perturbed
     normal map on the red wall. Exercises the full atlas-fetch path of
-    pt.wgsl:112-120/pt.wgsl:159-230 (BASELINE.json config 3)."""
+    pt.wgsl:112-120/pt.wgsl:159-230 (BASELINE.json config 3).
+
+    ``atlas_size`` scales the atlas (and the material rects with it) to
+    exercise the production-scale tiled in-kernel sampler (>= 256) with
+    per-texel detail at the full resolution, not an upscaled 32^2."""
     scene = cornell_box(tessellation=tessellation)
     rng = np.random.default_rng(3)
-    atlas = np.zeros((32, 32, 4), np.float32)
+    a = atlas_size
+    atlas = np.zeros((a, a, 4), np.float32)
     atlas[..., 3] = 1.0
-    # albedo checker at (0, 0, 16, 16)
-    yy, xx = np.mgrid[0:16, 0:16]
+    h2, q = a // 2, a // 4
+    # albedo checker at (0, 0, a/2, a/2), 4-texel cells at every size so
+    # big atlases carry real high-frequency content
+    yy, xx = np.mgrid[0:h2, 0:h2]
     checker = ((xx // 4 + yy // 4) % 2).astype(np.float32)
-    atlas[0:16, 0:16, 0] = 0.2 + 0.6 * checker
-    atlas[0:16, 0:16, 1] = 0.8 - 0.5 * checker
-    atlas[0:16, 0:16, 2] = 0.4
-    # pbr map at (16, 0, 8, 8): g = roughness, b = metallic
-    atlas[0:8, 16:24, 1] = rng.uniform(0.2, 1.0, (8, 8)).astype(np.float32)
-    atlas[0:8, 16:24, 2] = rng.uniform(0.0, 1.0, (8, 8)).astype(np.float32)
-    # normal map at (16, 8, 8, 8): perturbed tangent normals
-    nm = rng.uniform(0.3, 0.7, (8, 8, 2)).astype(np.float32)
-    atlas[8:16, 16:24, 0] = nm[..., 0]
-    atlas[8:16, 16:24, 1] = nm[..., 1]
-    atlas[8:16, 16:24, 2] = 1.0
+    atlas[0:h2, 0:h2, 0] = 0.2 + 0.6 * checker
+    atlas[0:h2, 0:h2, 1] = 0.8 - 0.5 * checker
+    atlas[0:h2, 0:h2, 2] = 0.4
+    # pbr map at (a/2, 0, a/4, a/4): g = roughness, b = metallic
+    atlas[0:q, h2:h2 + q, 1] = rng.uniform(0.2, 1.0, (q, q)).astype(np.float32)
+    atlas[0:q, h2:h2 + q, 2] = rng.uniform(0.0, 1.0, (q, q)).astype(np.float32)
+    # normal map at (a/2, a/4, a/4, a/4): perturbed tangent normals
+    nm = rng.uniform(0.3, 0.7, (q, q, 2)).astype(np.float32)
+    atlas[q:h2, h2:h2 + q, 0] = nm[..., 0]
+    atlas[q:h2, h2:h2 + q, 1] = nm[..., 1]
+    atlas[q:h2, h2:h2 + q, 2] = 1.0
 
-    scene.mat_albedo_rect[0] = [0, 0, 16, 16]
-    scene.mat_pbr_rect[0] = [16, 0, 8, 8]
-    scene.mat_normal_rect[1] = [16, 8, 8, 8]
+    scene.mat_albedo_rect[0] = [0, 0, h2, h2]
+    scene.mat_pbr_rect[0] = [h2, 0, q, q]
+    scene.mat_normal_rect[1] = [h2, q, q, q]
     scene.atlas = atlas
     return scene

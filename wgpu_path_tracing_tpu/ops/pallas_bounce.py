@@ -42,7 +42,12 @@ MAX_VMEM_TRIS = 16384  # denormalized table stays VMEM-small (~3 MB); the
 # one-hot fetch cost grows with rows but still beats the XLA bounce's HBM
 # round-trips at this size (measured: glass_box 11.8k tris 4.2 -> see
 # BASELINE.md; cap re-measured round 2)
-MAX_VMEM_ATLAS_TEXELS = 128 * 128  # in-kernel atlas sampling bound
+UNTILED_ATLAS_TEXELS = 128 * 128  # below this the single row-select
+# sampler wins (one-hot cost ~ Hp*W*4*BN MACs is still small)
+MAX_VMEM_ATLAS_TEXELS = 512 * 512  # in-kernel atlas bound (tiled sampler;
+# 4 MB VMEM resident). Beyond, the XLA bounce path takes over.
+ATLAS_TILE_H = 128  # one-hot rows per taken tile (tiled sampler)
+ATLAS_TILE_W = 32  # texels per tile column group (128 f32 columns)
 
 
 def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK):
@@ -105,12 +110,120 @@ def _make_atlas_sampler(atlas_ref, width: int, height: int):
     return sample
 
 
+def _make_atlas_sampler_tiled(atlas_ref, width: int, height: int,
+                              acc_ref, amsk_ref):
+    """In-VMEM getTextureColor for LARGE atlases (> UNTILED_ATLAS_TEXELS).
+
+    The single row-select sampler scales with Hp*W*4*BN MACs and
+    materializes a (W*4, BN) intermediate — both blow up past ~128^2
+    texels. Instead the atlas is processed in (ATLAS_TILE_H rows x
+    ATLAS_TILE_W texels) tiles, DISPATCHED like the walk kernel's
+    sub-clusters (ops/walk.py): a vector reduce per tile writes a
+    touched-count to SMEM, the scalar core gates a pl.when region per
+    touched tile, and each taken tile runs a small exact one-hot MXU
+    select (TILE_H x TILE_W*4 x BN MACs) plus a TILE_W-column sweep.
+    Bounce blocks touch few tiles (uv locality follows hit locality), so
+    the cost tracks the texels a block actually reads, not atlas area.
+
+    acc_ref: VMEM (32, 128) scratch — four (8, 128) channel planes.
+    amsk_ref: SMEM (n_bands + n_groups,) int32 — touched counts.
+    Exactness: one-hot f32 matmul entries are 0/1 so the selected texel is
+    reproduced bit-for-bit (same argument as _select_rows)."""
+    hp, wcols = atlas_ref.shape
+    wp = wcols // 4
+    n_bands = -(-hp // ATLAS_TILE_H)
+    n_groups = -(-wp // ATLAS_TILE_W)
+
+    def sample(rect, u, v, fallback):
+        rx, ry, rw, rh = rect
+        ax = rx + (u - _trunc(u)) * rw
+        ay = ry + (v - _trunc(v)) * rh
+        ix = jnp.clip(ax, 0.0, width - 1.0).astype(jnp.int32)
+        iy = jnp.clip(ay, 0.0, height - 1.0).astype(jnp.int32)
+        missing = (rw == 0.0) | (rh == 0.0)
+        band = iy // ATLAS_TILE_H
+        grp = ix // ATLAS_TILE_W
+        live = ~missing
+
+        for c in range(4):
+            acc_ref[pl.ds(c * 8, 8), :] = jnp.zeros((8, 128), jnp.float32)
+        # Phase A (vector): touched counts per row band and per column
+        # group — all reduces issue back-to-back, the scalar core drains
+        # once at the first pl.when read (the walk kernel's handoff shape).
+        for b in range(n_bands):
+            amsk_ref[b] = jnp.sum((live & (band == b)).astype(jnp.int32))
+        for g in range(n_groups):
+            amsk_ref[n_bands + g] = jnp.sum(
+                (live & (grp == g)).astype(jnp.int32)
+            )
+        # Phase B (scalar-gated tiles). A (band, group) tile runs only if
+        # both its band and its group are touched — a slight over-approx
+        # of per-tile occupancy that keeps the reduce count linear in
+        # bands+groups instead of bands*groups.
+        for b in range(n_bands):
+
+            @pl.when(amsk_ref[b] > 0)
+            def _band(b=b):
+                inband = band == b
+                for g in range(n_groups):
+
+                    @pl.when(amsk_ref[n_bands + g] > 0)
+                    def _tile(b=b, g=g):
+                        th = min(ATLAS_TILE_H, hp - b * ATLAS_TILE_H)
+                        tw = min(ATLAS_TILE_W, wp - g * ATLAS_TILE_W)
+                        iota = jax.lax.broadcasted_iota(
+                            jnp.int32, (th, 8, 128), 0
+                        ) + b * ATLAS_TILE_H
+                        onehot = (iota == iy[None]).astype(
+                            jnp.float32
+                        ).reshape(th, 1024)
+                        part = jax.lax.dot_general(
+                            atlas_ref[
+                                pl.ds(b * ATLAS_TILE_H, th),
+                                g * ATLAS_TILE_W * 4:
+                                (g * ATLAS_TILE_W + tw) * 4,
+                            ],
+                            onehot,
+                            dimension_numbers=((([0]), ([0])), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (tw*4, 1024)
+                        part3 = part.reshape(tw * 4, 8, 128)
+                        for c in range(4):
+                            accv = acc_ref[pl.ds(c * 8, 8), :]
+                            for w in range(tw):
+                                sel = inband & (
+                                    ix == g * ATLAS_TILE_W + w
+                                )
+                                accv = jnp.where(
+                                    sel, part3[w * 4 + c], accv
+                                )
+                            acc_ref[pl.ds(c * 8, 8), :] = accv
+
+        return [
+            jnp.where(missing, fallback[c], acc_ref[pl.ds(c * 8, 8), :])
+            for c in range(4)
+        ]
+
+    return sample
+
+
 def _bounce_kernel(do_mis, num_lights, atlas_hw=None):
     def kernel(
         bounce_ref,  # scalar prefetch: (1,) int32
         *refs,
     ):
-        if atlas_hw is not None:
+        if atlas_hw is not None and atlas_hw[2]:
+            # Tiled sampler: two trailing scratch refs (VMEM accumulator
+            # planes + SMEM touched-tile counts).
+            (ray_ref, state_ref, thr_ref, res_ref, alive_ref, t_ref,
+             idx_ref, tri_ref, light_ref, atlas_ref,
+             oray_ref, ostate_ref, othr_ref, ores_ref, oalive_ref,
+             shadow_ray_ref, stmax_ref, smask_ref, sdirect_ref,
+             spdf_ref, acc_ref, amsk_ref) = refs
+            atlas = _make_atlas_sampler_tiled(
+                atlas_ref, atlas_hw[1], atlas_hw[0], acc_ref, amsk_ref
+            )
+        elif atlas_hw is not None:
             (ray_ref, state_ref, thr_ref, res_ref, alive_ref, t_ref,
              idx_ref, tri_ref, light_ref, atlas_ref,
              oray_ref, ostate_ref, othr_ref, ores_ref, oalive_ref,
@@ -243,6 +356,15 @@ def bounce_stage_pallas(
     if atlas_hw is not None:
         in_specs.append(table_spec(atlas_table.shape))
         operands.append(atlas_table)
+    scratch_shapes = []
+    if atlas_hw is not None and atlas_hw[2]:
+        hp, wcols = atlas_table.shape
+        n_bands = -(-hp // ATLAS_TILE_H)
+        n_groups = -(-(wcols // 4) // ATLAS_TILE_W)
+        scratch_shapes = [
+            pltpu.VMEM((32, 128), jnp.float32),  # 4 channel planes
+            pltpu.SMEM((n_bands + n_groups,), jnp.int32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -251,10 +373,20 @@ def bounce_stage_pallas(
             row_spec(6), row_spec(1), row_spec(3), row_spec(3), row_spec(1),
             row_spec(6), row_spec(1), row_spec(1), row_spec(3), row_spec(1),
         ],
+        scratch_shapes=scratch_shapes,
     )
+    # Tiled atlases are VMEM-resident beyond the 16 MiB default scope;
+    # untiled configs keep the default limit (their compiled artifacts and
+    # measured numbers predate this knob).
+    extra = {}
+    if atlas_hw is not None and atlas_hw[2]:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
     outs = pl.pallas_call(
         _bounce_kernel(do_mis, num_lights, atlas_hw),
         grid_spec=grid_spec,
+        **extra,
         out_shape=[
             jax.ShapeDtypeStruct((6, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.uint32),
@@ -305,14 +437,23 @@ def prepare_tables(scene):
             return None
         h, w = atlas.shape[0], atlas.shape[1]
         flat = jnp.asarray(atlas, jnp.float32).reshape(h, w * 4)
-        # Same rule as the triangle table: the row count must be a multiple
-        # of the one-hot select chunk or _select_rows' fori_loop silently
-        # skips the tail rows (atlases taller than SELECT_CHUNK).
-        hp = max(8, -(-h // 8) * 8)
-        if hp > SELECT_CHUNK:
-            hp = -(-hp // SELECT_CHUNK) * SELECT_CHUNK
-        atlas_p = jnp.pad(flat, ((0, hp - h), (0, 0)))
-        atlas_hw = (h, w)
+        tiled = h * w > UNTILED_ATLAS_TEXELS
+        if tiled:
+            # Tiled sampler: pad rows to the tile height (its one-hot
+            # selects run per full tile) and texel columns to the tile
+            # width (padded texels are never addressed — ix <= w-1).
+            hp = -(-h // ATLAS_TILE_H) * ATLAS_TILE_H
+            wp = -(-w // ATLAS_TILE_W) * ATLAS_TILE_W
+            atlas_p = jnp.pad(flat, ((0, hp - h), (0, (wp - w) * 4)))
+        else:
+            # Same rule as the triangle table: the row count must be a
+            # multiple of the one-hot select chunk or _select_rows'
+            # fori_loop silently skips the tail rows.
+            hp = max(8, -(-h // 8) * 8)
+            if hp > SELECT_CHUNK:
+                hp = -(-hp // SELECT_CHUNK) * SELECT_CHUNK
+            atlas_p = jnp.pad(flat, ((0, hp - h), (0, 0)))
+        atlas_hw = (h, w, tiled)
     return tri_p, light_p, atlas_p, atlas_hw
 
 
