@@ -398,11 +398,10 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
             from wgpu_path_tracing_tpu.accel.bvh8 import pops_for_tree
             from wgpu_path_tracing_tpu.ops.walk import closest_hit_walk
 
-            # Static per-scene batching factor: shallow trees amortize the
-            # per-iteration sync by popping 2 stack entries per pass; deep
-            # trees measured best one at a time (accel/bvh8.py numbers).
-            # Must match the build-time stack-depth guarantee, so the rule
-            # lives next to it in bvh8.pops_for_tree.
+            # Static batching factor (currently 2 for every tree —
+            # accel/bvh8.py numbers). Must match the build-time
+            # stack-depth guarantee, so the rule lives next to it in
+            # bvh8.pops_for_tree.
             walk_pops = pops_for_tree(scene["walk_order"].shape[0])
 
             def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False):

@@ -54,8 +54,11 @@ from wgpu_path_tracing_tpu.accel.bvh8 import (
 EPSILON = 1e-6
 INF = np.float32(np.inf)
 
-BN = 4096  # rays per block (measured best on the 103k-tri sweep: larger
-# blocks amortize per-visit machinery; 104.4 ms vs 117.3 ms at 1024)
+BN = 2048  # rays per block. 4096 measured best on camera-coherent sweeps
+# (104.4 ms vs 117.3 at bn=1024), but production calls are dominated by
+# in-pipeline bounce rays whose incoherent block unions visit most of the
+# tree; there bn=2048 won ~10% on BOTH scene classes (round-3 in-process
+# A/B on real bounce-2 rays) — smaller unions beat fewer blocks.
 WAYS = 1  # independent blocks interleaved per grid step; >1 measured a
 # wash on the 103k sweep (cost tracks visits, not handoffs) — kept as a
 # tested knob for scenes with different visit/VPU balance
