@@ -60,6 +60,35 @@ def test_walk_matches_brute(scene, bn, ways):
     np.testing.assert_allclose(t_b[hb], t_w[hb], rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("pack", ["none", "ffd", "slice"])
+def test_walk_pack_modes_exact(scene, pack):
+    """Every leaf-group packing mode (one-subtree-per-group, FFD bin-pack,
+    DFS slicing across subtree boundaries) must stay exact vs brute: the
+    packs change group membership and union boxes but never the triangle
+    set, so hits and distances are invariant."""
+    sc = random_triangles(1500, seed=5)
+    tri = np.asarray(scene["tri_isect"])
+    wb = build_wide_bvh(sc.bvh_aabb_min, sc.bvh_aabb_max, sc.bvh_meta,
+                        tri, pack=pack, prefer_native=False)
+    # Coverage: every global tri index appears exactly once in the slabs.
+    grows = group_rows(SUB)
+    idx_rows = wb.tris.reshape(-1, grows, 128)[:, 9, :]
+    got = np.sort(idx_rows[idx_rows >= 0].astype(np.int64))
+    np.testing.assert_array_equal(got, np.arange(tri.shape[0]))
+    ro, rd = _aimed_rays(tri, 512, seed=11)
+    t_b, i_b = closest_hit_brute(jnp.asarray(tri), ro, rd)
+    t_w, i_w = closest_hit_walk(
+        jnp.asarray(wb.order), jnp.asarray(wb.boxes), jnp.asarray(wb.tris),
+        ro, rd, num_tris=tri.shape[0], interpret=True, bn=256,
+    )
+    i_b, i_w, t_b, t_w = map(np.asarray, (i_b, i_w, t_b, t_w))
+    diff = i_b != i_w
+    np.testing.assert_array_equal(t_b[diff], t_w[diff])
+    np.testing.assert_array_equal(i_b >= 0, i_w >= 0)
+    hb = i_b >= 0
+    np.testing.assert_allclose(t_b[hb], t_w[hb], rtol=1e-4, atol=1e-5)
+
+
 def test_walk_shadow_limit(scene):
     ro, rd = _aimed_rays(scene["tri_isect"], 512, seed=2)
     t_b, _ = closest_hit_brute(jnp.asarray(scene["tri_isect"]), ro, rd)
@@ -154,13 +183,16 @@ def test_walk_big_leaf_groups(scene):
     from wgpu_path_tracing_tpu.accel.native import native_available
 
     if native_available():
+        nat = build_wide_bvh(sc.bvh_aabb_min, sc.bvh_aabb_max, sc.bvh_meta,
+                             tri, leaf_slots=256, sub=32, pack="none",
+                             prefer_native=True)
         py = build_wide_bvh(sc.bvh_aabb_min, sc.bvh_aabb_max, sc.bvh_meta,
-                            tri, leaf_slots=256, sub=32,
+                            tri, leaf_slots=256, sub=32, pack="none",
                             prefer_native=False)
         np.testing.assert_array_equal(
-            py.tris.view(np.uint32), wb.tris.view(np.uint32)
+            py.tris.view(np.uint32), nat.tris.view(np.uint32)
         )
-        np.testing.assert_array_equal(py.order, wb.order)
+        np.testing.assert_array_equal(py.order, nat.order)
 
 
 def test_wide_native_matches_python():
@@ -178,9 +210,9 @@ def test_wide_native_matches_python():
         tri[:, 3:6] = sc.tri_v1 - sc.tri_v0
         tri[:, 6:9] = sc.tri_v2 - sc.tri_v0
         py = build_wide_bvh(sc.bvh_aabb_min, sc.bvh_aabb_max, sc.bvh_meta,
-                            tri, prefer_native=False)
+                            tri, prefer_native=False, pack="none")
         nat = build_wide_bvh(sc.bvh_aabb_min, sc.bvh_aabb_max, sc.bvh_meta,
-                             tri, prefer_native=True)
+                             tri, prefer_native=True, pack="none")
         np.testing.assert_array_equal(py.meta, nat.meta)
         np.testing.assert_array_equal(py.order, nat.order)
         np.testing.assert_array_equal(

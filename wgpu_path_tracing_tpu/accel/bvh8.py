@@ -48,21 +48,23 @@ WIDTH = 8
 LEAF_SLOTS = 128  # triangle slots per leaf group (one slab of lanes)
 SUB = 16  # sub-clusters per leaf group, the MT gating unit
 MAX_STACK = 512  # walk-kernel DFS stack entries (ops/walk.py scratch)
-POPS_NODE_THRESHOLD = 128  # wide-node count below which the walk runs
-# pops=2 (two stack entries per loop iteration under one sync point).
-# Measured (round 3, within one process each): glass 11.8k tris /
-# 48 nodes: 58.7 ms vs 84.9 at pops=1 (+42%); 103k tris / 356 nodes:
-# pops=2 within noise of pops=1 but both trail the one-pop structure by
-# ~0-17% across process reruns, so deep trees stay at pops=1. pops>=4
+# pops=2: two stack entries per loop iteration under ONE scalar<->vector
+# sync point. Measured (round 3, within one process each): glass 11.8k
+# tris / 48 nodes: 58.7 ms vs 84.9 at pops=1 (+42%); 103k tris / 356
+# nodes: two later same-process A/Bs on real in-pipeline bounce rays both
+# ranked pops=2 >= pops=1, so pops=2 is now unconditional. pops>=4
 # REJECTED by measurement on both scene classes (0.9-2.9 Mrays/s vs
 # 2.0-4.6 — the fused-sync win is eaten by the longer serialized body).
 
 
 def pops_for_tree(num_wide_nodes: int) -> int:
-    """Stack entries the walk kernel pops per loop iteration for a tree of
-    this size — shared by the build-time stack-depth guard and the runtime
-    kernel selection (ops/intersect.py) so the guarantee matches the use."""
-    return 2 if num_wide_nodes <= POPS_NODE_THRESHOLD else 1
+    """Stack entries the walk kernel pops per loop iteration — shared by
+    the build-time stack-depth guard and the runtime kernel selection
+    (ops/intersect.py) so the guarantee matches the use. Unconditionally 2
+    since the round-3 bounce-ray A/Bs (see module comment); the node-count
+    parameter stays so a future size-dependent rule keeps both sites in
+    sync."""
+    return 2
 
 
 class WideBVHDepthError(ValueError):
@@ -139,6 +141,7 @@ def build_wide_bvh(
     leaf_slots: int = LEAF_SLOTS,
     sub: int = SUB,
     prefer_native: bool = True,
+    pack: str = "ffd",
 ) -> WideBVH:
     """Collapse the binary BVH into the walk kernel's wide tables.
 
@@ -146,10 +149,21 @@ def build_wide_bvh(
     leaf groups copy them into lane-major slabs. Uses the native C++
     collapse (accel/cbvh/wide_collapse.cpp, bit-identical by test) when
     the toolchain is available, the NumPy path below otherwise.
+
+    ``pack`` selects how small sibling subtrees share leaf groups:
+    "none" = one subtree per group (round-2 behavior; 59.8% mean fill on
+    the 103k Cornell), "ffd" = first-fit-decreasing bin-pack on subtree
+    boundaries (94.9/128 mean fill), "slice" = concatenate smalls in DFS
+    order and cut at exact leaf_slots boundaries (~100% fill, boxes from
+    the sliced tris themselves). Incoherent bounce unions visit nearly
+    every group, so group count is directly the dominant traversal cost.
     """
     t = int(tri_isect.shape[0])
     grows = group_rows(sub)
-    if t > 0 and prefer_native:
+    # The C++ twin implements the one-subtree-per-group rule only; route
+    # packed modes through NumPy until the measured winner is ported
+    # (tests/test_walk.py enforces twin bit-identity per pack mode).
+    if t > 0 and prefer_native and pack == "none":
         from wgpu_path_tracing_tpu.accel.native import (
             build_wide_native,
             native_available,
@@ -177,20 +191,62 @@ def build_wide_bvh(
 
     wide_meta: list[np.ndarray] = []
     wide_boxes: list[np.ndarray] = []
-    groups: list[tuple[int, int]] = []  # (lo, count) per leaf group
+    # Per leaf group: list of (lo, count) tri ranges (a group may pack
+    # several small sibling subtrees — see _pack_bins).
+    groups: list[list[tuple[int, int]]] = []
 
     def count(b: int) -> int:
         return int(hi[b] - lo[b])
 
     def emit_group(glo: int, gcnt: int) -> int:
         gid = len(groups)
-        groups.append((glo, gcnt))
+        groups.append([(glo, gcnt)])
+        return -(gid + 1)
+
+    def emit_group_multi(members: list[int]) -> int:
+        gid = len(groups)
+        groups.append(
+            [(int(lo[e]), count(e)) for e in sorted(members, key=lambda e: lo[e])]
+        )
+        return -(gid + 1)
+
+    def emit_group_ranges(ranges: list[tuple[int, int]]) -> int:
+        gid = len(groups)
+        groups.append(list(ranges))
         return -(gid + 1)
 
     def alloc_node() -> int:
         wide_meta.append(np.zeros(WIDTH, np.int32))
         wide_boxes.append(np.full((WIDTH, 6), np.nan, np.float32))
         return len(wide_meta) - 1
+
+    def _pack_bins(smalls: list[int]) -> list[list[int]]:
+        """First-fit-decreasing bin-pack of small subtrees into
+        leaf_slots-capacity groups. Input order breaks count ties, so the
+        result is deterministic (the C++ twin mirrors this exactly).
+
+        Without packing every small sibling became its own group and the
+        103k-tri Cornell measured 59.8% mean leaf fill (1344 groups vs the
+        804 a perfect pack would need); incoherent bounce-ray unions visit
+        nearly every group, so group count is directly proportional to the
+        dominant traversal cost."""
+        order = sorted(range(len(smalls)), key=lambda i: (-count(smalls[i]), i))
+        bins: list[list[int]] = []
+        room: list[int] = []
+        for i in order:
+            e = smalls[i]
+            c = count(e)
+            placed = False
+            for k in range(len(bins)):
+                if room[k] >= c:
+                    bins[k].append(e)
+                    room[k] -= c
+                    placed = True
+                    break
+            if not placed:
+                bins.append([e])
+                room.append(leaf_slots - c)
+        return bins
 
     def build(b: int) -> int:
         """Wide node for binary subtree b (count(b) may exceed leaf_slots,
@@ -214,24 +270,76 @@ def build_wide_bvh(
             _fill(nid, slots)
             return nid
 
-        # Collect up to WIDTH sub-roots by repeatedly expanding the largest
-        # still-oversized interior element.
+        # Collect sub-roots by repeatedly expanding the largest
+        # still-oversized interior element; an expansion is kept while the
+        # packed slot demand (oversized elems + bin-packed smalls) fits
+        # the node. Packing frees slots, so nodes expand deeper AND
+        # groups pack fuller than the one-subtree-per-slot rule.
         elems = [b]
-        while len(elems) < WIDTH:
+
+        def slot_demand(es: list[int]) -> int:
+            smalls = [e for e in es if count(e) <= leaf_slots]
+            overs = len(es) - len(smalls)
+            if pack == "slice":
+                total = sum(count(e) for e in smalls)
+                return overs + -(-total // leaf_slots)
+            if pack == "ffd":
+                return overs + len(_pack_bins(smalls))
+            return overs + len(smalls)
+
+        while True:
             cand = [
                 e for e in elems if not is_leaf[e] and count(e) > leaf_slots
             ]
             if not cand:
                 break
             e = max(cand, key=count)
-            i = elems.index(e)
-            elems[i : i + 1] = [int(meta[e, 0]), int(meta[e, 1])]
+            trial = list(elems)
+            i = trial.index(e)
+            trial[i : i + 1] = [int(meta[e, 0]), int(meta[e, 1])]
+            if slot_demand(trial) > WIDTH:
+                break
+            elems = trial
 
+        smalls = [e for e in elems if count(e) <= leaf_slots]
         slots = []
-        for e in elems:
-            if count(e) <= leaf_slots:
+        if pack == "slice" and smalls:
+            # Concatenate the smalls' tri ranges in DFS order and cut at
+            # exact leaf_slots boundaries (subtrees split mid-range; group
+            # boxes computed from the sliced tris below).
+            runs = [(int(lo[e]), count(e)) for e in
+                    sorted(smalls, key=lambda e: lo[e])]
+            cur: list[tuple[int, int]] = []
+            room = leaf_slots
+            for glo, gcnt in runs:
+                while gcnt > 0:
+                    take = min(room, gcnt)
+                    cur.append((glo, take))
+                    glo += take
+                    gcnt -= take
+                    room -= take
+                    if room == 0:
+                        slots.append(
+                            (emit_group_ranges(cur), _box_of_ranges(cur))
+                        )
+                        cur, room = [], leaf_slots
+            if cur:
+                slots.append((emit_group_ranges(cur), _box_of_ranges(cur)))
+        elif pack == "ffd":
+            for members in _pack_bins(smalls):
+                box = _union_box(members)
+                if len(members) == 1:
+                    slots.append(
+                        (emit_group(int(lo[members[0]]), count(members[0])),
+                         box)
+                    )
+                else:
+                    slots.append((emit_group_multi(members), box))
+        else:
+            for e in smalls:
                 slots.append((emit_group(int(lo[e]), count(e)), _box_of(e)))
-            else:
+        for e in elems:
+            if count(e) > leaf_slots:
                 slots.append((build(e), _box_of(e)))
         _fill(nid, slots)
         return nid
@@ -251,6 +359,23 @@ def build_wide_bvh(
 
     def _box_of(b: int) -> np.ndarray:
         return np.concatenate([aabb_min[b], aabb_max[b]]).astype(np.float32)
+
+    def _union_box(members: list[int]) -> np.ndarray:
+        mins = aabb_min[members].min(axis=0)
+        maxs = aabb_max[members].max(axis=0)
+        return np.concatenate([mins, maxs]).astype(np.float32)
+
+    _tri_f = np.asarray(tri_isect, np.float32)
+
+    def _box_of_ranges(ranges: list[tuple[int, int]]) -> np.ndarray:
+        rows = np.concatenate(
+            [_tri_f[glo : glo + c] for glo, c in ranges], axis=0
+        )
+        v0 = rows[:, 0:3]
+        allv = np.concatenate([v0, v0 + rows[:, 3:6], v0 + rows[:, 6:9]])
+        return np.concatenate(
+            [allv.min(axis=0), allv.max(axis=0)]
+        ).astype(np.float32)
 
     def _fill(nid: int, slots: list[tuple[int, np.ndarray]]) -> None:
         assert len(slots) <= WIDTH
@@ -296,11 +421,17 @@ def build_wide_bvh(
     tris = np.zeros((ng * grows, lanes), np.float32)
     tri = np.asarray(tri_isect, np.float32)
     sub_w = leaf_slots // sub
-    for g, (glo, gcnt) in enumerate(groups):
+    for g, ranges in enumerate(groups):
         r0 = g * grows
-        rows = tri[glo : glo + gcnt]  # (cnt, 9)
+        rows = np.concatenate(
+            [tri[glo : glo + gcnt] for glo, gcnt in ranges], axis=0
+        )  # (cnt, 9)
+        gcnt = rows.shape[0]
         tris[r0 : r0 + 9, :gcnt] = rows.T
-        tris[r0 + 9, :gcnt] = np.arange(glo, glo + gcnt, dtype=np.float32)
+        tris[r0 + 9, :gcnt] = np.concatenate(
+            [np.arange(glo, glo + gcnt_, dtype=np.float32)
+             for glo, gcnt_ in ranges]
+        )
         tris[r0 + 9, gcnt:] = -1.0
         # Sub-cluster AABBs from triangle vertices (v0, v0+e1, v0+e2):
         # sub s at row r0 + 16 + s, bounds on lanes 0..5.
