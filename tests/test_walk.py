@@ -195,10 +195,11 @@ def test_walk_big_leaf_groups(scene):
         np.testing.assert_array_equal(py.order, nat.order)
 
 
-def test_wide_native_matches_python():
+@pytest.mark.parametrize("pack", ["none", "ffd"])
+def test_wide_native_matches_python(pack):
     """The C++ collapse (accel/cbvh/wide_collapse.cpp) must be
-    bit-identical to the NumPy one — same expansion rule, emission order,
-    octant sort keys, and f32 sub-box sweeps."""
+    bit-identical to the NumPy one — same expansion rule, FFD bin-pack and
+    multi-range emission order, octant sort keys, and f32 sub-box sweeps."""
     from wgpu_path_tracing_tpu.accel.native import native_available
 
     if not native_available():
@@ -210,9 +211,9 @@ def test_wide_native_matches_python():
         tri[:, 3:6] = sc.tri_v1 - sc.tri_v0
         tri[:, 6:9] = sc.tri_v2 - sc.tri_v0
         py = build_wide_bvh(sc.bvh_aabb_min, sc.bvh_aabb_max, sc.bvh_meta,
-                            tri, prefer_native=False, pack="none")
+                            tri, prefer_native=False, pack=pack)
         nat = build_wide_bvh(sc.bvh_aabb_min, sc.bvh_aabb_max, sc.bvh_meta,
-                             tri, prefer_native=True, pack="none")
+                             tri, prefer_native=True, pack=pack)
         np.testing.assert_array_equal(py.meta, nat.meta)
         np.testing.assert_array_equal(py.order, nat.order)
         np.testing.assert_array_equal(

@@ -160,10 +160,10 @@ def build_wide_bvh(
     """
     t = int(tri_isect.shape[0])
     grows = group_rows(sub)
-    # The C++ twin implements the one-subtree-per-group rule only; route
-    # packed modes through NumPy until the measured winner is ported
-    # (tests/test_walk.py enforces twin bit-identity per pack mode).
-    if t > 0 and prefer_native and pack == "none":
+    # The C++ twin implements "none" and the production "ffd" (bit-identical
+    # by tests/test_walk.py); "slice" (non-default, measured a wash) stays
+    # NumPy-only.
+    if t > 0 and prefer_native and pack in ("none", "ffd"):
         from wgpu_path_tracing_tpu.accel.native import (
             build_wide_native,
             native_available,
@@ -171,7 +171,8 @@ def build_wide_bvh(
 
         if native_available():
             wm, wo, wb, wt = build_wide_native(
-                aabb_min, aabb_max, meta, tri_isect, leaf_slots, sub, grows
+                aabb_min, aabb_max, meta, tri_isect, leaf_slots, sub, grows,
+                pack=pack,
             )
             _check_stack_depth(wm)
             return WideBVH(meta=wm, order=wo, boxes=wb, tris=wt,

@@ -35,6 +35,7 @@ struct Ctx {
   int32_t sub = 0;
   int32_t grows = 0;
   int32_t lanes = 0;  // slab lane width = max(leaf_slots, 128)
+  int32_t pack = 0;   // 0 = one subtree per group, 1 = FFD bin-pack
   // derived
   std::vector<int64_t> lo, hi;  // subtree triangle ranges
   // emission state
@@ -45,7 +46,9 @@ struct Ctx {
   int32_t* wmeta = nullptr;       // (nn, 8) child slot metas (unpermuted)
   float* wtris = nullptr;         // (ng * grows, 128)
   std::vector<float> nodeboxes;   // nn * 8 slots * 6 bounds (child-major)
-  std::vector<std::pair<int64_t, int64_t>> groups;  // (lo, count)
+  // Per leaf group: (lo, count) triangle ranges. pack=1 groups may hold
+  // several small sibling subtrees (Python: emit_group_multi).
+  std::vector<std::vector<std::pair<int64_t, int64_t>>> groups;
 };
 
 inline bool is_leaf(const Ctx& c, int64_t b) { return c.meta[4 * b + 3] > 0; }
@@ -89,25 +92,116 @@ int64_t emit_group(Ctx& c, int64_t glo, int64_t gcnt) {
     if (gid >= c.ng_cap) {
       c.overflow = true;
     } else {
-      c.groups[gid] = {glo, gcnt};
+      c.groups[gid] = {{glo, gcnt}};
     }
   }
   return -(gid + 1);
 }
 
+// Multi-subtree group (pack=1): members sorted ascending by range start,
+// exactly like Python's emit_group_multi.
+int64_t emit_group_multi(Ctx& c, const std::vector<int64_t>& members) {
+  const int64_t gid = c.ng++;
+  if (c.emit) {
+    if (gid >= c.ng_cap) {
+      c.overflow = true;
+    } else {
+      std::vector<int64_t> order(members);
+      std::stable_sort(order.begin(), order.end(),
+                       [&](int64_t a, int64_t b) { return c.lo[a] < c.lo[b]; });
+      auto& g = c.groups[gid];
+      g.clear();
+      for (const int64_t e : order) g.emplace_back(c.lo[e], count_of(c, e));
+    }
+  }
+  return -(gid + 1);
+}
+
+// First-fit-decreasing bin-pack of small subtrees into leaf_slots-capacity
+// groups. Mirrors Python's _pack_bins exactly: stable descending sort by
+// count (input order breaks ties), first bin with room wins.
+std::vector<std::vector<int64_t>> pack_bins(const Ctx& c,
+                                            const std::vector<int64_t>& smalls) {
+  std::vector<size_t> order(smalls.size());
+  for (size_t i = 0; i < smalls.size(); ++i) order[i] = i;
+  std::stable_sort(order.begin(), order.end(), [&](size_t a, size_t b) {
+    return count_of(c, smalls[a]) > count_of(c, smalls[b]);
+  });
+  std::vector<std::vector<int64_t>> bins;
+  std::vector<int64_t> room;
+  for (const size_t i : order) {
+    const int64_t e = smalls[i];
+    const int64_t cnt = count_of(c, e);
+    bool placed = false;
+    for (size_t k = 0; k < bins.size(); ++k) {
+      if (room[k] >= cnt) {
+        bins[k].push_back(e);
+        room[k] -= cnt;
+        placed = true;
+        break;
+      }
+    }
+    if (!placed) {
+      bins.push_back({e});
+      room.push_back(c.leaf_slots - cnt);
+    }
+  }
+  return bins;
+}
+
+int64_t slot_demand(const Ctx& c, const std::vector<int64_t>& es) {
+  std::vector<int64_t> smalls;
+  int64_t overs = 0;
+  for (const int64_t e : es) {
+    if (count_of(c, e) <= c.leaf_slots) {
+      smalls.push_back(e);
+    } else {
+      ++overs;
+    }
+  }
+  if (c.pack == 1) return overs + (int64_t)pack_bins(c, smalls).size();
+  return overs + (int64_t)smalls.size();
+}
+
 struct Slot {
-  int64_t m;        // meta value (> 0 wide child id+?; matches Python ints)
-  const float* bmn;  // 3 floats or nullptr (box source)
-  const float* bmx;
+  int64_t m;      // meta value (matches Python ints)
+  float box[6];   // owned min/max bounds (union boxes have no array home)
 };
+
+Slot make_slot(int64_t m, const float* bmn, const float* bmx) {
+  Slot s;
+  s.m = m;
+  for (int j = 0; j < 3; ++j) s.box[j] = bmn[j];
+  for (int j = 0; j < 3; ++j) s.box[3 + j] = bmx[j];
+  return s;
+}
+
+// Union of member node boxes — f32 min/max like NumPy's _union_box.
+Slot make_union_slot(const Ctx& c, int64_t m,
+                     const std::vector<int64_t>& members) {
+  Slot s;
+  s.m = m;
+  for (int j = 0; j < 6; ++j) s.box[j] = 0.0f;
+  if (!c.emit) return s;
+  for (int j = 0; j < 3; ++j) {
+    s.box[j] = std::numeric_limits<float>::infinity();
+    s.box[3 + j] = -std::numeric_limits<float>::infinity();
+  }
+  for (const int64_t e : members) {
+    for (int j = 0; j < 3; ++j) {
+      s.box[j] = std::min(s.box[j], c.amin[3 * e + j]);
+      s.box[3 + j] = std::max(s.box[3 + j], c.amax[3 * e + j]);
+    }
+  }
+  return s;
+}
 
 void fill_node(Ctx& c, int64_t nid, const std::vector<Slot>& slots) {
   if (!c.emit || nid >= c.nn_cap || c.overflow) return;
   for (size_t k = 0; k < slots.size(); ++k) {
     c.wmeta[nid * WIDTH + k] = (int32_t)slots[k].m;
     float* nb = &c.nodeboxes[(nid * WIDTH + k) * 6];
-    for (int j = 0; j < 3; ++j) nb[j] = slots[k].bmn[j];
-    for (int j = 0; j < 3; ++j) nb[3 + j] = slots[k].bmx[j];
+    for (int j = 0; j < 6; ++j) nb[j] = slots[k].box[j];
   }
 }
 
@@ -130,26 +224,28 @@ int64_t build(Ctx& c, int64_t b) {
     std::vector<Slot> slots;
     const size_t head = std::min<size_t>(chunks.size(), WIDTH - 1);
     for (size_t i = 0; i < head; ++i) {
-      slots.push_back({emit_group(c, chunks[i].first, chunks[i].second),
-                       bmn, bmx});
+      slots.push_back(make_slot(
+          emit_group(c, chunks[i].first, chunks[i].second), bmn, bmx));
     }
     if (chunks.size() == (size_t)WIDTH) {
-      slots.push_back({emit_group(c, chunks[WIDTH - 1].first,
-                                  chunks[WIDTH - 1].second),
-                       bmn, bmx});
+      slots.push_back(make_slot(
+          emit_group(c, chunks[WIDTH - 1].first, chunks[WIDTH - 1].second),
+          bmn, bmx));
     } else if (chunks.size() > (size_t)WIDTH) {
       std::vector<std::pair<int64_t, int64_t>> rest(chunks.begin() + WIDTH - 1,
                                                     chunks.end());
-      slots.push_back({build_chunks(c, rest, b), bmn, bmx});
+      slots.push_back(make_slot(build_chunks(c, rest, b), bmn, bmx));
     }
     fill_node(c, nid, slots);
     return nid;
   }
 
-  // Collect up to WIDTH sub-roots by repeatedly expanding the largest
-  // still-oversized interior element (first max on ties, like Python max).
+  // Collect sub-roots by repeatedly expanding the largest still-oversized
+  // interior element (first max on ties, like Python max); an expansion is
+  // kept while the packed slot demand fits the node (pack=1 frees slots,
+  // so nodes expand deeper than one-subtree-per-slot).
   std::vector<int64_t> elems{b};
-  while ((int)elems.size() < WIDTH) {
+  for (;;) {
     int best = -1;
     int64_t best_cnt = -1;
     for (size_t i = 0; i < elems.size(); ++i) {
@@ -161,19 +257,49 @@ int64_t build(Ctx& c, int64_t b) {
       }
     }
     if (best < 0) break;
-    const int64_t e = elems[best];
-    elems[best] = c.meta[4 * e];
-    elems.insert(elems.begin() + best + 1, c.meta[4 * e + 1]);
+    std::vector<int64_t> trial(elems);
+    const int64_t e = trial[best];
+    trial[best] = c.meta[4 * e];
+    trial.insert(trial.begin() + best + 1, c.meta[4 * e + 1]);
+    if (slot_demand(c, trial) > WIDTH) break;
+    elems.swap(trial);
   }
 
   std::vector<Slot> slots;
-  for (const int64_t e : elems) {
-    const float* emn = c.emit ? &c.amin[3 * e] : kZeroBox;
-    const float* emx = c.emit ? &c.amax[3 * e] : kZeroBox;
-    if (count_of(c, e) <= c.leaf_slots) {
-      slots.push_back({emit_group(c, c.lo[e], count_of(c, e)), emn, emx});
-    } else {
-      slots.push_back({build(c, e), emn, emx});
+  if (c.pack == 1) {
+    std::vector<int64_t> smalls;
+    for (const int64_t e : elems) {
+      if (count_of(c, e) <= c.leaf_slots) smalls.push_back(e);
+    }
+    for (const auto& members : pack_bins(c, smalls)) {
+      if (members.size() == 1) {
+        const int64_t e = members[0];
+        const float* emn = c.emit ? &c.amin[3 * e] : kZeroBox;
+        const float* emx = c.emit ? &c.amax[3 * e] : kZeroBox;
+        slots.push_back(
+            make_slot(emit_group(c, c.lo[e], count_of(c, e)), emn, emx));
+      } else {
+        slots.push_back(
+            make_union_slot(c, emit_group_multi(c, members), members));
+      }
+    }
+    for (const int64_t e : elems) {
+      if (count_of(c, e) > c.leaf_slots) {
+        const float* emn = c.emit ? &c.amin[3 * e] : kZeroBox;
+        const float* emx = c.emit ? &c.amax[3 * e] : kZeroBox;
+        slots.push_back(make_slot(build(c, e), emn, emx));
+      }
+    }
+  } else {
+    for (const int64_t e : elems) {
+      const float* emn = c.emit ? &c.amin[3 * e] : kZeroBox;
+      const float* emx = c.emit ? &c.amax[3 * e] : kZeroBox;
+      if (count_of(c, e) <= c.leaf_slots) {
+        slots.push_back(
+            make_slot(emit_group(c, c.lo[e], count_of(c, e)), emn, emx));
+      } else {
+        slots.push_back(make_slot(build(c, e), emn, emx));
+      }
     }
   }
   fill_node(c, nid, slots);
@@ -189,17 +315,17 @@ int64_t build_chunks(Ctx& c,
   std::vector<Slot> slots;
   const size_t head = std::min<size_t>(chunks.size(), WIDTH - 1);
   for (size_t i = 0; i < head; ++i) {
-    slots.push_back({emit_group(c, chunks[i].first, chunks[i].second),
-                     bmn, bmx});
+    slots.push_back(make_slot(
+        emit_group(c, chunks[i].first, chunks[i].second), bmn, bmx));
   }
   if (chunks.size() == (size_t)WIDTH) {
-    slots.push_back({emit_group(c, chunks[WIDTH - 1].first,
-                                chunks[WIDTH - 1].second),
-                     bmn, bmx});
+    slots.push_back(make_slot(
+        emit_group(c, chunks[WIDTH - 1].first, chunks[WIDTH - 1].second),
+        bmn, bmx));
   } else if (chunks.size() > (size_t)WIDTH) {
     std::vector<std::pair<int64_t, int64_t>> rest(chunks.begin() + WIDTH - 1,
                                                   chunks.end());
-    slots.push_back({build_chunks(c, rest, box_node), bmn, bmx});
+    slots.push_back(make_slot(build_chunks(c, rest, box_node), bmn, bmx));
   }
   fill_node(c, nid, slots);
   return nid;
@@ -248,17 +374,22 @@ void finalize(Ctx& c, int32_t* worder, float* wboxes) {
   // (8-aligned base for the walk kernel's dynamic sublane load).
   const int64_t sub_w = c.leaf_slots / c.sub;
   const int64_t lanes = c.lanes;
+  std::vector<int64_t> ids;  // concatenated global tri ids for one group
   for (int64_t g = 0; g < c.ng; ++g) {
-    const int64_t glo = c.groups[g].first, gcnt = c.groups[g].second;
+    ids.clear();
+    for (const auto& r : c.groups[g]) {
+      for (int64_t j = 0; j < r.second; ++j) ids.push_back(r.first + j);
+    }
+    const int64_t gcnt = (int64_t)ids.size();
     float* slab = &c.wtris[g * c.grows * lanes];
     std::memset(slab, 0, sizeof(float) * c.grows * lanes);
     for (int r = 0; r < 9; ++r) {
       for (int64_t j = 0; j < gcnt; ++j) {
-        slab[r * lanes + j] = c.tri[(glo + j) * 9 + r];
+        slab[r * lanes + j] = c.tri[ids[j] * 9 + r];
       }
     }
     for (int64_t j = 0; j < lanes; ++j) {
-      slab[9 * lanes + j] = j < gcnt ? (float)(glo + j) : -1.0f;
+      slab[9 * lanes + j] = j < gcnt ? (float)ids[j] : -1.0f;
     }
     for (int32_t s = 0; s < c.sub; ++s) {
       float* row = &slab[(16 + s) * lanes];
@@ -277,7 +408,7 @@ void finalize(Ctx& c, int32_t* worder, float* wboxes) {
                      -std::numeric_limits<float>::infinity(),
                      -std::numeric_limits<float>::infinity()};
       for (int64_t j = a; j < b2; ++j) {
-        const float* tr = &c.tri[(glo + j) * 9];
+        const float* tr = &c.tri[ids[j] * 9];
         for (int d = 0; d < 3; ++d) {
           const float p0 = tr[d];
           const float p1 = tr[d] + tr[3 + d];  // v0 + e1, f32 like NumPy
@@ -300,15 +431,19 @@ extern "C" {
 
 // Count pass: returns 0 and writes the wide node / leaf group counts the
 // collapse of this tree will produce (integer-only recursion, no float
-// work). meta: (nnodes, 4) int32. Returns -1 on invalid input.
+// work). meta: (nnodes, 4) int32. pack: 0 = one subtree per group,
+// 1 = FFD bin-pack (accel/bvh8.py pack="ffd"). Returns -1 on invalid input.
 int64_t wpt_wide_counts(const int32_t* meta, int64_t nnodes, int64_t T,
-                        int32_t leaf_slots, int64_t* out_nn,
+                        int32_t leaf_slots, int32_t pack, int64_t* out_nn,
                         int64_t* out_ng) {
-  if (nnodes <= 0 || T <= 0 || leaf_slots < 1) return -1;
+  if (nnodes <= 0 || T <= 0 || leaf_slots < 1 || pack < 0 || pack > 1) {
+    return -1;
+  }
   Ctx c;
   c.meta = meta;
   c.T = T;
   c.leaf_slots = leaf_slots;
+  c.pack = pack;
   c.emit = false;
   subtree_ranges(c, nnodes);
   build(c, 0);
@@ -324,11 +459,12 @@ int64_t wpt_wide_counts(const int32_t* meta, int64_t nnodes, int64_t T,
 int64_t wpt_build_wide(const float* amin, const float* amax,
                        const int32_t* meta, int64_t nnodes, const float* tri,
                        int64_t T, int32_t leaf_slots, int32_t sub,
-                       int32_t grows, int32_t lanes, int32_t* wmeta,
-                       int32_t* worder, float* wboxes, float* wtris,
-                       int64_t nn_cap, int64_t ng_cap) {
+                       int32_t grows, int32_t lanes, int32_t pack,
+                       int32_t* wmeta, int32_t* worder, float* wboxes,
+                       float* wtris, int64_t nn_cap, int64_t ng_cap) {
   if (nnodes <= 0 || T <= 0 || leaf_slots < 1 || sub < 1 ||
-      leaf_slots % sub != 0 || lanes < leaf_slots || lanes < 128) {
+      leaf_slots % sub != 0 || lanes < leaf_slots || lanes < 128 ||
+      pack < 0 || pack > 1) {
     return -1;
   }
   Ctx c;
@@ -341,6 +477,7 @@ int64_t wpt_build_wide(const float* amin, const float* amax,
   c.sub = sub;
   c.grows = grows;
   c.lanes = lanes;
+  c.pack = pack;
   c.emit = true;
   c.nn_cap = nn_cap;
   c.ng_cap = ng_cap;

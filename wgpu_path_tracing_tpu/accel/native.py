@@ -67,13 +67,15 @@ def _compile_library() -> ctypes.CDLL | None:
     ]
     lib.wpt_wide_counts.restype = ctypes.c_int64
     lib.wpt_wide_counts.argtypes = [
-        _I32P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, _I64P, _I64P,
+        _I32P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, _I64P, _I64P,
     ]
     lib.wpt_build_wide.restype = ctypes.c_int64
     lib.wpt_build_wide.argtypes = [
         _F32P, _F32P, _I32P, ctypes.c_int64, _F32P, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        _I32P, _I32P, _F32P, _F32P, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, _I32P, _I32P, _F32P, _F32P, ctypes.c_int64,
+        ctypes.c_int64,
     ]
     return lib
 
@@ -151,13 +153,19 @@ def build_wide_native(
     leaf_slots: int,
     sub: int,
     grows: int,
+    pack: str = "none",
 ):
     """Native wide-BVH collapse (accel/cbvh/wide_collapse.cpp); returns
     (meta, order, boxes, tris) arrays bit-identical to the NumPy collapse
-    (accel/bvh8.py). Raises RuntimeError if the library is unavailable or
+    (accel/bvh8.py) for the same ``pack`` mode ("none" or "ffd" — "slice"
+    is NumPy-only). Raises RuntimeError if the library is unavailable or
     the native build disagrees with its own count pass."""
     if not native_available():
         raise RuntimeError("native wide collapse unavailable (g++ failed?)")
+    pack_codes = {"none": 0, "ffd": 1}
+    if pack not in pack_codes:
+        raise ValueError(f"native collapse does not implement pack={pack!r}")
+    pack_i = pack_codes[pack]
     t = int(tri_isect.shape[0])
     b = int(meta.shape[0])
     assert t > 0 and b > 0
@@ -170,7 +178,7 @@ def build_wide_native(
     nn = ctypes.c_int64()
     ng = ctypes.c_int64()
     rc = _LIB.wpt_wide_counts(
-        meta_c.ctypes.data_as(_I32P), b, t, leaf_slots,
+        meta_c.ctypes.data_as(_I32P), b, t, leaf_slots, pack_i,
         ctypes.byref(nn), ctypes.byref(ng),
     )
     if rc != 0:
@@ -193,6 +201,7 @@ def build_wide_native(
         sub,
         grows,
         lanes,
+        pack_i,
         wmeta.ctypes.data_as(_I32P),
         worder.ctypes.data_as(_I32P),
         wboxes.ctypes.data_as(_F32P),
