@@ -62,6 +62,26 @@ def _bench_renderer(r, spp: int, warmup_spp: int | None = None):
     return rays / elapsed / 1e6, elapsed / reps, rays
 
 
+def _bench_sustained(r, spp: int, reps: int = 32):
+    """Sustained interactive throughput: ``reps`` pipelined ``spp``-chunks
+    with NO per-call host sync (render(sync=False)), one counter pull at
+    the end. This is the reference's operating mode — a rAF loop that
+    never blocks on the GPU (renderer.ts:456-473) — and the only
+    meaningful basis for tiny canvases, whose from-scratch wall is the
+    per-call host round trip (~100 ms through this tunnel), not device
+    time."""
+    r.render(spp=spp, fetch=False)  # warm + drain the queue
+    before = r.stats()["rays_total"]
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r.render(spp=spp, fetch=False, sync=False)
+    rays = r.stats()["rays_total"] - before  # stats() syncs the chain
+    elapsed = time.perf_counter() - t0
+    img = r.image()
+    assert not np.isnan(img).any()
+    return rays / elapsed / 1e6, elapsed / reps, rays
+
+
 def _emit(name, mrays, wall, rays, spp, extra=None):
     line = {
         "metric": "mrays_per_sec",
@@ -83,6 +103,13 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
     import jax
 
+    # The env var alone is NOT enough here: the session's sitecustomize
+    # imports jax before this file runs, so JAX_COMPILATION_CACHE_DIR is
+    # read (as unset) long before the setdefault above. Set the config
+    # explicitly or every bench run recompiles cold.
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from wgpu_path_tracing_tpu import (
@@ -100,8 +127,13 @@ def main():
         r = Renderer(RenderConfig(width=128, height=128, frames_per_chunk=8,
                                   do_mis=False))
         r.load_scene(cornell_box())
-        mrays, wall, rays = _bench_renderer(r, spp=8)
-        _emit("cornell-128-nomis", mrays, wall, rays, 8, {"device": dev})
+        mrays0, wall0, _ = _bench_renderer(r, spp=8)
+        mrays, wall, rays = _bench_sustained(r, spp=8)
+        _emit("cornell-128-nomis", mrays, wall, rays, 8,
+              {"device": dev,
+               "basis": "sustained (32 pipelined 8-spp chunks, one sync)",
+               "from_scratch_mrays": round(mrays0, 3),
+               "from_scratch_wall_s": round(wall0, 3)})
 
     if "2" in sel:
         r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=64))

@@ -101,3 +101,55 @@ def test_brute_force_chunking_consistency():
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     hit = np.asarray(i1) >= 0
     np.testing.assert_array_equal(np.asarray(t1)[hit], np.asarray(t2)[hit])
+
+
+def test_tail_compaction_machinery_exact():
+    """_with_tail_compaction's gather/scatter/cond machinery must be a
+    no-op on results: wrapping a deterministic per-lane intersector
+    (brute) gives bit-identical t/idx at any occupancy, dead lanes stay
+    (inf, -1), and the full branch is taken when the live count exceeds
+    n/COMPACT_DIV."""
+    import jax.numpy as jnp
+
+    from wgpu_path_tracing_tpu.models.procedural import random_triangles
+    from wgpu_path_tracing_tpu.ops import intersect as I
+
+    sc = random_triangles(200, seed=3)
+    tri = np.zeros((200, 9), np.float32)
+    tri[:, 0:3] = sc.tri_v0
+    tri[:, 3:6] = sc.tri_v1 - sc.tri_v0
+    tri[:, 6:9] = sc.tri_v2 - sc.tri_v0
+    tri = jnp.asarray(tri)
+
+    n = I.COMPACT_MIN_LANES  # smallest width the wrapper engages at
+    rng = np.random.default_rng(9)
+    cent = np.asarray(tri[:, 0:3] + (tri[:, 3:6] + tri[:, 6:9]) / 3.0)
+    tgt = cent[rng.integers(0, 200, n)]
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ro3 = jnp.asarray((tgt - d * 14).T, jnp.float32)  # (3, N)
+    rd3 = jnp.asarray(d.T, jnp.float32)
+
+    def inner(ro3, rd3, active=None, t_max=None, any_hit=False):
+        t, idx = I.closest_hit_brute(tri, ro3.T, rd3.T)
+        if active is not None:
+            t = jnp.where(active, t, jnp.inf)
+            idx = jnp.where(active, idx, -1)
+        if any_hit:
+            del t_max  # brute already returns the closest; fine for a test
+        return t, idx
+
+    wrapped = I._with_tail_compaction(inner)
+    for occupancy in (0.03, 0.5):  # compacted branch / full branch
+        active = jnp.asarray(rng.random(n) < occupancy)
+        t_ref, i_ref = inner(ro3, rd3, active=active)
+        t_w, i_w = wrapped(ro3, rd3, active=active)
+        np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_w))
+        np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_w))
+    # t_max must ride the compaction too (shadow-ray shape).
+    t_max = jnp.full((n,), 7.0)
+    active = jnp.asarray(rng.random(n) < 0.03)
+    t_w, i_w = wrapped(ro3, rd3, active=active, t_max=t_max, any_hit=True)
+    t_ref, i_ref = inner(ro3, rd3, active=active, t_max=t_max, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_w))
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_w))

@@ -209,3 +209,28 @@ def test_exr_roundtrip_random(tmp_path):
     p = str(tmp_path / "rt.exr")
     write_exr(p, img)
     np.testing.assert_array_equal(read_exr(p), img)
+
+
+def test_render_sync_false_defers_counters():
+    """render(sync=False) must not lose rays: counters fold in at the next
+    stats()/sync point and the accumulation matches a fully-synced run
+    bit-for-bit (it is the same device computation, only the host-side
+    counter pull moves)."""
+    r = Renderer(RenderConfig(width=16, height=16, frames_per_chunk=4))
+    r.load_scene(cornell_box())
+    r.render(spp=4, fetch=False)
+    base = r.stats()["rays_total"]
+    for _ in range(3):
+        r.render(spp=4, fetch=False, sync=False)
+    assert r._deferred_counters  # counters actually deferred
+    total = r.stats()["rays_total"]
+    assert not r._deferred_counters
+    assert total > base
+    img_a = r.image()
+
+    r2 = Renderer(RenderConfig(width=16, height=16, frames_per_chunk=4))
+    r2.load_scene(cornell_box())
+    for _ in range(4):
+        r2.render(spp=4, fetch=False)
+    assert r2.stats()["rays_total"] == total
+    np.testing.assert_array_equal(img_a, r2.image())

@@ -305,6 +305,65 @@ def closest_hit_bvh_linked(
     return best_t, best_idx
 
 
+COMPACT_DIV = 8  # tail compaction engages when <= n/COMPACT_DIV lanes are
+# alive. Measured (round 3, 103k Cornell, 262k lanes at 5% occupancy, one
+# process): full walk 147.8 ms/call vs compacted 30.5 ms (machinery —
+# nonzero + 2 gathers + 2 scatters — is 5.5 ms of that). Tail bounces at
+# 1-7% occupancy were ~1.1 s of the 3.5 s/spp on large-100k (TODO.md).
+COMPACT_MIN_LANES = 16384  # below this the full call is already cheap
+
+
+def _with_tail_compaction(inner):
+    """Wrap a closest-hit so sparse calls traverse a compacted ray set.
+
+    Late bounces run at 1-7% occupancy (Russian roulette + misses), but a
+    block-walk intersector pays per-BLOCK costs: every 2048-lane block with
+    even one alive ray walks its whole block union. Packing the alive rays
+    into the first K = n/COMPACT_DIV lanes cuts the visited blocks by the
+    occupancy factor. The branch is a ``lax.cond`` on the live count —
+    both sides compile once, the device executes one.
+
+    Winner selection on razor-edge near-ties (two triangles within ~1 ulp
+    of t along a shared edge) is visit-order-dependent in the walk EITHER
+    WAY — measured against brute force on the 103k Cornell, the full walk
+    diverges on 0.11% of random shell rays and the compacted walk on
+    0.05%, both by <= 1 ulp of t; compaction introduces no new error
+    class (the aimed-ray exactness tests stay exact)."""
+
+    def wrapped(ro3, rd3, active=None, t_max=None, any_hit=False):
+        n = ro3.shape[1]
+        if active is None or n < COMPACT_MIN_LANES:
+            return inner(ro3, rd3, active=active, t_max=t_max,
+                         any_hit=any_hit)
+        k = n // COMPACT_DIV
+
+        def compacted(_):
+            idxs = jnp.nonzero(active, size=k, fill_value=n)[0]
+            valid = idxs < n
+            gidx = jnp.where(valid, idxs, 0)
+            ro_k = jnp.take(ro3, gidx, axis=1)
+            rd_k = jnp.take(rd3, gidx, axis=1)
+            tm_k = None if t_max is None else jnp.take(t_max, gidx)
+            t_k, i_k = inner(ro_k, rd_k, active=valid, t_max=tm_k,
+                             any_hit=any_hit)
+            # Scatter back; invalid slots land in the sacrificial row n.
+            slot = jnp.where(valid, idxs, n)
+            t = jnp.full((n + 1,), INF, t_k.dtype).at[slot].set(
+                jnp.where(valid, t_k, INF))[:n]
+            i = jnp.full((n + 1,), -1, i_k.dtype).at[slot].set(
+                jnp.where(valid, i_k, -1))[:n]
+            return t, i
+
+        def full(_):
+            return inner(ro3, rd3, active=active, t_max=t_max,
+                         any_hit=any_hit)
+
+        cnt = jnp.sum(active.astype(jnp.int32))
+        return jax.lax.cond(cnt <= k, compacted, full, None)
+
+    return wrapped
+
+
 def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: int):
     """Pick the intersection strategy for this scene (static decision).
 
@@ -404,6 +463,7 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
             # bvh8.pops_for_tree.
             walk_pops = pops_for_tree(scene["walk_order"].shape[0])
 
+            @_with_tail_compaction
             def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False):
                 return closest_hit_walk(
                     scene["walk_order"],
@@ -421,6 +481,7 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
         else:
             from wgpu_path_tracing_tpu.ops.pairs import closest_hit_pairs
 
+            @_with_tail_compaction
             def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False):
                 return closest_hit_pairs(
                     scene["pairs_super_aabb"],

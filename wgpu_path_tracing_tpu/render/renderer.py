@@ -88,6 +88,11 @@ class Renderer:
         self._accum = None
         self._counters = np.zeros(2, np.int64)
         self._last_counters = np.zeros(2, np.int64)
+        # Device-side int32 counter arrays from render(sync=False) calls,
+        # folded in at the next sync point (stats()/sync render/reset) —
+        # lets an interactive loop pipeline chunks with NO per-call host
+        # round trip (the measured small-canvas dispatch floor).
+        self._deferred_counters: list = []
         self._on_update = []
         self._last_render_seconds = 0.0
         # Pass-level profiler + frame meter (profiler.ts / fps-meter.tsx
@@ -217,10 +222,23 @@ class Renderer:
         self._accum = None
         self.reset()
 
+    def _sync_deferred(self) -> None:
+        """Fold counters from render(sync=False) calls into the totals.
+        The whole unsynced run counts as the 'last render' for stats()."""
+        if not self._deferred_counters:
+            return
+        add = np.zeros(2, np.int64)
+        for c in reversed(self._deferred_counters):
+            add = add + np.asarray(c, np.int64)
+        self._deferred_counters = []
+        self._last_counters = add
+        self._counters = self._counters + add
+
     def reset(self) -> None:
         """resetOutputBuffer (renderer.ts:357-366): restart accumulation."""
         self.frame_index = 0
         self._counters = np.zeros(2, np.int64)
+        self._deferred_counters = []
 
     # --- rendering ----------------------------------------------------------
     def _ensure_accum(self):
@@ -270,7 +288,8 @@ class Renderer:
         perm = tile_permutation(self.config.width, self.config.height)
         return jnp.asarray(accum_row_major[perm])
 
-    def render(self, spp: int, on_chunk=None, fetch: bool = True):
+    def render(self, spp: int, on_chunk=None, fetch: bool = True,
+               sync: bool = True):
         """Accumulate ``spp`` more samples per pixel; returns the HDR buffer
         as (H, W, 3) NumPy (row 0 = bottom of view, as in the reference's
         output buffer).
@@ -280,7 +299,15 @@ class Renderer:
         reads the GPU buffer back either; its blit stays on-device,
         renderer.ts:434-448). Timing stays honest: the ray counters are
         pulled once at the end, which forces the whole chunk chain to
-        complete before the wall clock stops."""
+        complete before the wall clock stops.
+
+        ``sync=False`` (implies no fetch) additionally skips that counter
+        pull: the call returns as soon as the chunks are DISPATCHED, and
+        the counters fold in at the next sync point (``stats()``, a sync
+        render, or ``reset``). This is the interactive-loop mode — the
+        reference's rAF loop never blocks on the GPU either
+        (renderer.ts:456-473); small canvases are otherwise bound by the
+        per-call host round trip, not device time."""
         self.poll_pending_scene()
         if self._scene_dev is None:
             raise RuntimeError("No scene loaded — call load_model/load_scene first")
@@ -364,11 +391,18 @@ class Renderer:
             remaining -= chunk
             if on_chunk is not None:
                 on_chunk(self.frame_index)
-        render_counters = np.zeros(2, np.int64)
-        for c in reversed(counters_dev):  # last first: one sync, then fetches
-            render_counters = render_counters + np.asarray(c, np.int64)
-        self._last_counters = render_counters
-        self._counters = self._counters + render_counters
+        if not sync and fetch:
+            sync = True  # a fetch blocks on the chain anyway
+        if sync:
+            pending = self._deferred_counters + counters_dev
+            self._deferred_counters = []
+            render_counters = np.zeros(2, np.int64)
+            for c in reversed(pending):  # last first: one sync, then fetches
+                render_counters = render_counters + np.asarray(c, np.int64)
+            self._last_counters = render_counters
+            self._counters = self._counters + render_counters
+        else:
+            self._deferred_counters.extend(counters_dev)
         self._last_render_seconds = time.perf_counter() - t0
 
         if not fetch:
@@ -472,6 +506,7 @@ class Renderer:
 
     # --- metrics (profiler.ts / fps-meter.tsx equivalents) -------------------
     def stats(self) -> dict:
+        self._sync_deferred()
         closest, shadow = (int(c) for c in self._counters)
         last_total = int(self._last_counters.sum())
         secs = max(self._last_render_seconds, 1e-9)
