@@ -139,7 +139,9 @@ def test_tail_compaction_machinery_exact():
             del t_max  # brute already returns the closest; fine for a test
         return t, idx
 
-    wrapped = I._with_tail_compaction(inner)
+    wrapped = I._with_tail_compaction(
+        inner, jnp.asarray([0.0, 0.0, 0.0, 1.0, 1.0, 1.0], jnp.float32)
+    )
     for occupancy in (0.03, 0.5):  # compacted branch / full branch
         active = jnp.asarray(rng.random(n) < occupancy)
         t_ref, i_ref = inner(ro3, rd3, active=active)
@@ -153,3 +155,45 @@ def test_tail_compaction_machinery_exact():
     t_ref, i_ref = inner(ro3, rd3, active=active, t_max=t_max, any_hit=True)
     np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_w))
     np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_w))
+
+
+def test_bucket_reorder_machinery_exact():
+    """_with_bucket_reorder's counting sort must be a bijection: wrapping
+    a deterministic per-lane intersector gives bit-identical results, at
+    any occupancy, through every compaction tier (reorder=True)."""
+    import jax.numpy as jnp
+
+    from wgpu_path_tracing_tpu.models.procedural import random_triangles
+    from wgpu_path_tracing_tpu.ops import intersect as I
+
+    sc = random_triangles(100, seed=4)
+    tri = np.zeros((100, 9), np.float32)
+    tri[:, 0:3] = sc.tri_v0
+    tri[:, 3:6] = sc.tri_v1 - sc.tri_v0
+    tri[:, 6:9] = sc.tri_v2 - sc.tri_v0
+    tri = jnp.asarray(tri)
+    root = np.concatenate([sc.bvh_aabb_min[0], sc.bvh_aabb_max[0]])
+
+    n = I.COMPACT_MIN_LANES
+    rng = np.random.default_rng(2)
+    cent = np.asarray(tri[:, 0:3] + (tri[:, 3:6] + tri[:, 6:9]) / 3.0)
+    tgt = cent[rng.integers(0, 100, n)]
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ro3 = jnp.asarray((tgt - d * 14).T, jnp.float32)
+    rd3 = jnp.asarray(d.T, jnp.float32)
+
+    def inner(ro3, rd3, active=None, t_max=None, any_hit=False):
+        t, idx = I.closest_hit_brute(tri, ro3.T, rd3.T)
+        if active is not None:
+            t = jnp.where(active, t, jnp.inf)
+            idx = jnp.where(active, idx, -1)
+        return t, idx
+
+    wrapped = I._with_tail_compaction(inner, jnp.asarray(root, jnp.float32))
+    for occupancy in (0.04, 0.3, 0.9):  # tail tier / mid tier / full
+        active = jnp.asarray(rng.random(n) < occupancy)
+        t_ref, i_ref = inner(ro3, rd3, active=active)
+        t_w, i_w = wrapped(ro3, rd3, active=active, reorder=True)
+        np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_w))
+        np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_w))

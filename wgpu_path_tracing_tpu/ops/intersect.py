@@ -305,6 +305,17 @@ def closest_hit_bvh_linked(
     return best_t, best_idx
 
 
+REORDER_POS_BITS = 2  # bucket-reorder key: direction octant (3 bits) +
+# REORDER_POS_BITS Morton bits per origin axis -> 8 * 8**bits buckets.
+# Measured (round 3, 103k Cornell, real bounce-2 rays, one process):
+# plain walk 366.9 ms/call; reordered 205.0 ms at 2 bits (512 buckets,
+# machinery 23.2 ms), 221.9 ms at 1 bit — incoherent rays grouped into
+# blocks with smaller traversal unions. Results were bit-identical on the
+# probe population (same razor-tie caveat as compaction).
+
+REORDER_MIN_NODES = 128  # wide-node count below which the bucket
+# reorder is a net loss (glass_box: 48 nodes, sort cost > union win)
+
 COMPACT_DIV = 8  # tail compaction engages when <= n/COMPACT_DIV lanes are
 # alive. Measured (round 3, 103k Cornell, 262k lanes at 5% occupancy, one
 # process): full walk 147.8 ms/call vs compacted 30.5 ms (machinery —
@@ -313,7 +324,62 @@ COMPACT_DIV = 8  # tail compaction engages when <= n/COMPACT_DIV lanes are
 COMPACT_MIN_LANES = 16384  # below this the full call is already cheap
 
 
-def _with_tail_compaction(inner):
+def _with_bucket_reorder(inner, root_box):
+    """Counting-sort rays into direction-octant x coarse-Morton-of-origin
+    buckets before a block-walk call, un-permuting the results after.
+
+    A block-synchronous traversal pays for the UNION of its 2048 rays'
+    paths; incoherent bounce rays union to nearly the whole tree. The
+    bucket sort is pure vector work (one-hot cumsum ranks + scatter /
+    gather rows — no argsort): see REORDER_POS_BITS for the measured
+    numbers. ``root_box`` is the scene root AABB row [min3|max3] used to
+    quantize origins."""
+    bits = REORDER_POS_BITS
+    nb = 8 * (8 ** bits)
+
+    def wrapped(ro3, rd3, active=None, t_max=None, any_hit=False):
+        n = ro3.shape[1]
+        bmin = root_box[0:3]
+        bext = jnp.maximum(root_box[3:6] - root_box[0:3], 1e-6)
+        q = (1 << bits) - 1
+        c = [
+            jnp.clip(
+                ((ro3[a] - bmin[a]) / bext[a] * (q + 1)).astype(jnp.int32),
+                0, q,
+            )
+            for a in range(3)
+        ]
+        key = ((rd3[0] < 0).astype(jnp.int32)
+               + 2 * (rd3[1] < 0).astype(jnp.int32)
+               + 4 * (rd3[2] < 0).astype(jnp.int32))
+        for b in range(bits):
+            for a in range(3):
+                key = (key << 1) | ((c[a] >> (bits - 1 - b)) & 1)
+        oh = key[None, :] == jnp.arange(nb, dtype=jnp.int32)[:, None]
+        ranks = jnp.cumsum(oh.astype(jnp.int32), axis=1)
+        counts = ranks[:, -1]
+        base = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+        )
+        rank_i = jnp.take_along_axis(ranks, key[None, :], axis=0)[0]
+        perm = jnp.take(base, key) + rank_i - 1  # bijection onto [0, n)
+
+        rows = jnp.concatenate([ro3, rd3], axis=0)  # (6, n)
+        srt = jnp.zeros_like(rows).at[:, perm].set(rows)
+        act_s = None
+        if active is not None:
+            act_s = jnp.zeros((n,), bool).at[perm].set(active)
+        tm_s = None
+        if t_max is not None:
+            tm_s = jnp.zeros((n,), t_max.dtype).at[perm].set(t_max)
+        t_s, i_s = inner(srt[0:3], srt[3:6], active=act_s, t_max=tm_s,
+                         any_hit=any_hit)
+        return jnp.take(t_s, perm), jnp.take(i_s, perm)
+
+    return wrapped
+
+
+def _with_tail_compaction(inner, root_box, use_reorder=True):
     """Wrap a closest-hit so sparse calls traverse a compacted ray set.
 
     Late bounces run at 1-7% occupancy (Russian roulette + misses), but a
@@ -328,38 +394,80 @@ def _with_tail_compaction(inner):
     WAY — measured against brute force on the 103k Cornell, the full walk
     diverges on 0.11% of random shell rays and the compacted walk on
     0.05%, both by <= 1 ulp of t; compaction introduces no new error
-    class (the aimed-ray exactness tests stay exact)."""
+    class (the aimed-ray exactness tests stay exact).
 
-    def wrapped(ro3, rd3, active=None, t_max=None, any_hit=False):
+    ``reorder`` (a TRACED bool, or None) marks the rays as incoherent
+    (bounce rays — ops/trace.py passes ``bounce_idx > 0``): the
+    compacted tiers then route through _with_bucket_reorder (camera rays
+    never land there — their occupancy is 1.0), and the full branch
+    becomes a ``lax.cond`` between the sorted and plain walks. A traced
+    flag keeps the callers' scan structure — and with it the bit-exact
+    XLA fusion of the default path — unchanged.
+
+    ``use_reorder=False`` (static, per scene) disables the sort entirely:
+    on SMALL trees the machinery (~23 ms at 262k lanes) exceeds the
+    union shrinkage — measured end-to-end on glass_box (48 wide nodes):
+    5.17 -> 4.11 Mrays/s WITH the sort vs without; the 103k Cornell
+    (311 nodes) gains 0.79 -> 1.27."""
+    inner_sorted = (
+        _with_bucket_reorder(inner, root_box) if use_reorder else inner
+    )
+
+    def wrapped(ro3, rd3, active=None, t_max=None, any_hit=False,
+                reorder=None):
         n = ro3.shape[1]
-        if active is None or n < COMPACT_MIN_LANES:
+        if n < COMPACT_MIN_LANES:
             return inner(ro3, rd3, active=active, t_max=t_max,
                          any_hit=any_hit)
-        k = n // COMPACT_DIV
+        if active is None:
+            return inner(ro3, rd3, active=active, t_max=t_max,
+                         any_hit=any_hit)
 
-        def compacted(_):
-            idxs = jnp.nonzero(active, size=k, fill_value=n)[0]
-            valid = idxs < n
-            gidx = jnp.where(valid, idxs, 0)
-            ro_k = jnp.take(ro3, gidx, axis=1)
-            rd_k = jnp.take(rd3, gidx, axis=1)
-            tm_k = None if t_max is None else jnp.take(t_max, gidx)
-            t_k, i_k = inner(ro_k, rd_k, active=valid, t_max=tm_k,
-                             any_hit=any_hit)
-            # Scatter back; invalid slots land in the sacrificial row n.
-            slot = jnp.where(valid, idxs, n)
-            t = jnp.full((n + 1,), INF, t_k.dtype).at[slot].set(
-                jnp.where(valid, t_k, INF))[:n]
-            i = jnp.full((n + 1,), -1, i_k.dtype).at[slot].set(
-                jnp.where(valid, i_k, -1))[:n]
-            return t, i
+        def compacted(k):
+            def branch(_):
+                idxs = jnp.nonzero(active, size=k, fill_value=n)[0]
+                valid = idxs < n
+                gidx = jnp.where(valid, idxs, 0)
+                ro_k = jnp.take(ro3, gidx, axis=1)
+                rd_k = jnp.take(rd3, gidx, axis=1)
+                tm_k = None if t_max is None else jnp.take(t_max, gidx)
+                t_k, i_k = inner_sorted(ro_k, rd_k, active=valid,
+                                        t_max=tm_k, any_hit=any_hit)
+                # Scatter back; invalid slots land in sacrificial row n.
+                slot = jnp.where(valid, idxs, n)
+                t = jnp.full((n + 1,), INF, t_k.dtype).at[slot].set(
+                    jnp.where(valid, t_k, INF))[:n]
+                i = jnp.full((n + 1,), -1, i_k.dtype).at[slot].set(
+                    jnp.where(valid, i_k, -1))[:n]
+                return t, i
+
+            return branch
 
         def full(_):
-            return inner(ro3, rd3, active=active, t_max=t_max,
-                         any_hit=any_hit)
+            if reorder is None or not use_reorder:
+                return inner(ro3, rd3, active=active, t_max=t_max,
+                             any_hit=any_hit)
+            return jax.lax.cond(
+                reorder,
+                lambda __: inner_sorted(ro3, rd3, active=active,
+                                        t_max=t_max, any_hit=any_hit),
+                lambda __: inner(ro3, rd3, active=active, t_max=t_max,
+                                 any_hit=any_hit),
+                None,
+            )
 
         cnt = jnp.sum(active.astype(jnp.int32))
-        return jax.lax.cond(cnt <= k, compacted, full, None)
+        # Two tiers: the sparse tail (<= n/8, late bounces at 1-12% —
+        # the 4.8x measured win) and a mid tier (<= n/2, the Russian-
+        # roulette band) that still halves the visited blocks.
+        return jax.lax.cond(
+            cnt <= n // COMPACT_DIV,
+            compacted(n // COMPACT_DIV),
+            lambda _: jax.lax.cond(
+                cnt <= n // 2, compacted(n // 2), full, None
+            ),
+            None,
+        )
 
     return wrapped
 
@@ -388,7 +496,8 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
 
     if intersector == "stack":
 
-        def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False):
+        def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False,
+                        reorder=False):
             return closest_hit_bvh(
                 scene["bvh_aabb"],
                 scene["bvh_meta"],
@@ -406,7 +515,8 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
         # TPU (bit-identical results); plain XLA remains for CPU tests.
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
 
-        def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False):
+        def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False,
+                        reorder=False):
             del active, t_max, any_hit
             if on_tpu:
                 from wgpu_path_tracing_tpu.ops.pallas_kernels import (
@@ -423,7 +533,8 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
         # pair dispatch below, kept selectable for comparison benches.
         from wgpu_path_tracing_tpu.ops.cluster import closest_hit_cluster
 
-        def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False):
+        def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False,
+                        reorder=False):
             return closest_hit_cluster(
                 scene["cluster_aabb"],
                 scene["cluster_tris"],
@@ -463,8 +574,8 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
             # bvh8.pops_for_tree.
             walk_pops = pops_for_tree(scene["walk_order"].shape[0])
 
-            @_with_tail_compaction
-            def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False):
+            def _walk_inner(ro3, rd3, active=None, t_max=None,
+                            any_hit=False):
                 return closest_hit_walk(
                     scene["walk_order"],
                     scene["walk_boxes"],
@@ -481,8 +592,8 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
         else:
             from wgpu_path_tracing_tpu.ops.pairs import closest_hit_pairs
 
-            @_with_tail_compaction
-            def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False):
+            def _walk_inner(ro3, rd3, active=None, t_max=None,
+                            any_hit=False):
                 return closest_hit_pairs(
                     scene["pairs_super_aabb"],
                     scene["pairs_tris"],
@@ -494,12 +605,24 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
                     any_hit=any_hit,
                 )
 
+        # The bucket reorder pays off only when shrinking block unions
+        # buys more than its ~23 ms machinery — i.e. on big trees (see
+        # _with_tail_compaction). Static per scene via the table shape.
+        big_tree = (
+            scene["walk_order"].shape[0] >= REORDER_MIN_NODES
+            if "walk_tris" in scene else True  # pairs path = huge scenes
+        )
+        closest_hit = _with_tail_compaction(
+            _walk_inner, scene["bvh_aabb"][0], use_reorder=big_tree
+        )
+
     else:
         bvh_nodes = jnp.concatenate(
             [scene["bvh_links"], scene["bvh_meta"][:, 2:4]], axis=1
         )
 
-        def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False):
+        def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False,
+                        reorder=False):
             return closest_hit_bvh_linked(
                 scene["bvh_aabb"],
                 bvh_nodes,

@@ -499,7 +499,11 @@ def trace_pallas(
     def bounce(carry, bounce_idx):
         rays, state_r, thr, res, alive, counters = carry
         alive_b = alive[0] != 0
-        t, idx = closest_hit(rays[0:3], rays[3:6], active=alive_b)
+        # Traced coherence hint: see ops/trace.py — camera rays skip the
+        # bucket reorder, later bounces opt in, scan structure unchanged.
+        reorder = bounce_idx > 0
+        t, idx = closest_hit(rays[0:3], rays[3:6], active=alive_b,
+                             reorder=reorder)
         counters = counters.at[0].add(jnp.sum(alive))
         outs = bounce_stage_pallas(
             bounce_idx, rays, state_r, thr, res, alive,
@@ -514,6 +518,7 @@ def trace_pallas(
             shadow_t, _ = closest_hit(
                 srays[0:3], srays[3:6],
                 active=smask[0] != 0, t_max=stmax[0], any_hit=True,
+                reorder=reorder,
             )
             st = TRACE.BounceState(
                 ro=vec.from_rows(rays, 0), rd=vec.from_rows(rays, 3),

@@ -222,8 +222,14 @@ def trace(
 
     def bounce(carry, bounce_idx):
         st, counters = carry
+        # Camera rays (bounce 0) are tile-coherent and skip the bucket
+        # reorder; scattered later-bounce rays opt in. The flag is a
+        # traced bool so the scan structure (and with it the XLA fusion
+        # and bit-exact accumulation) is unchanged from the plain loop.
+        reorder = bounce_idx > 0
         t, idx = closest_hit(
-            vec.stack_rows(st.ro), vec.stack_rows(st.rd), active=st.alive
+            vec.stack_rows(st.ro), vec.stack_rows(st.rd), active=st.alive,
+            reorder=reorder,
         )
         counters = counters.at[0].add(jnp.sum(st.alive.astype(jnp.int32)))
         st, shadow = bounce_core(
@@ -239,6 +245,7 @@ def trace(
                 active=shadow.mask,
                 t_max=shadow.t_max,
                 any_hit=True,
+                reorder=reorder,
             )
             st = resolve_shadow(st, shadow, shadow_t)
         return (st, counters), None
