@@ -248,7 +248,7 @@ def main(argv=None) -> int:
     pr.add_argument("--rng", choices=("reference", "hash"), default="reference")
     pr.add_argument("--intersector",
                     choices=("auto", "brute", "bvh", "cluster", "stack",
-                             "walk", "pairs"),
+                             "walk", "pairs", "phased"),
                     default="auto")
     pr.add_argument("--preview", nargs="?", const="", default=None,
                     metavar="PATH",
@@ -295,7 +295,7 @@ def main(argv=None) -> int:
     pv.add_argument("--env-rotation", type=float, default=0.0)
     pv.add_argument("--intersector",
                     choices=("auto", "brute", "bvh", "cluster", "stack",
-                             "walk", "pairs"),
+                             "walk", "pairs", "phased"),
                     default="auto")
     pv.add_argument("--spot-lights", action="store_true",
                     help="render KHR spot lights (extension; the reference "

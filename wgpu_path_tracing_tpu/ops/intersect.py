@@ -478,6 +478,9 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
     ``intersector``: "auto" (brute below brute_max_tris, else on TPU the
     wide-BVH block walk when its VMEM slabs fit — falling back to pair
     dispatch — and linked-BVH on CPU), or force one of "brute" / "walk" /
+    "phased" (flat single-sync group dispatch, ops/phased.py — measured
+    within ~10% of the walk on incoherent mid-size bounce rays, worse on
+    coherent camera rays; kept selectable for crossover benches) /
     "pairs" / "cluster" / "bvh" (stackless linked walk) / "stack" (per-ray
     fixed-stack while_loop — the literal pt.wgsl:248-296 shape; measured
     ~0.09 Mrays/s on TPU because of the (N, 64) stack scatters, kept as a
@@ -527,6 +530,28 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
                     scene["tri_isect"], jnp.concatenate([ro3, rd3], axis=0)
                 )
             return closest_hit_brute(scene["tri_isect"], ro3.T, rd3.T)
+
+    elif (intersector == "phased" and "walk_tris" in scene
+          and jax.default_backend() not in ("cpu", "gpu")):
+        # Flat single-sync-point group dispatch (ops/phased.py): all
+        # sub-cluster gates in one vector phase, fori-looped MT after.
+        # Exact (idx == walk == brute on every sweep); measured ~equal to
+        # the walk on incoherent glass-class bounce rays, slower on
+        # coherent camera rays (no in-path culling) — selectable for
+        # crossover benches, not the auto default.
+        from wgpu_path_tracing_tpu.ops.phased import closest_hit_phased
+
+        def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False,
+                        reorder=False):
+            return closest_hit_phased(
+                scene["walk_tris"],
+                ro3,
+                rd3,
+                active=active,
+                t_max=t_max,
+                num_tris=num_tris,
+                any_hit=any_hit,
+            )
 
     elif intersector == "cluster" and jax.default_backend() not in ("cpu", "gpu"):
         # Round-based cluster dispatch (ops/cluster.py) — superseded by the
