@@ -91,7 +91,8 @@ def render_bvh_depth(scene, cam, width: int, height: int, stack_depth: int = 64)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "intersector", "brute_max_tris", "leaf_size"),
+    static_argnames=("width", "height", "intersector", "brute_max_tris",
+                     "leaf_size", "slots_used"),
 )
 def render_normal(
     scene,
@@ -102,12 +103,16 @@ def render_normal(
     intersector: str = "auto",
     brute_max_tris: int = 512,
     leaf_size: int = 4,
+    slots_used: tuple = (True, True, True, True),
 ):
-    """Normal / backface view (pt_debug.wgsl:305-344)."""
+    """Normal / backface view (pt_debug.wgsl:305-344). ``slots_used``
+    gates the atlas fetches like the main path (the normal-map slot
+    perturbs what this view shows)."""
     ro, rd = _center_rays(cam, width, height)
     closest_hit = make_closest_hit(scene, intersector, brute_max_tris, leaf_size)
     t, idx = closest_hit(ro.T, rd.T)
-    hit = SHADE.hit_attributes(scene, ro, rd, t, idx)
+    hit = SHADE.hit_attributes(scene, ro, rd, t, idx,
+                               slots_used=slots_used)
     normal_color = jnp.stack(
         [(hit.normal.x + 1.0) * 0.5, (hit.normal.y + 1.0) * 0.5,
          (hit.normal.z + 1.0) * 0.5],

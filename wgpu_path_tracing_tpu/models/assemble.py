@@ -103,10 +103,14 @@ def finalize_scene(
             ltri.append(i)
             laux.append(np.zeros(5, f32))
 
-    zero_rect = np.zeros((num_mats, 4), np.int32)
-
     def rect(r):
-        return zero_rect if r is None else np.asarray(r, np.int32).reshape(num_mats, 4)
+        # One FRESH zero array per slot: callers mutate these in place
+        # (models/procedural.py::textured_cornell), and a shared default
+        # would alias every slot to the same storage — writing an albedo
+        # rect would conjure identical pbr/emissive/normal maps.
+        if r is None:
+            return np.zeros((num_mats, 4), np.int32)
+        return np.asarray(r, np.int32).reshape(num_mats, 4)
 
     return SceneArrays(
         tri_v0=tri_v0,

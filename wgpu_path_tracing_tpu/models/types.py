@@ -210,6 +210,31 @@ class SceneArrays:
         return self
 
 
+def texture_slots_used(tri_full) -> tuple[bool, bool, bool, bool]:
+    """Static per-scene texture-slot usage: (albedo, pbr, emissive, normal).
+
+    A slot is used iff ANY triangle's atlas rect has nonzero width. A
+    zero-width rect samples its fallback exactly (pt.wgsl:112-120 via the
+    ``missing`` guard in ops/shade.py), so statically skipping the fetch
+    for a scene-wide-unused slot is exact at the Hit level — it just saves
+    the one-hot select + column sweep in the Pallas bounce (and the gather
+    in the XLA path). (Full-trace radiance can still move by ulps: fewer
+    ops shift XLA fusion/FMA placement, the documented RR-flip class —
+    tests/test_textures.py checks the contract where it is exact.) Must be
+    called on the HOST-side packed table (NumPy), not a tracer."""
+    tf = np.asarray(tri_full)
+
+    def used(base: int) -> bool:
+        return bool((tf[:, base + 2] > 0).any())
+
+    return (
+        used(TF_ALBEDO_RECT),
+        used(TF_PBR_RECT),
+        used(TF_EMISSIVE_RECT),
+        used(TF_NORMAL_RECT),
+    )
+
+
 def pack_device_scene(scene: SceneArrays, cluster_k: int = 64):
     """Build the packed device tables (as NumPy; caller moves them to jnp).
 

@@ -207,7 +207,8 @@ def _make_atlas_sampler_tiled(atlas_ref, width: int, height: int,
     return sample
 
 
-def _bounce_kernel(do_mis, num_lights, atlas_hw=None):
+def _bounce_kernel(do_mis, num_lights, atlas_hw=None,
+                   slots_used=(True, True, True, True)):
     def kernel(
         bounce_ref,  # scalar prefetch: (1,) int32
         *refs,
@@ -271,7 +272,7 @@ def _bounce_kernel(do_mis, num_lights, atlas_hw=None):
         new_st, shadow = TRACE.bounce_core(
             st, t, idx, bounce_ref[0],
             fetch_tri=fetch_tri, fetch_light=fetch_light, atlas=atlas,
-            do_mis=do_mis, num_lights=num_lights,
+            do_mis=do_mis, num_lights=num_lights, slots_used=slots_used,
         )
 
         def put(ref, r, v):
@@ -309,7 +310,8 @@ def _bounce_kernel(do_mis, num_lights, atlas_hw=None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("do_mis", "num_lights", "atlas_hw", "interpret"),
+    static_argnames=("do_mis", "num_lights", "atlas_hw", "slots_used",
+                     "interpret"),
 )
 def bounce_stage_pallas(
     bounce_idx,
@@ -327,6 +329,7 @@ def bounce_stage_pallas(
     do_mis: bool,
     num_lights: int,
     atlas_hw: tuple[int, int] | None = None,
+    slots_used: tuple = (True, True, True, True),
     interpret: bool = False,
 ):
     n = rays.shape[1]
@@ -384,7 +387,7 @@ def bounce_stage_pallas(
             vmem_limit_bytes=100 * 1024 * 1024
         )
     outs = pl.pallas_call(
-        _bounce_kernel(do_mis, num_lights, atlas_hw),
+        _bounce_kernel(do_mis, num_lights, atlas_hw, slots_used),
         grid_spec=grid_spec,
         **extra,
         out_shape=[
@@ -467,6 +470,7 @@ def trace_pallas(
     max_bounces: int = 8,
     do_mis: bool = True,
     num_lights: int = 0,
+    slots_used: tuple = (True, True, True, True),
     interpret: bool = False,
 ):
     """Drop-in replacement for ops/trace.py::trace on TPU for VMEM-sized
@@ -509,7 +513,7 @@ def trace_pallas(
             bounce_idx, rays, state_r, thr, res, alive,
             t[None, :], idx[None, :], tri_table, light_table, atlas_table,
             do_mis=do_mis, num_lights=num_lights, atlas_hw=atlas_hw,
-            interpret=interpret,
+            slots_used=slots_used, interpret=interpret,
         )
         (rays, state_r, thr, res, alive,
          srays, stmax, smask, sdirect, spdf) = outs

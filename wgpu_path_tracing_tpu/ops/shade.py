@@ -73,12 +73,20 @@ def sample_atlas(atlas, rect, u, v, fallback):
     return out
 
 
-def hit_attributes_from_cols(get, ro: V3, rd: V3, t, found, atlas=None) -> Hit:
+def hit_attributes_from_cols(get, ro: V3, rd: V3, t, found, atlas=None,
+                             slots_used=(True, True, True, True)) -> Hit:
     """Build the Hit from a row-column accessor ``get(col) -> lane array``.
 
     ``atlas`` is either the (H, W, 4) array (XLA path: native texel
     gathers) or a CALLABLE ``sampler(rect, u, v, fallback) -> [r, g, b, a]``
-    (Pallas path: in-VMEM one-hot sampling, ops/pallas_bounce.py)."""
+    (Pallas path: in-VMEM one-hot sampling, ops/pallas_bounce.py).
+
+    ``slots_used`` is the STATIC (albedo, pbr, emissive, normal) scene-wide
+    slot mask from models/types.py::texture_slots_used: a slot no material
+    maps takes its fallback value with ZERO fetch cost — bit-identical to
+    sampling the all-empty rects (the reference fetches unconditionally,
+    pt.wgsl:199-230, but its texture cache makes that nearly free; our
+    one-hot selects are not)."""
     v0 = V3(get(T.TF_V0), get(T.TF_V0 + 1), get(T.TF_V0 + 2))
     v1 = V3(get(T.TF_V1), get(T.TF_V1 + 1), get(T.TF_V1 + 2))
     v2 = V3(get(T.TF_V2), get(T.TF_V2 + 1), get(T.TF_V2 + 2))
@@ -124,41 +132,56 @@ def hit_attributes_from_cols(get, ro: V3, rd: V3, t, found, atlas=None) -> Hit:
             import functools
 
             sample = functools.partial(sample_atlas, atlas)
-        albedo_rect = [get(T.TF_ALBEDO_RECT + i) for i in range(4)]
-        pbr_rect = [get(T.TF_PBR_RECT + i) for i in range(4)]
-        emissive_rect = [get(T.TF_EMISSIVE_RECT + i) for i in range(4)]
-        normal_rect = [get(T.TF_NORMAL_RECT + i) for i in range(4)]
+        if slots_used[0]:
+            albedo_rect = [get(T.TF_ALBEDO_RECT + i) for i in range(4)]
+            av = sample(albedo_rect, uv_u, uv_v, (1.0, 1.0, 1.0, 1.0))
+            albedo = V3(av[0], av[1], av[2]) * base_color
+            alpha = av[3]
+        else:
+            albedo = base_color
+            alpha = jnp.ones_like(u)
+        if slots_used[1]:
+            pbr_rect = [get(T.TF_PBR_RECT + i) for i in range(4)]
+            pv = sample(pbr_rect, uv_u, uv_v, (1.0, 1.0, 1.0, 1.0))
+            metallic = pv[2] * metallic_f
+            roughness = jnp.maximum(pv[1] * roughness_f, 0.04)
+        else:
+            metallic = metallic_f
+            roughness = jnp.maximum(roughness_f, 0.04)
+        if slots_used[2]:
+            emissive_rect = [get(T.TF_EMISSIVE_RECT + i) for i in range(4)]
+            ev = sample(emissive_rect, uv_u, uv_v, (1.0, 1.0, 1.0, 1.0))
+            emission = V3(ev[0], ev[1], ev[2]) * emission_f
+        else:
+            emission = emission_f
 
-        av = sample(albedo_rect, uv_u, uv_v, (1.0, 1.0, 1.0, 1.0))
-        albedo = V3(av[0], av[1], av[2]) * base_color
-        alpha = av[3]
-        pv = sample(pbr_rect, uv_u, uv_v, (1.0, 1.0, 1.0, 1.0))
-        metallic = pv[2] * metallic_f
-        roughness = jnp.maximum(pv[1] * roughness_f, 0.04)
-        ev = sample(emissive_rect, uv_u, uv_v, (1.0, 1.0, 1.0, 1.0))
-        emission = V3(ev[0], ev[1], ev[2]) * emission_f
+        if slots_used[3]:
+            normal_rect = [get(T.TF_NORMAL_RECT + i) for i in range(4)]
+            # Tangent basis from UV derivatives (pt.wgsl:176-189). No
+            # degenerate-UV guard, as in the reference — the NaN basis is
+            # only consumed when a normal-map texel is actually sampled.
+            duv1u = get(T.TF_UV1) - get(T.TF_UV0)
+            duv1v = get(T.TF_UV1 + 1) - get(T.TF_UV0 + 1)
+            duv2u = get(T.TF_UV2) - get(T.TF_UV0)
+            duv2v = get(T.TF_UV2 + 1) - get(T.TF_UV0 + 1)
+            r = 1.0 / (duv1u * duv2v - duv1v * duv2u)
+            tangent = vec.normalize((e1 * duv2v - e2 * duv1v) * r)
+            tn = interp_normal
+            tvec = vec.normalize(tangent - tn * vec.dot(tn, tangent))
+            bvec = vec.normalize(vec.cross(tn, tvec))
 
-        # Tangent basis from UV derivatives (pt.wgsl:176-189). No
-        # degenerate-UV guard, as in the reference — the NaN basis is only
-        # consumed when a normal-map texel is actually sampled.
-        duv1u = get(T.TF_UV1) - get(T.TF_UV0)
-        duv1v = get(T.TF_UV1 + 1) - get(T.TF_UV0 + 1)
-        duv2u = get(T.TF_UV2) - get(T.TF_UV0)
-        duv2v = get(T.TF_UV2 + 1) - get(T.TF_UV0 + 1)
-        r = 1.0 / (duv1u * duv2v - duv1v * duv2u)
-        tangent = vec.normalize((e1 * duv2v - e2 * duv1v) * r)
-        tn = interp_normal
-        tvec = vec.normalize(tangent - tn * vec.dot(tn, tangent))
-        bvec = vec.normalize(vec.cross(tn, tvec))
-
-        nm = sample(normal_rect, uv_u, uv_v, (0.5, 0.5, 1.0, 1.0))
-        use_nm = (nm[0] != 0.5) | (nm[1] != 0.5) | (nm[2] != 1.0)
-        world_normal = vec.normalize(
-            tvec * (nm[0] * 2.0 - 1.0)
-            + bvec * (nm[1] * 2.0 - 1.0)
-            + tn * (nm[2] * 2.0 - 1.0)
-        )
-        normal = vec.where(use_nm, world_normal, interp_normal)
+            nm = sample(normal_rect, uv_u, uv_v, (0.5, 0.5, 1.0, 1.0))
+            use_nm = (nm[0] != 0.5) | (nm[1] != 0.5) | (nm[2] != 1.0)
+            world_normal = vec.normalize(
+                tvec * (nm[0] * 2.0 - 1.0)
+                + bvec * (nm[1] * 2.0 - 1.0)
+                + tn * (nm[2] * 2.0 - 1.0)
+            )
+            normal = vec.where(use_nm, world_normal, interp_normal)
+        else:
+            # The flat default texel (0.5, 0.5, 1) never engages the
+            # normal map (pt.wgsl:216-226), so this is the exact value.
+            normal = interp_normal
     else:
         # Untextured: every slot takes its fallback (w == 0 rects).
         albedo = base_color
@@ -187,7 +210,8 @@ def hit_attributes_from_cols(get, ro: V3, rd: V3, t, found, atlas=None) -> Hit:
     )
 
 
-def hit_attributes(scene, ro, rd, t, idx, textured: bool | None = None) -> Hit:
+def hit_attributes(scene, ro, rd, t, idx, textured: bool | None = None,
+                   slots_used=(True, True, True, True)) -> Hit:
     """XLA-path wrapper: ro/rd (N, 3) arrays; fetches the winner row via the
     exact one-hot MXU matmul (ops/gathers.py)."""
     found = idx >= 0
@@ -202,4 +226,5 @@ def hit_attributes(scene, ro, rd, t, idx, textured: bool | None = None) -> Hit:
         t,
         found,
         atlas=scene["atlas"] if textured else None,
+        slots_used=slots_used,
     )

@@ -76,6 +76,7 @@ def bounce_core(
     do_mis: bool,
     num_lights: int,
     env=None,
+    slots_used=(True, True, True, True),
 ) -> tuple[BounceState, ShadowQuery]:
     """Shading stage of one bounce, between closest-hit and shadow resolve.
 
@@ -87,7 +88,8 @@ def bounce_core(
     found = st.alive & (idx >= 0)
     safe = jnp.maximum(idx, 0)
     hit = SHADE.hit_attributes_from_cols(
-        fetch_tri(safe), st.ro, st.rd, t, found, atlas=atlas
+        fetch_tri(safe), st.ro, st.rd, t, found, atlas=atlas,
+        slots_used=slots_used,
     )
 
     # Emissive termination with 1/(1+t²) attenuation (pt.wgsl:652-658)
@@ -185,6 +187,7 @@ def trace(
     do_mis: bool = True,
     num_lights: int = 0,
     textured: bool | None = None,
+    slots_used=(True, True, True, True),
 ):
     """Trace a batch of rays (plain-XLA path). ro, rd: (N, 3) arrays.
 
@@ -236,6 +239,7 @@ def trace(
             st, t, idx, bounce_idx,
             fetch_tri=fetch_tri, fetch_light=fetch_light, atlas=atlas,
             do_mis=do_mis, num_lights=num_lights, env=env,
+            slots_used=slots_used,
         )
         if do_mis:
             counters = counters.at[1].add(jnp.sum(shadow.mask.astype(jnp.int32)))

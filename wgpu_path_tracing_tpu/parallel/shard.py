@@ -82,6 +82,7 @@ def shard_accum(accum, mesh: Mesh):
         "brute_max_tris",
         "leaf_size",
         "bounce_kernel",
+        "slots_used",
         "n_active",
     ),
     donate_argnames=("accum",),
@@ -106,6 +107,7 @@ def render_chunk_sharded(
     brute_max_tris: int = 512,
     leaf_size: int = 4,
     bounce_kernel: str = "auto",
+    slots_used: tuple = (True, True, True, True),
     n_active: int | None = None,
 ):
     """Sharded equivalent of render/pipeline.py::render_chunk.
@@ -151,6 +153,7 @@ def render_chunk_sharded(
         trace_fn = make_trace_fn(
             scene, closest_hit, bounce_kernel=bounce_kernel,
             max_bounces=max_bounces, do_mis=do_mis, num_lights=num_lights,
+            slots_used=slots_used,
         )
 
         def step(carry, k):

@@ -31,7 +31,8 @@ def camera_device(cam_pytree: dict, width: int, height: int) -> dict:
 
 
 def make_trace_fn(scene, closest_hit, *, bounce_kernel: str, max_bounces: int,
-                  do_mis: bool, num_lights: int):
+                  do_mis: bool, num_lights: int,
+                  slots_used: tuple = (True, True, True, True)):
     """Build the bounce-loop callable, picking the implementation: the Pallas
     megakernel runs the same bounce_core with VMEM-resident tables (TPU,
     untextured, VMEM-sized scenes); otherwise the plain XLA path. Shared by
@@ -76,10 +77,12 @@ def make_trace_fn(scene, closest_hit, *, bounce_kernel: str, max_bounces: int,
             return trace_pallas(
                 scene, closest_hit, ro, rd, state,
                 max_bounces=max_bounces, do_mis=do_mis, num_lights=num_lights,
+                slots_used=slots_used,
             )
         return TRACE.trace(
             scene, closest_hit, ro, rd, state,
             max_bounces=max_bounces, do_mis=do_mis, num_lights=num_lights,
+            slots_used=slots_used,
         )
 
     return trace_fn
@@ -102,6 +105,7 @@ def make_trace_fn(scene, closest_hit, *, bounce_kernel: str, max_bounces: int,
         "brute_max_tris",
         "leaf_size",
         "bounce_kernel",
+        "slots_used",
     ),
     donate_argnames=("accum",),
 )
@@ -125,6 +129,7 @@ def render_chunk(
     brute_max_tris: int,
     leaf_size: int,
     bounce_kernel: str = "auto",
+    slots_used: tuple = (True, True, True, True),
 ):
     """Accumulate ``n_frames`` 1-spp frames starting at ``frame_start``.
 
@@ -143,6 +148,7 @@ def render_chunk(
     trace_fn = make_trace_fn(
         scene, closest_hit, bounce_kernel=bounce_kernel,
         max_bounces=max_bounces, do_mis=do_mis, num_lights=num_lights,
+        slots_used=slots_used,
     )
 
     def step(carry, k):

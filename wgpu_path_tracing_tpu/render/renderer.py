@@ -106,6 +106,12 @@ class Renderer:
     def load_scene(self, scene: SceneArrays) -> None:
         self.scene = scene
         packed = pack_device_scene(scene)
+        # Static per-scene texture-slot mask (host-side, before device_put):
+        # scene-wide-unused slots skip their atlas fetch, exactly at the
+        # Hit level (models/types.py::texture_slots_used).
+        from wgpu_path_tracing_tpu.models.types import texture_slots_used
+
+        self._slots_used = texture_slots_used(packed["tri_full"])
         if self.config.env_map is not None:
             from wgpu_path_tracing_tpu.ops.env import load_env_image
 
@@ -340,6 +346,8 @@ class Renderer:
                 intersector=cfg.intersector,
                 brute_max_tris=cfg.brute_force_max_tris,
                 leaf_size=cfg.max_leaf_size,
+                slots_used=getattr(self, "_slots_used",
+                                   (True, True, True, True)),
             )
             if self.mesh is not None:
                 from wgpu_path_tracing_tpu.parallel import shard as SH
@@ -422,6 +430,8 @@ class Renderer:
                 intersector=cfg.intersector,
                 brute_max_tris=cfg.brute_force_max_tris,
                 leaf_size=cfg.max_leaf_size,
+                slots_used=getattr(self, "_slots_used",
+                                   (True, True, True, True)),
             )
         return np.asarray(buf).reshape(cfg.height, cfg.width, 3)
 
