@@ -60,10 +60,18 @@ def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK):
     cols = table_ref.shape[1]
     n_chunks = tp // chunk
 
+    # Build the one-hot NATIVELY in (chunk, 1024) lane-major layout: the
+    # old (chunk, 8, 128) iota + reshape forced a sublane<->lane relayout
+    # of every chunk row before the MXU dot — measured 15% of the whole
+    # glass render (24 chunks x 512 rows per fetch). One small relayout of
+    # the index row replaces them; the dot and its output are unchanged,
+    # so selected values stay bit-identical (verified on-chip).
+    idx2 = idx.reshape(1, 1024)
+
     def body(ci, acc):
         base = ci * chunk
-        iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 8, 128), 0) + base
-        onehot = (iota == idx[None]).astype(jnp.float32).reshape(chunk, 1024)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1024), 0) + base
+        onehot = (iota == idx2).astype(jnp.float32)
         part = jax.lax.dot_general(
             table_ref[pl.ds(base, chunk), :],
             onehot,
@@ -171,12 +179,13 @@ def _make_atlas_sampler_tiled(atlas_ref, width: int, height: int,
                     def _tile(b=b, g=g):
                         th = min(ATLAS_TILE_H, hp - b * ATLAS_TILE_H)
                         tw = min(ATLAS_TILE_W, wp - g * ATLAS_TILE_W)
+                        # Lane-major one-hot (same relayout saving as
+                        # _select_rows; values bit-identical).
+                        iy2 = iy.reshape(1, 1024)
                         iota = jax.lax.broadcasted_iota(
-                            jnp.int32, (th, 8, 128), 0
+                            jnp.int32, (th, 1024), 0
                         ) + b * ATLAS_TILE_H
-                        onehot = (iota == iy[None]).astype(
-                            jnp.float32
-                        ).reshape(th, 1024)
+                        onehot = (iota == iy2).astype(jnp.float32)
                         part = jax.lax.dot_general(
                             atlas_ref[
                                 pl.ds(b * ATLAS_TILE_H, th),
