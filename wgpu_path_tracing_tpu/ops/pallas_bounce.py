@@ -68,17 +68,41 @@ def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK):
     # so selected values stay bit-identical (verified on-chip).
     idx2 = idx.reshape(1, 1024)
 
-    def body(ci, acc):
+    def part_of(ci):
         base = ci * chunk
         iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1024), 0) + base
         onehot = (iota == idx2).astype(jnp.float32)
-        part = jax.lax.dot_general(
+        return jax.lax.dot_general(
             table_ref[pl.ds(base, chunk), :],
             onehot,
             dimension_numbers=((([0]), ([0])), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (C, 1024)
-        return acc + part
+
+    if n_chunks == 1:
+        return part_of(0).reshape(cols, 8, 128)
+
+    # Multi-chunk tables (big scenes): winner indices are BVH-ordered, so
+    # a ray block's hits cluster in FEW chunks. One packed touch word
+    # (vector reduces, back-to-back) gates each chunk's iota+dot behind a
+    # lax.cond — a skipped chunk contributes exactly the +0.0 its all-zero
+    # one-hot rows would have (bit-identical, verified on-chip; glass
+    # 8.71 -> 8.34 s same-process).
+    cidx = idx2 // chunk
+    touch = jnp.int32(0)
+    for c in range(n_chunks):
+        touch = touch | (
+            (jnp.sum((cidx == c).astype(jnp.int32)) > 0).astype(jnp.int32)
+            << c
+        )
+
+    def body(ci, acc):
+        return jax.lax.cond(
+            ((touch >> ci) & 1) != 0,
+            lambda a: a + part_of(ci),
+            lambda a: a,
+            acc,
+        )
 
     acc0 = jnp.zeros((cols, 1024), jnp.float32)
     return jax.lax.fori_loop(0, n_chunks, body, acc0).reshape(cols, 8, 128)
