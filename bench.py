@@ -16,9 +16,10 @@ across rounds. The per-config lines cover BASELINE.json's five workloads:
                           intersector); multi-chip sharding of this config is
                           validated separately by __graft_entry__.dryrun_multichip
                           (only one physical chip is reachable here)
-6. textured-512atlas      512x512 texel atlas (production scale) through the
-                          tiled in-VMEM Pallas sampler — measures the cliff
-                          the UNTILED_ATLAS_TEXELS bound used to hide
+6. textured-512atlas      512x512 texel atlas (production scale) through
+                          EXTERNAL atlas mode (XLA-side HBM texel gather
+                          feeding the Pallas bounce) — measures the cliff
+                          the old VMEM atlas bound used to hide
 
 Each line: {"metric": "mrays_per_sec", "value": N, "unit": "Mrays/s",
 "vs_baseline": N, "scene": ..., ...}. Select configs with
@@ -170,7 +171,7 @@ def main():
         r.load_scene(textured_cornell(atlas_size=512))
         mrays, wall, rays = _bench_renderer(r, spp=64)
         _emit("textured-512atlas", mrays, wall, rays, 64,
-              {"device": dev, "atlas": "512x512 tiled in-VMEM sampler"})
+              {"device": dev, "atlas": "512x512 external HBM texel gather"})
 
     if "headline" in sel:
         r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=128))

@@ -105,12 +105,14 @@ def test_pallas_bounce_textured():
     )
 
 
-def test_pallas_bounce_textured_tiled():
-    """Atlases above UNTILED_ATLAS_TEXELS run the tiled in-kernel sampler
-    (pl.when-gated (ATLAS_TILE_H x ATLAS_TILE_W) tiles); radiance and RNG
-    streams must still match the XLA path's native texel gathers exactly.
-    256^2 exercises multiple row bands, column groups, and both paddings
-    (non-multiple sizes are padded up in prepare_tables)."""
+def test_pallas_bounce_textured_external():
+    """Atlases above UNTILED_ATLAS_TEXELS run EXTERNAL mode: per bounce an
+    XLA-side HBM gather (_gather_texels) pre-fetches the winner texels and
+    the kernel consumes them as per-lane rows. RNG streams must match the
+    XLA path exactly; radiance to FMA-placement ulps (the gather
+    interpolates uv with the shared shade.barycentrics_from_cols
+    expressions, so texel CHOICE matches except exactly-on-boundary
+    razor ties, none in this scene)."""
     from wgpu_path_tracing_tpu.models.procedural import textured_cornell
     from wgpu_path_tracing_tpu.ops.pallas_bounce import (
         UNTILED_ATLAS_TEXELS,
@@ -122,7 +124,8 @@ def test_pallas_bounce_textured_tiled():
     assert scene["atlas"].shape[0] * scene["atlas"].shape[1] \
         > UNTILED_ATLAS_TEXELS
     tables = prepare_tables(scene)
-    assert tables is not None and tables[3][2], "tiled path not selected"
+    assert tables is not None and tables[3][2] == "ext", \
+        "external atlas mode not selected"
     cam = camera_device(Camera(width=W, height=H).as_pytree(), W, H)
     x, y = CAM.pixel_grid(W, H)
     ro, rd, state = CAM.generate_rays(cam, x, y, jnp.int32(0), use_dof=True)

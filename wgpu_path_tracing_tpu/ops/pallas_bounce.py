@@ -10,15 +10,22 @@ vreg rows with the triangle/material and light tables resident in VMEM and
 winner rows selected by in-kernel one-hot MXU matmuls (exact: one-hot
 entries are 0/1).
 
-Scope: scenes whose denormalized triangle table fits VMEM (<= ~4k triangles;
-larger scenes use the XLA bounce with pair-dispatch traversal) and whose
-texture atlas is either absent or VMEM-small (<= MAX_VMEM_ATLAS_TEXELS):
-texel fetches then run in-kernel as a two-level one-hot — an exact one-hot
-MXU matmul over atlas ROWS followed by a static column-select sweep — so
-textured scenes stop falling off the fast path onto XLA's ~10 GB/s dynamic
-gathers (pt.wgsl:112-120 getTextureColor equivalent). Larger atlases keep
-the XLA bounce. The radiance and RNG streams are identical to the XLA path
-because the shading code is literally shared.
+Scope: scenes whose denormalized triangle table fits VMEM (<= MAX_VMEM_TRIS
+triangles; larger scenes use the XLA bounce). Texture atlases take one of
+two paths (pt.wgsl:112-120 getTextureColor equivalent):
+
+* <= UNTILED_ATLAS_TEXELS: in-kernel two-level one-hot — an exact one-hot
+  MXU matmul over atlas ROWS followed by a static column-select sweep
+  (the atlas is VMEM-resident);
+* larger: EXTERNAL mode — per bounce, an XLA-side native HBM gather
+  (_gather_texels) fetches the winner texels outside the kernel and hands
+  them in as per-lane rows. In-kernel one-hot cost scales with atlas AREA
+  x rays (TPU vector units have no per-lane gather), so a 512^2 atlas
+  measured 12.9 Mrays/s in-kernel vs ~untextured rates external. No atlas
+  size cap.
+
+The radiance and RNG streams are identical to the XLA path because the
+shading code is literally shared.
 """
 
 from __future__ import annotations
@@ -42,12 +49,11 @@ MAX_VMEM_TRIS = 16384  # denormalized table stays VMEM-small (~3 MB); the
 # one-hot fetch cost grows with rows but still beats the XLA bounce's HBM
 # round-trips at this size (measured: glass_box 11.8k tris 4.2 -> see
 # BASELINE.md; cap re-measured round 2)
-UNTILED_ATLAS_TEXELS = 128 * 128  # below this the single row-select
-# sampler wins (one-hot cost ~ Hp*W*4*BN MACs is still small)
-MAX_VMEM_ATLAS_TEXELS = 512 * 512  # in-kernel atlas bound (tiled sampler;
-# 4 MB VMEM resident). Beyond, the XLA bounce path takes over.
-ATLAS_TILE_H = 128  # one-hot rows per taken tile (tiled sampler)
-ATLAS_TILE_W = 32  # texels per tile column group (128 f32 columns)
+UNTILED_ATLAS_TEXELS = 128 * 128  # below this the in-kernel row-select
+# sampler wins (one-hot cost ~ Hp*W*4*BN MACs is still small); above it
+# EXTERNAL mode (XLA-side HBM texel gather) takes over — an in-kernel
+# tiled sampler was built and REJECTED by measurement (12.9 Mrays/s at
+# 512^2 vs ~untextured rates external; see TODO.md 4b)
 
 
 def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK):
@@ -118,7 +124,7 @@ def _make_atlas_sampler(atlas_ref, width: int, height: int):
 
     Row select = exact one-hot MXU matmul (0/1 entries reproduce the f32
     texel row bit-exactly); column select = static sweep over the W texel
-    columns (W is small by the MAX_VMEM_ATLAS_TEXELS bound)."""
+    columns (W is small by the UNTILED_ATLAS_TEXELS bound)."""
 
     def sample(rect, u, v, fallback):
         rx, ry, rw, rh = rect  # (8, 128) lanes, pixels as f32
@@ -142,102 +148,44 @@ def _make_atlas_sampler(atlas_ref, width: int, height: int):
     return sample
 
 
-def _make_atlas_sampler_tiled(atlas_ref, width: int, height: int,
-                              acc_ref, amsk_ref):
-    """In-VMEM getTextureColor for LARGE atlases (> UNTILED_ATLAS_TEXELS).
+def _gather_texels(atlas, tri_full, idx, ro3, rd3, slots_used):
+    """XLA-side texel pre-gather for EXTERNAL atlas mode (big atlases).
 
-    The single row-select sampler scales with Hp*W*4*BN MACs and
-    materializes a (W*4, BN) intermediate — both blow up past ~128^2
-    texels. Instead the atlas is processed in (ATLAS_TILE_H rows x
-    ATLAS_TILE_W texels) tiles, DISPATCHED like the walk kernel's
-    sub-clusters (ops/walk.py): a vector reduce per tile writes a
-    touched-count to SMEM, the scalar core gates a pl.when region per
-    touched tile, and each taken tile runs a small exact one-hot MXU
-    select (TILE_H x TILE_W*4 x BN MACs) plus a TILE_W-column sweep.
-    Bounce blocks touch few tiles (uv locality follows hit locality), so
-    the cost tracks the texels a block actually reads, not atlas area.
+    The in-VMEM samplers pay MXU one-hot MACs proportional to atlas AREA
+    x rays — TPU vector units have no per-lane gather, so selecting one
+    texel from a 512^2 atlas costs the whole table sweep (measured 12.9
+    Mrays/s tiled vs 174.5 for a 32^2 atlas). For big atlases the right
+    primitive is the native XLA gather (HBM controller): fetch the winner
+    row, interpolate uv with the SAME expressions the kernel uses
+    (shade.barycentrics_from_cols — texel choice can differ from an
+    in-kernel sample only by FMA-placement ulps on texel boundaries, the
+    documented class), sample each USED slot with shade.sample_atlas
+    (fallbacks applied), and hand the kernel (4 * n_used, N) finished
+    texel rows in hit_attributes_from_cols call order."""
+    from wgpu_path_tracing_tpu.ops import shade as SHADE
+    from wgpu_path_tracing_tpu.ops.gathers import fetch_rows
 
-    acc_ref: VMEM (32, 128) scratch — four (8, 128) channel planes.
-    amsk_ref: SMEM (n_bands + n_groups,) int32 — touched counts.
-    Exactness: one-hot f32 matmul entries are 0/1 so the selected texel is
-    reproduced bit-for-bit (same argument as _select_rows)."""
-    hp, wcols = atlas_ref.shape
-    wp = wcols // 4
-    n_bands = -(-hp // ATLAS_TILE_H)
-    n_groups = -(-wp // ATLAS_TILE_W)
+    safe = jnp.maximum(idx, 0)
+    row = fetch_rows(tri_full, safe)  # (N, TF_COLS)
 
-    def sample(rect, u, v, fallback):
-        rx, ry, rw, rh = rect
-        ax = rx + (u - _trunc(u)) * rw
-        ay = ry + (v - _trunc(v)) * rh
-        ix = jnp.clip(ax, 0.0, width - 1.0).astype(jnp.int32)
-        iy = jnp.clip(ay, 0.0, height - 1.0).astype(jnp.int32)
-        missing = (rw == 0.0) | (rh == 0.0)
-        band = iy // ATLAS_TILE_H
-        grp = ix // ATLAS_TILE_W
-        live = ~missing
+    def get(c):
+        return row[:, c]
 
-        for c in range(4):
-            acc_ref[pl.ds(c * 8, 8), :] = jnp.zeros((8, 128), jnp.float32)
-        # Phase A (vector): touched counts per row band and per column
-        # group — all reduces issue back-to-back, the scalar core drains
-        # once at the first pl.when read (the walk kernel's handoff shape).
-        for b in range(n_bands):
-            amsk_ref[b] = jnp.sum((live & (band == b)).astype(jnp.int32))
-        for g in range(n_groups):
-            amsk_ref[n_bands + g] = jnp.sum(
-                (live & (grp == g)).astype(jnp.int32)
-            )
-        # Phase B (scalar-gated tiles). A (band, group) tile runs only if
-        # both its band and its group are touched — a slight over-approx
-        # of per-tile occupancy that keeps the reduce count linear in
-        # bands+groups instead of bands*groups.
-        for b in range(n_bands):
-
-            @pl.when(amsk_ref[b] > 0)
-            def _band(b=b):
-                inband = band == b
-                for g in range(n_groups):
-
-                    @pl.when(amsk_ref[n_bands + g] > 0)
-                    def _tile(b=b, g=g):
-                        th = min(ATLAS_TILE_H, hp - b * ATLAS_TILE_H)
-                        tw = min(ATLAS_TILE_W, wp - g * ATLAS_TILE_W)
-                        # Lane-major one-hot (same relayout saving as
-                        # _select_rows; values bit-identical).
-                        iy2 = iy.reshape(1, 1024)
-                        iota = jax.lax.broadcasted_iota(
-                            jnp.int32, (th, 1024), 0
-                        ) + b * ATLAS_TILE_H
-                        onehot = (iota == iy2).astype(jnp.float32)
-                        part = jax.lax.dot_general(
-                            atlas_ref[
-                                pl.ds(b * ATLAS_TILE_H, th),
-                                g * ATLAS_TILE_W * 4:
-                                (g * ATLAS_TILE_W + tw) * 4,
-                            ],
-                            onehot,
-                            dimension_numbers=((([0]), ([0])), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )  # (tw*4, 1024)
-                        part3 = part.reshape(tw * 4, 8, 128)
-                        for c in range(4):
-                            accv = acc_ref[pl.ds(c * 8, 8), :]
-                            for w in range(tw):
-                                sel = inband & (
-                                    ix == g * ATLAS_TILE_W + w
-                                )
-                                accv = jnp.where(
-                                    sel, part3[w * 4 + c], accv
-                                )
-                            acc_ref[pl.ds(c * 8, 8), :] = accv
-
-        return [
-            jnp.where(missing, fallback[c], acc_ref[pl.ds(c * 8, 8), :])
-            for c in range(4)
-        ]
-
-    return sample
+    ro = V3(ro3[0], ro3[1], ro3[2])
+    rd = V3(rd3[0], rd3[1], rd3[2])
+    _, _, _, _, _, uv_u, uv_v = SHADE.barycentrics_from_cols(get, ro, rd)
+    slot_rects = (T.TF_ALBEDO_RECT, T.TF_PBR_RECT, T.TF_EMISSIVE_RECT,
+                  T.TF_NORMAL_RECT)
+    fallbacks = ((1.0, 1.0, 1.0, 1.0), (1.0, 1.0, 1.0, 1.0),
+                 (1.0, 1.0, 1.0, 1.0), (0.5, 0.5, 1.0, 1.0))
+    rows = []
+    for k in range(4):
+        if not slots_used[k]:
+            continue
+        rect = [get(slot_rects[k] + i) for i in range(4)]
+        rows.extend(SHADE.sample_atlas(atlas, rect, uv_u, uv_v,
+                                       fallbacks[k]))
+    return jnp.stack(rows, axis=0)  # (4 * n_used, N)
 
 
 def _bounce_kernel(do_mis, num_lights, atlas_hw=None,
@@ -246,24 +194,17 @@ def _bounce_kernel(do_mis, num_lights, atlas_hw=None,
         bounce_ref,  # scalar prefetch: (1,) int32
         *refs,
     ):
-        if atlas_hw is not None and atlas_hw[2]:
-            # Tiled sampler: two trailing scratch refs (VMEM accumulator
-            # planes + SMEM touched-tile counts).
-            (ray_ref, state_ref, thr_ref, res_ref, alive_ref, t_ref,
-             idx_ref, tri_ref, light_ref, atlas_ref,
-             oray_ref, ostate_ref, othr_ref, ores_ref, oalive_ref,
-             shadow_ray_ref, stmax_ref, smask_ref, sdirect_ref,
-             spdf_ref, acc_ref, amsk_ref) = refs
-            atlas = _make_atlas_sampler_tiled(
-                atlas_ref, atlas_hw[1], atlas_hw[0], acc_ref, amsk_ref
-            )
-        elif atlas_hw is not None:
+        if atlas_hw is not None:
             (ray_ref, state_ref, thr_ref, res_ref, alive_ref, t_ref,
              idx_ref, tri_ref, light_ref, atlas_ref,
              oray_ref, ostate_ref, othr_ref, ores_ref, oalive_ref,
              shadow_ray_ref, stmax_ref, smask_ref, sdirect_ref,
              spdf_ref) = refs
-            atlas = _make_atlas_sampler(atlas_ref, atlas_hw[1], atlas_hw[0])
+            if atlas_hw[2] == "ext":
+                atlas = "ext"  # closure built after ``row`` below
+            else:
+                atlas = _make_atlas_sampler(atlas_ref, atlas_hw[1],
+                                            atlas_hw[0])
         else:
             (ray_ref, state_ref, thr_ref, res_ref, alive_ref, t_ref,
              idx_ref, tri_ref, light_ref,
@@ -281,6 +222,19 @@ def _bounce_kernel(do_mis, num_lights, atlas_hw=None,
         # (measured 3.3x slower end-to-end).
         def row(ref, r):
             return ref[r : r + 1, :].reshape(8, 128)
+
+        if atlas == "ext":
+            # External mode: atlas_ref holds the XLA-pre-gathered texel
+            # rows (_gather_texels); consume them in hit_attributes'
+            # slot call order (used slots only, matching the gather).
+            calls = {"n": 0}
+
+            def _ext_sample(rect, u, v, fallback, _r=atlas_ref):
+                k = calls["n"]
+                calls["n"] += 1
+                return [row(_r, k * 4 + c) for c in range(4)]
+
+            atlas = _ext_sample
 
         st = TRACE.BounceState(
             ro=V3(row(ray_ref, 0), row(ray_ref, 1), row(ray_ref, 2)),
@@ -390,17 +344,13 @@ def bounce_stage_pallas(
         tri_table, light_table,
     ]
     if atlas_hw is not None:
-        in_specs.append(table_spec(atlas_table.shape))
+        if atlas_hw[2] == "ext":
+            # Pre-gathered texel rows ride the ray-block axis like every
+            # other per-lane operand.
+            in_specs.append(row_spec(atlas_table.shape[0]))
+        else:
+            in_specs.append(table_spec(atlas_table.shape))
         operands.append(atlas_table)
-    scratch_shapes = []
-    if atlas_hw is not None and atlas_hw[2]:
-        hp, wcols = atlas_table.shape
-        n_bands = -(-hp // ATLAS_TILE_H)
-        n_groups = -(-(wcols // 4) // ATLAS_TILE_W)
-        scratch_shapes = [
-            pltpu.VMEM((32, 128), jnp.float32),  # 4 channel planes
-            pltpu.SMEM((n_bands + n_groups,), jnp.int32),
-        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -409,20 +359,11 @@ def bounce_stage_pallas(
             row_spec(6), row_spec(1), row_spec(3), row_spec(3), row_spec(1),
             row_spec(6), row_spec(1), row_spec(1), row_spec(3), row_spec(1),
         ],
-        scratch_shapes=scratch_shapes,
+        scratch_shapes=[],
     )
-    # Tiled atlases are VMEM-resident beyond the 16 MiB default scope;
-    # untiled configs keep the default limit (their compiled artifacts and
-    # measured numbers predate this knob).
-    extra = {}
-    if atlas_hw is not None and atlas_hw[2]:
-        extra["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        )
     outs = pl.pallas_call(
         _bounce_kernel(do_mis, num_lights, atlas_hw, slots_used),
         grid_spec=grid_spec,
-        **extra,
         out_shape=[
             jax.ShapeDtypeStruct((6, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.uint32),
@@ -438,11 +379,6 @@ def bounce_stage_pallas(
         interpret=interpret,
     )(*operands)
     return list(outs)
-
-
-def atlas_fits_vmem(scene) -> bool:
-    a = scene["atlas"]
-    return a.shape[0] * a.shape[1] <= MAX_VMEM_ATLAS_TEXELS
 
 
 def prepare_tables(scene):
@@ -469,19 +405,16 @@ def prepare_tables(scene):
     textured = atlas.shape[0] > 1 or atlas.shape[1] > 1
     atlas_p = atlas_hw = None
     if textured:
-        if not atlas_fits_vmem(scene):
-            return None
         h, w = atlas.shape[0], atlas.shape[1]
-        flat = jnp.asarray(atlas, jnp.float32).reshape(h, w * 4)
-        tiled = h * w > UNTILED_ATLAS_TEXELS
-        if tiled:
-            # Tiled sampler: pad rows to the tile height (its one-hot
-            # selects run per full tile) and texel columns to the tile
-            # width (padded texels are never addressed — ix <= w-1).
-            hp = -(-h // ATLAS_TILE_H) * ATLAS_TILE_H
-            wp = -(-w // ATLAS_TILE_W) * ATLAS_TILE_W
-            atlas_p = jnp.pad(flat, ((0, hp - h), (0, (wp - w) * 4)))
+        if h * w > UNTILED_ATLAS_TEXELS:
+            # Big atlases: EXTERNAL mode — texels come from an XLA-side
+            # native HBM gather per bounce (_gather_texels); the atlas
+            # never enters VMEM, so there is NO size cap. Supersedes the
+            # in-kernel tiled sampler, whose MXU one-hot cost scales with
+            # atlas area x rays (12.9 vs 174.5 Mrays/s at 512^2 vs 32^2).
+            atlas_hw = (h, w, "ext")
         else:
+            flat = jnp.asarray(atlas, jnp.float32).reshape(h, w * 4)
             # Same rule as the triangle table: the row count must be a
             # multiple of the one-hot select chunk or _select_rows'
             # fori_loop silently skips the tail rows.
@@ -489,7 +422,7 @@ def prepare_tables(scene):
             if hp > SELECT_CHUNK:
                 hp = -(-hp // SELECT_CHUNK) * SELECT_CHUNK
             atlas_p = jnp.pad(flat, ((0, hp - h), (0, 0)))
-        atlas_hw = (h, w, tiled)
+            atlas_hw = (h, w, False)
     return tri_p, light_p, atlas_p, atlas_hw
 
 
@@ -512,6 +445,9 @@ def trace_pallas(
     tables = prepare_tables(scene)
     assert tables is not None, "scene too large for the bounce megakernel"
     tri_table, light_table, atlas_table, atlas_hw = tables
+    if (atlas_hw is not None and atlas_hw[2] == "ext"
+            and not any(slots_used)):
+        atlas_hw = None  # textured flag set but no slot mapped anywhere
 
     n = ro.shape[0]
     pad = (-n) % BN
@@ -542,9 +478,18 @@ def trace_pallas(
         t, idx = closest_hit(rays[0:3], rays[3:6], active=alive_b,
                              reorder=reorder)
         counters = counters.at[0].add(jnp.sum(alive))
+        atlas_op = atlas_table
+        if atlas_hw is not None and atlas_hw[2] == "ext":
+            # Big atlas: native XLA HBM gather of the winner texels,
+            # handed to the kernel as per-lane rows (no VMEM residency,
+            # no size cap).
+            atlas_op = _gather_texels(
+                scene["atlas"], scene["tri_full"], idx, rays[0:3],
+                rays[3:6], slots_used,
+            )
         outs = bounce_stage_pallas(
             bounce_idx, rays, state_r, thr, res, alive,
-            t[None, :], idx[None, :], tri_table, light_table, atlas_table,
+            t[None, :], idx[None, :], tri_table, light_table, atlas_op,
             do_mis=do_mis, num_lights=num_lights, atlas_hw=atlas_hw,
             slots_used=slots_used, interpret=interpret,
         )

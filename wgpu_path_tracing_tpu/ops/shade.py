@@ -73,6 +73,30 @@ def sample_atlas(atlas, rect, u, v, fallback):
     return out
 
 
+def barycentrics_from_cols(get, ro: V3, rd: V3):
+    """Shared exact barycentric/uv expressions (pt.wgsl:128-156): used by
+    Hit construction AND the external texel pre-gather
+    (ops/pallas_bounce.py) so both sides interpolate the SAME uv.
+    Returns (e1, e2, u, v, w, uv_u, uv_v)."""
+    v0 = V3(get(T.TF_V0), get(T.TF_V0 + 1), get(T.TF_V0 + 2))
+    v1 = V3(get(T.TF_V1), get(T.TF_V1 + 1), get(T.TF_V1 + 2))
+    v2 = V3(get(T.TF_V2), get(T.TF_V2 + 1), get(T.TF_V2 + 2))
+    e1 = v1 - v0
+    e2 = v2 - v0
+    hvec = vec.cross(rd, e2)
+    a = vec.dot(e1, hvec)
+    f = 1.0 / a
+    s = ro - v0
+    u = f * vec.dot(s, hvec)
+    q = vec.cross(s, e1)
+    v = f * vec.dot(rd, q)
+    w = 1.0 - u - v
+    uv_u = get(T.TF_UV0) * w + get(T.TF_UV1) * u + get(T.TF_UV2) * v
+    uv_v = (get(T.TF_UV0 + 1) * w + get(T.TF_UV1 + 1) * u
+            + get(T.TF_UV2 + 1) * v)
+    return e1, e2, u, v, w, uv_u, uv_v
+
+
 def hit_attributes_from_cols(get, ro: V3, rd: V3, t, found, atlas=None,
                              slots_used=(True, True, True, True)) -> Hit:
     """Build the Hit from a row-column accessor ``get(col) -> lane array``.
@@ -87,34 +111,19 @@ def hit_attributes_from_cols(get, ro: V3, rd: V3, t, found, atlas=None,
     sampling the all-empty rects (the reference fetches unconditionally,
     pt.wgsl:199-230, but its texture cache makes that nearly free; our
     one-hot selects are not)."""
-    v0 = V3(get(T.TF_V0), get(T.TF_V0 + 1), get(T.TF_V0 + 2))
-    v1 = V3(get(T.TF_V1), get(T.TF_V1 + 1), get(T.TF_V1 + 2))
-    v2 = V3(get(T.TF_V2), get(T.TF_V2 + 1), get(T.TF_V2 + 2))
     n0 = V3(get(T.TF_N0), get(T.TF_N0 + 1), get(T.TF_N0 + 2))
     n1 = V3(get(T.TF_N1), get(T.TF_N1 + 1), get(T.TF_N1 + 2))
     n2 = V3(get(T.TF_N2), get(T.TF_N2 + 1), get(T.TF_N2 + 2))
 
-    # Recompute barycentrics with the traversal's exact expressions
+    # Barycentrics with the traversal's exact expressions
     # (pt.wgsl:128-156) so u/v/t match the reference bit-for-bit.
-    e1 = v1 - v0
-    e2 = v2 - v0
-    hvec = vec.cross(rd, e2)
-    a = vec.dot(e1, hvec)
-    f = 1.0 / a
-    s = ro - v0
-    u = f * vec.dot(s, hvec)
-    q = vec.cross(s, e1)
-    v = f * vec.dot(rd, q)
-    w = 1.0 - u - v
+    e1, e2, u, v, w, uv_u, uv_v = barycentrics_from_cols(get, ro, rd)
 
     position = ro + rd * t
 
     geom_normal = vec.normalize(vec.cross(e1, e2))
     interp_normal = vec.normalize(n0 * w + n1 * u + n2 * v)
     is_front = vec.dot(geom_normal, rd) < 0.0  # pt.wgsl:196-197
-
-    uv_u = get(T.TF_UV0) * w + get(T.TF_UV1) * u + get(T.TF_UV2) * v
-    uv_v = get(T.TF_UV0 + 1) * w + get(T.TF_UV1 + 1) * u + get(T.TF_UV2 + 1) * v
 
     base_color = V3(
         get(T.TF_BASE_COLOR), get(T.TF_BASE_COLOR + 1), get(T.TF_BASE_COLOR + 2)

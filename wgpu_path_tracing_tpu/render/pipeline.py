@@ -42,7 +42,6 @@ def make_trace_fn(scene, closest_hit, *, bounce_kernel: str, max_bounces: int,
     # row must never be sampled); skip the shadow pass entirely.
     do_mis = bool(do_mis) and num_lights > 0
 
-    textured = scene["atlas"].shape[0] > 1 or scene["atlas"].shape[1] > 1
     # Environment lighting (extension) currently runs on the XLA bounce
     # only; a scene with a real env map defers the Pallas megakernel.
     has_env = "env" in scene and (
@@ -58,15 +57,13 @@ def make_trace_fn(scene, closest_hit, *, bounce_kernel: str, max_bounces: int,
         )
     use_pallas = bounce_kernel == "pallas" and not has_env
     if bounce_kernel == "auto":
-        from wgpu_path_tracing_tpu.ops.pallas_bounce import (
-            MAX_VMEM_TRIS,
-            atlas_fits_vmem,
-        )
+        from wgpu_path_tracing_tpu.ops.pallas_bounce import MAX_VMEM_TRIS
 
+        # No atlas-size condition: big atlases run EXTERNAL mode (XLA HBM
+        # texel gather feeding the kernel) — ops/pallas_bounce.py.
         use_pallas = (
             jax.default_backend() not in ("cpu", "gpu")
             and not has_env
-            and (not textured or atlas_fits_vmem(scene))
             and scene["tri_full"].shape[0] <= MAX_VMEM_TRIS
         )
 
