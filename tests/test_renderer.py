@@ -234,3 +234,35 @@ def test_render_sync_false_defers_counters():
         r2.render(spp=4, fetch=False)
     assert r2.stats()["rays_total"] == total
     np.testing.assert_array_equal(img_a, r2.image())
+
+
+def test_frames_per_trace_batched_equals_sequential():
+    """frames_per_trace > 1 batches F frames' rays into one trace call but
+    keeps the RNG draw schedule and per-frame accumulation order — the
+    image matches F=1 to FMA-placement ulps (the traced shape changes, so
+    XLA fuses differently; pipeline.render_chunk docstring) and the ray
+    counters match exactly (identical draw/termination schedule here)."""
+    ref = Renderer(RenderConfig(width=16, height=16, frames_per_chunk=8))
+    ref.load_scene(cornell_box())
+    a = ref.render(spp=8)
+    for fpt in (2, 4, 8):
+        r = Renderer(RenderConfig(width=16, height=16, frames_per_chunk=8,
+                                  frames_per_trace=fpt))
+        r.load_scene(cornell_box())
+        b = r.render(spp=8)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+        assert r.stats()["rays_total"] == ref.stats()["rays_total"]
+
+
+def test_frames_per_trace_gcd_tail():
+    """spp that a chunk's frames_per_trace does not divide must still
+    render exactly (the renderer clamps F per chunk with gcd)."""
+    ref = Renderer(RenderConfig(width=16, height=16, frames_per_chunk=4))
+    ref.load_scene(cornell_box())
+    a = ref.render(spp=6)  # chunks 4 + 2
+    r = Renderer(RenderConfig(width=16, height=16, frames_per_chunk=4,
+                              frames_per_trace=4))
+    r.load_scene(cornell_box())
+    b = r.render(spp=6)  # chunk 4 (F=4) + chunk 2 (F=gcd(4,2)=2)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    assert r.frame_index == 6

@@ -63,6 +63,13 @@ class RenderConfig:
     bounce_kernel: str = "auto"  # "auto" | "pallas" | "xla"
     brute_force_max_tris: int = 4096  # "auto" threshold (Pallas dense wins up to here)
     frames_per_chunk: int = 16
+    # Frames whose rays are batched into ONE trace call per scan step
+    # (pipeline.render_chunk): >1 packs F x width*height lanes per
+    # large-scene walk dispatch — denser sort buckets for bounce rays,
+    # fuller compacted tail blocks. Accumulation stays per-frame-ordered
+    # (bit-identical to 1 except the documented razor-tie class). The
+    # renderer clamps it per chunk with gcd so any spp works.
+    frames_per_trace: int = 1
     dtype: str = "float32"
 
     # Environment lighting EXTENSION (ops/env.py): None keeps reference
@@ -84,4 +91,5 @@ class RenderConfig:
         )
         assert self.bounce_kernel in ("auto", "pallas", "xla")
         assert self.mode in ("pt", "bvh_depth", "normal")
+        assert self.frames_per_trace >= 1
         return self

@@ -103,6 +103,7 @@ def make_trace_fn(scene, closest_hit, *, bounce_kernel: str, max_bounces: int,
         "leaf_size",
         "bounce_kernel",
         "slots_used",
+        "frames_per_trace",
     ),
     donate_argnames=("accum",),
 )
@@ -127,6 +128,7 @@ def render_chunk(
     leaf_size: int,
     bounce_kernel: str = "auto",
     slots_used: tuple = (True, True, True, True),
+    frames_per_trace: int = 1,
 ):
     """Accumulate ``n_frames`` 1-spp frames starting at ``frame_start``.
 
@@ -134,7 +136,22 @@ def render_chunk(
     order — see utils/tiling.py; un-permute with ``inverse_permutation``
     when reading the image out).
     Returns (accum, counters) with counters = int64 [closest, shadow] rays.
-    """
+
+    ``frames_per_trace`` (F > 1, must divide n_frames) batches F frames'
+    rays into ONE trace call of F*N lanes per scan step. The RNG draw
+    schedule and the per-frame accumulation ORDER are identical to F=1;
+    radiance differs only by (a) FMA-placement ulps — the traced shape
+    changes, so XLA fuses differently (the same class the interpret-mode
+    parity tests tolerate) — and (b) the documented razor-tie class in
+    the blocked large-scene intersectors (winner among <=1-ulp t ties
+    can depend on block composition; same class as occupancy compaction
+    / bucket reorder, ops/intersect.py). Default F=1 keeps the parity
+    path untouched. The wins are amortized per-call fixed cost and,
+    mainly, DENSER ray blocks for the large-scene walk: bounce rays from
+    F frames sort into the same direction/Morton buckets, and
+    low-occupancy tail bounces pack F x more alive rays per compacted
+    block. The reference fixes 1 spp per dispatch (renderer.ts:415-454);
+    this knob exists because TPU dispatches want big, batched work."""
     from wgpu_path_tracing_tpu.utils.tiling import tile_permutation
 
     x, y = CAM.pixel_grid(width, height, row_offset)
@@ -148,23 +165,44 @@ def render_chunk(
         slots_used=slots_used,
     )
 
+    fpt = int(frames_per_trace)
+    if fpt < 1 or n_frames % fpt != 0:
+        raise ValueError(
+            f"frames_per_trace={fpt} must be >= 1 and divide "
+            f"n_frames={n_frames}"
+        )
+    n = x.shape[0]
+
     def step(carry, k):
         accum, counters = carry
-        frame = frame_start + k
-        ro, rd, state = CAM.generate_rays(
-            cam, x, y, frame, use_dof=use_dof, rng_mode=rng_mode
-        )
+        base = frame_start + k * fpt
+        parts = [
+            CAM.generate_rays(
+                cam, x, y, base + jnp.int32(i), use_dof=use_dof,
+                rng_mode=rng_mode,
+            )
+            for i in range(fpt)
+        ]
+        if fpt == 1:
+            ro, rd, state = parts[0]
+        else:
+            ro = jnp.concatenate([p[0] for p in parts])
+            rd = jnp.concatenate([p[1] for p in parts])
+            state = jnp.concatenate([p[2] for p in parts])
         radiance, state, stats = trace_fn(ro, rd, state)
-        color = jnp.minimum(radiance, jnp.float32(firefly_clamp))  # pt.wgsl:751
         # Primary rays also count toward throughput metrics.
         counters = counters + jnp.stack([stats["closest"], stats["shadow"]])
-        # Running mean (pt.wgsl:753-761).
-        t = 1.0 / (frame.astype(jnp.float32) + 1.0)
-        accum = accum * (1.0 - t) + color * t
+        # Running mean (pt.wgsl:753-761), applied PER FRAME in order so
+        # the accumulator is bit-identical to unbatched frames.
+        for i in range(fpt):
+            color = jnp.minimum(radiance[i * n : (i + 1) * n],
+                                jnp.float32(firefly_clamp))  # pt.wgsl:751
+            t = 1.0 / ((base + jnp.int32(i)).astype(jnp.float32) + 1.0)
+            accum = accum * (1.0 - t) + color * t
         return (accum, counters), None
 
     counters0 = jnp.zeros((2,), jnp.int32)
     (accum, counters), _ = jax.lax.scan(
-        step, (accum, counters0), jnp.arange(n_frames, dtype=jnp.int32)
+        step, (accum, counters0), jnp.arange(n_frames // fpt, dtype=jnp.int32)
     )
     return accum, counters

@@ -24,6 +24,7 @@ see debug/modes.py.
 
 from __future__ import annotations
 
+import math
 import os
 import time
 
@@ -333,6 +334,10 @@ class Renderer:
                 task(0.0)
             chunk = min(cfg.frames_per_chunk, remaining)
             chunk_t0 = time.perf_counter()
+            # gcd keeps any tail chunk divisible; extra compile shapes only
+            # arise for spp not a multiple of frames_per_trace.
+            fpt = math.gcd(max(1, int(getattr(cfg, "frames_per_trace", 1))),
+                           chunk)
             common = dict(
                 n_frames=chunk,
                 width=cfg.width,
@@ -378,6 +383,7 @@ class Renderer:
                     self._accum,
                     jnp.int32(self.frame_index),
                     bounce_kernel=cfg.bounce_kernel,
+                    frames_per_trace=fpt,
                     **common,
                 )
             # Counters stay ON DEVICE until the render completes (a host
