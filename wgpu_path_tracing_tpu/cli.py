@@ -44,6 +44,7 @@ def _build_renderer(args):
         max_bounces=args.bounces,
         do_mis=not args.no_mis,
         frames_per_chunk=args.chunk,
+        frames_per_trace=getattr(args, "frames_per_trace", 1),
         mode=args.mode,
         rng=args.rng,
         intersector=args.intersector,
@@ -244,6 +245,10 @@ def main(argv=None) -> int:
                     help="disable NEE+MIS (pt.wgsl:636 DO_MIS)")
     pr.add_argument("--chunk", type=int, default=16,
                     help="samples per jit dispatch")
+    pr.add_argument("--frames-per-trace", type=int, default=1,
+                    dest="frames_per_trace",
+                    help="samples batched into one trace call (denser "
+                         "ray blocks for large scenes; see RenderConfig)")
     pr.add_argument("--mode", choices=("pt", "normal", "bvh_depth"), default="pt")
     pr.add_argument("--rng", choices=("reference", "hash"), default="reference")
     pr.add_argument("--intersector",
@@ -288,6 +293,9 @@ def main(argv=None) -> int:
     pv.add_argument("--no-mis", action="store_true")
     pv.add_argument("--chunk", type=int, default=4,
                     help="samples rendered per viewer tick")
+    pv.add_argument("--frames-per-trace", type=int, default=1,
+                    dest="frames_per_trace",
+                    help="samples batched into one trace call")
     pv.add_argument("--mode", choices=("pt",), default="pt")
     pv.add_argument("--rng", choices=("reference", "hash"), default="reference")
     pv.add_argument("--env-map", default=None, metavar="PATH")
