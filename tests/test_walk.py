@@ -277,3 +277,38 @@ def test_wide_bvh_degenerate_empty():
         bn=256,
     )
     assert np.all(np.asarray(i_w) == -1)
+
+
+def test_walk_width16_exact(scene):
+    """The experimental 16-ary interior collapse (build_wide_bvh(width=16),
+    NumPy-only; TODO.md 16-ary item) must stay exact vs brute through the
+    width-parameterized kernel — width is inferred from the order table
+    (8 octants x 16 columns), halving interior visits at 2x slab rows."""
+    sc = random_triangles(1500, seed=5)
+    tri = np.asarray(scene["tri_isect"])
+    wb = build_wide_bvh(sc.bvh_aabb_min, sc.bvh_aabb_max, sc.bvh_meta,
+                        tri, prefer_native=False, width=16)
+    assert wb.meta.shape[1] == 16
+    assert wb.order.shape[1] == 8 * 16
+    assert wb.boxes.shape == (wb.meta.shape[0] * 8 * 16, 8)
+    # Coverage: every global tri index appears exactly once in the slabs.
+    grows = group_rows(SUB)
+    idx_rows = wb.tris.reshape(-1, grows, 128)[:, 9, :]
+    got = np.sort(idx_rows[idx_rows >= 0].astype(np.int64))
+    np.testing.assert_array_equal(got, np.arange(tri.shape[0]))
+    ro, rd = _aimed_rays(tri, 512, seed=13)
+    t_b, i_b = closest_hit_brute(jnp.asarray(tri), ro, rd)
+    t_w, i_w = closest_hit_walk(
+        jnp.asarray(wb.order), jnp.asarray(wb.boxes), jnp.asarray(wb.tris),
+        ro, rd, num_tris=tri.shape[0], interpret=True, bn=256,
+    )
+    i_b, i_w, t_b, t_w = map(np.asarray, (i_b, i_w, t_b, t_w))
+    diff = i_b != i_w
+    np.testing.assert_array_equal(t_b[diff], t_w[diff])
+    np.testing.assert_array_equal(i_b >= 0, i_w >= 0)
+    hb = i_b >= 0
+    np.testing.assert_allclose(t_b[hb], t_w[hb], rtol=1e-4, atol=1e-5)
+    # 16-ary really is shallower/narrower on interiors.
+    wb8 = build_wide_bvh(sc.bvh_aabb_min, sc.bvh_aabb_max, sc.bvh_meta,
+                         tri, prefer_native=False)
+    assert wb.meta.shape[0] < wb8.meta.shape[0]

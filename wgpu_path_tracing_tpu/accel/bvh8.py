@@ -45,6 +45,7 @@ import dataclasses
 import numpy as np
 
 WIDTH = 8
+OCTANTS = 8  # per-ray-direction-sign slab replicas (always 8: 3 sign bits)
 LEAF_SLOTS = 128  # triangle slots per leaf group (one slab of lanes)
 SUB = 16  # sub-clusters per leaf group, the MT gating unit
 MAX_STACK = 512  # walk-kernel DFS stack entries (ops/walk.py scratch)
@@ -79,10 +80,11 @@ def _check_stack_depth(wmeta: np.ndarray) -> None:
     depth bounds the worst case. Fixpoint sweep: each pass propagates
     child depths one level (tree-depth passes, vectorized)."""
     nn = wmeta.shape[0]
-    kids = np.clip(wmeta, 0, None)  # (nn, 8); 0 is never a real child
+    width = wmeta.shape[1]
+    kids = np.clip(wmeta, 0, None)  # (nn, width); 0 is never a real child
     interior = wmeta > 0
     depth = np.ones(nn, np.int64)
-    max_need = MAX_STACK // (WIDTH - 1) + 2
+    max_need = MAX_STACK // (width - 1) + 2
     for _ in range(max_need + 1):
         kd = np.where(interior, depth[kids], 0).max(axis=1)
         new = np.maximum(depth, 1 + np.where(kd > 0, kd, 0))
@@ -90,7 +92,7 @@ def _check_stack_depth(wmeta: np.ndarray) -> None:
             break
         depth = new
     pops = pops_for_tree(nn)
-    need = pops * (int(depth[0]) * (WIDTH - 1) + WIDTH)
+    need = pops * (int(depth[0]) * (width - 1) + width)
     if need > MAX_STACK:
         raise WideBVHDepthError(
             f"wide-BVH depth {int(depth[0])} needs a {need}-entry DFS "
@@ -110,12 +112,13 @@ def group_rows(sub: int) -> int:
 
 @dataclasses.dataclass
 class WideBVH:
-    meta: np.ndarray  # (Nn, 8) int32
-    order: np.ndarray  # (Nn, 64) int32: per-octant ordered child metas
-    boxes: np.ndarray  # (Nn * 64, 8) f32: per-octant ordered child slabs
+    meta: np.ndarray  # (Nn, width) int32
+    order: np.ndarray  # (Nn, 8*width) int32: per-octant ordered child metas
+    boxes: np.ndarray  # (Nn * 8*width, 8) f32: per-octant ordered slabs
     tris: np.ndarray  # (Ng * group_rows, max(leaf_slots, 128)) f32
     leaf_slots: int = LEAF_SLOTS
     sub: int = SUB
+    width: int = WIDTH
 
     @property
     def num_nodes(self) -> int:
@@ -142,8 +145,14 @@ def build_wide_bvh(
     sub: int = SUB,
     prefer_native: bool = True,
     pack: str = "ffd",
+    width: int = WIDTH,
 ) -> WideBVH:
     """Collapse the binary BVH into the walk kernel's wide tables.
+
+    ``width`` is the interior fan-out (children per wide node): 8 is
+    production (the C++ twin implements it); 16 halves interior visits
+    at 2x the per-visit slab work and 2x the scalar pushes — NumPy-only
+    experimental path for on-chip A/Bs (TODO.md 16-ary item).
 
     ``tri_isect``: (T, 9) [v0, e1, e2] rows in BVH (DFS) triangle order —
     leaf groups copy them into lane-major slabs. Uses the native C++
@@ -163,7 +172,8 @@ def build_wide_bvh(
     # The C++ twin implements "none" and the production "ffd" (bit-identical
     # by tests/test_walk.py); "slice" (non-default, measured a wash) stays
     # NumPy-only.
-    if t > 0 and prefer_native and pack in ("none", "ffd"):
+    if (t > 0 and prefer_native and pack in ("none", "ffd")
+            and width == WIDTH):
         from wgpu_path_tracing_tpu.accel.native import (
             build_wide_native,
             native_available,
@@ -179,13 +189,13 @@ def build_wide_bvh(
                            leaf_slots=leaf_slots, sub=sub)
     if t == 0:
         # Degenerate: one node, all children empty.
-        m = np.zeros((1, WIDTH), np.int32)
-        b = np.full((WIDTH * WIDTH, WIDTH), np.nan, np.float32)
+        m = np.zeros((1, width), np.int32)
+        b = np.full((OCTANTS * width, 8), np.nan, np.float32)
         tris = np.zeros((grows, max(leaf_slots, 128)), np.float32)
         tris[9, :] = -1.0
-        order = np.zeros((1, WIDTH * WIDTH), np.int32)
+        order = np.zeros((1, OCTANTS * width), np.int32)
         return WideBVH(meta=m, order=order, boxes=b, tris=tris,
-                       leaf_slots=leaf_slots, sub=sub)
+                       leaf_slots=leaf_slots, sub=sub, width=width)
 
     lo, hi = _subtree_counts(meta)
     is_leaf = meta[:, 3] > 0
@@ -217,8 +227,8 @@ def build_wide_bvh(
         return -(gid + 1)
 
     def alloc_node() -> int:
-        wide_meta.append(np.zeros(WIDTH, np.int32))
-        wide_boxes.append(np.full((WIDTH, 6), np.nan, np.float32))
+        wide_meta.append(np.zeros(width, np.int32))
+        wide_boxes.append(np.full((width, 6), np.nan, np.float32))
         return len(wide_meta) - 1
 
     def _pack_bins(smalls: list[int]) -> list[list[int]]:
@@ -260,9 +270,9 @@ def build_wide_bvh(
                 for base in range(int(lo[b]), int(hi[b]), leaf_slots)
             ]
             slots: list[tuple[int, np.ndarray]] = []
-            for base, cnt in chunks[: WIDTH - 1]:
+            for base, cnt in chunks[: width - 1]:
                 slots.append((emit_group(base, cnt), _box_of(b)))
-            rest = chunks[WIDTH - 1 :]
+            rest = chunks[width - 1 :]
             if len(rest) == 1:
                 slots.append((emit_group(*rest[0]), _box_of(b)))
             elif rest:
@@ -298,7 +308,7 @@ def build_wide_bvh(
             trial = list(elems)
             i = trial.index(e)
             trial[i : i + 1] = [int(meta[e, 0]), int(meta[e, 1])]
-            if slot_demand(trial) > WIDTH:
+            if slot_demand(trial) > width:
                 break
             elems = trial
 
@@ -348,9 +358,9 @@ def build_wide_bvh(
     def build_chunks(chunks: list[tuple[int, int]], box_node: int) -> int:
         nid = alloc_node()
         slots = []
-        for base, cnt in chunks[: WIDTH - 1]:
+        for base, cnt in chunks[: width - 1]:
             slots.append((emit_group(base, cnt), _box_of(box_node)))
-        rest = chunks[WIDTH - 1 :]
+        rest = chunks[width - 1 :]
         if len(rest) == 1:
             slots.append((emit_group(*rest[0]), _box_of(box_node)))
         elif rest:
@@ -379,7 +389,7 @@ def build_wide_bvh(
         ).astype(np.float32)
 
     def _fill(nid: int, slots: list[tuple[int, np.ndarray]]) -> None:
-        assert len(slots) <= WIDTH
+        assert len(slots) <= width
         for c, (m, box) in enumerate(slots):
             wide_meta[nid][c] = m
             wide_boxes[nid][c] = box
@@ -395,13 +405,13 @@ def build_wide_bvh(
     assert root == 0
 
     nn = len(wide_meta)
-    meta_arr = np.stack(wide_meta).astype(np.int32)  # (Nn, 8)
-    boxes_arr = np.zeros((nn * WIDTH * WIDTH, WIDTH), np.float32)
-    order_arr = np.zeros((nn, WIDTH * WIDTH), np.int32)
+    meta_arr = np.stack(wide_meta).astype(np.int32)  # (Nn, width)
+    boxes_arr = np.zeros((nn * OCTANTS * width, 8), np.float32)
+    order_arr = np.zeros((nn, OCTANTS * width), np.int32)
     for n in range(nn):
-        wb = wide_boxes[n]  # (8, 6) child-major, NaN on empty slots
-        center = (wb[:, 0:3] + wb[:, 3:6]) * 0.5  # (8, 3); NaN on empties
-        for oct_ in range(WIDTH):
+        wb = wide_boxes[n]  # (width, 6) child-major, NaN on empty slots
+        center = (wb[:, 0:3] + wb[:, 3:6]) * 0.5  # NaN on empties
+        for oct_ in range(OCTANTS):
             sign = np.where(
                 [oct_ & 1, oct_ & 2, oct_ & 4], -1.0, 1.0
             )  # ray-direction signs for this octant
@@ -409,11 +419,11 @@ def build_wide_bvh(
             key = np.where(np.isnan(key), -np.inf, key)  # empties last
             # Push order far-to-near along the ray: descending center.sign.
             perm = np.argsort(-key, kind="stable")
-            order_arr[n, oct_ * WIDTH : (oct_ + 1) * WIDTH] = meta_arr[
+            order_arr[n, oct_ * width : (oct_ + 1) * width] = meta_arr[
                 n, perm
             ]
-            r0 = (n * WIDTH + oct_) * WIDTH
-            boxes_arr[r0 : r0 + WIDTH, 0:6] = wb[perm]
+            r0 = (n * OCTANTS + oct_) * width
+            boxes_arr[r0 : r0 + width, 0:6] = wb[perm]
 
     # Leaf slabs: lane width = max(leaf_slots, 128) (tiles stay full
     # 128-lane multiples; slots beyond gcnt pad with rejecting rows).
@@ -450,4 +460,4 @@ def build_wide_bvh(
 
     _check_stack_depth(meta_arr)
     return WideBVH(meta=meta_arr, order=order_arr, boxes=boxes_arr,
-                   tris=tris, leaf_slots=leaf_slots, sub=sub)
+                   tris=tris, leaf_slots=leaf_slots, sub=sub, width=width)

@@ -77,7 +77,8 @@ POPS = 2  # stack entries processed per while-loop iteration UNDER ONE
 
 def _walk_kernel(bn: int, max_stack: int, stats: bool,
                  leaf_slots: int = LEAF_SLOTS, sub: int = SUB,
-                 ways: int = 1, any_hit: bool = False, pops: int = POPS):
+                 ways: int = 1, any_hit: bool = False, pops: int = POPS,
+                 width: int = WIDTH):
     sub_w = leaf_slots // sub
     grows = group_rows(sub)
 
@@ -150,11 +151,11 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                 b0.astype(jnp.int32)
                 + 2 * b1.astype(jnp.int32)
                 + 4 * b2.astype(jnp.int32)
-            ) * WIDTH
+            ) * width
             stack[w, 0] = jnp.int32(0)
             stack_tq[w, 0] = jnp.int32(0)
-            y.oc = oct_s[w] // WIDTH  # octant (hoisted out of the walk)
-            y.oc8 = oct_s[w]  # octant * WIDTH (ordered-meta row base)
+            y.oc = oct_s[w] // width  # octant (hoisted out of the walk)
+            y.oc8 = oct_s[w]  # octant * width (ordered-meta row base)
 
         def entry_tn(y, slab):
             # slab: (rows, 8) child-major bounds rows [min3|max3]; returns
@@ -223,20 +224,21 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
             # showed packed work needs to amortize.
             for w, y in enumerate(wv):
                 for k, e in enumerate(y.ent):
-                    o = k * 8
+                    o = k * width
+                    om = o + width // 2  # entered-bitmask SMEM slot
 
                     @pl.when(e.is_interior)
-                    def _interior(w=w, y=y, e=e, o=o):
+                    def _interior(w=w, y=y, e=e, o=o, om=om):
                         # Octant-ordered slab: row k = k-th child in push
-                        # order.
+                        # order. Node stride is OCTANTS(8) x width rows.
                         slab = box_ref[
-                            pl.ds((e.safe_nid * WIDTH + y.oc) * WIDTH, 8), :
+                            pl.ds((e.safe_nid * 8 + y.oc) * width, width), :
                         ]
-                        tn = entry_tn(y, slab)  # (8, 1), push order
+                        tn = entry_tn(y, slab)  # (width, 1), push order
                         kcol = jax.lax.broadcasted_iota(
-                            jnp.int32, (WIDTH, 1), 0
+                            jnp.int32, (width, 1), 0
                         )
-                        pk[w, o + 4] = jnp.sum(
+                        pk[w, om] = jnp.sum(
                             jnp.where(tn < INF, jnp.int32(1) << kcol, 0)
                         )
                         q = (
@@ -246,21 +248,13 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                             >> 16
                         )  # round-down 16-bit keys (q <= tn in key order)
                         val = jnp.where(kcol % 2 == 0, q, q << 16)
-                        pk[w, o + 0] = jnp.sum(
-                            jnp.where(kcol // 2 == 0, val, 0)
-                        )
-                        pk[w, o + 1] = jnp.sum(
-                            jnp.where(kcol // 2 == 1, val, 0)
-                        )
-                        pk[w, o + 2] = jnp.sum(
-                            jnp.where(kcol // 2 == 2, val, 0)
-                        )
-                        pk[w, o + 3] = jnp.sum(
-                            jnp.where(kcol // 2 == 3, val, 0)
-                        )
+                        for wd in range(width // 2):
+                            pk[w, o + wd] = jnp.sum(
+                                jnp.where(kcol // 2 == wd, val, 0)
+                            )
 
                     @pl.when(e.is_leaf)
-                    def _leaf(w=w, y=y, e=e, o=o):
+                    def _leaf(w=w, y=y, e=e, om=om):
                         g = -e.node - 1
                         r0 = g * grows
                         # Sub-cluster boxes: rows 16..16+sub (8-aligned),
@@ -270,7 +264,7 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                         ccol = jax.lax.broadcasted_iota(
                             jnp.int32, (sub, 1), 0
                         )
-                        pk[w, o + 4] = jnp.sum(
+                        pk[w, om] = jnp.sum(
                             jnp.where(sub_tn < INF, jnp.int32(1) << ccol, 0)
                         )
 
@@ -283,7 +277,7 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
             for w, y in enumerate(wv):
                 any_mt = None
                 for k, e in enumerate(y.ent):
-                    e.msk = pk[w, k * 8 + 4]
+                    e.msk = pk[w, k * width + width // 2]
                 for k, e in enumerate(y.ent):
                     msk = e.msk
                     for c in range(sub):
@@ -380,9 +374,9 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                 for k in reversed(range(pops)):
                     e = y.ent[k]
                     msk = e.msk
-                    for j in range(WIDTH):
-                        tq_c = (pk[w, k * 8 + j // 2] >> (16 * (j % 2))) \
-                            & 0xFFFF
+                    for j in range(width):
+                        tq_c = (pk[w, k * width + j // 2]
+                                >> (16 * (j % 2))) & 0xFFFF
                         m = ord_ref[e.safe_nid, y.oc8 + j]
                         do_push = (
                             e.is_interior
@@ -469,6 +463,10 @@ def closest_hit_walk(
     t is SOME hit below the lane's limit (not necessarily the closest) —
     occluded lanes stop traversing immediately.
     """
+    # Interior fan-out, inferred from the order table: 8 columns per
+    # octant at width=8 (production), 16 at the experimental 16-ary
+    # collapse (accel/bvh8.py build_wide_bvh(width=16)).
+    width = walk_order.shape[1] // 8
     if ro.shape[0] == 3 and ro.shape[1] != 3:
         ro3, rd3 = ro, rd
     else:
@@ -526,9 +524,9 @@ def closest_hit_walk(
             pltpu.VMEM((1, step), jnp.float32),  # best_t
             pltpu.VMEM((1, step), jnp.int32),  # best_i
             pltpu.VMEM((1, step), jnp.float32),  # limcur = min(best_t, lim0)
-            pltpu.SMEM((ways,), jnp.int32),  # octant * WIDTH per way
-            # packed child keys + mask, 8 words per popped entry
-            pltpu.SMEM((ways, pops * 8), jnp.int32),
+            pltpu.SMEM((ways,), jnp.int32),  # octant * width per way
+            # packed child keys + mask, ``width`` words per popped entry
+            pltpu.SMEM((ways, pops * width), jnp.int32),
             pltpu.SMEM((ways,), jnp.int32),  # worst live limit, 16-bit key
             pltpu.SMEM((ways, MAX_STACK), jnp.int32),  # DFS stacks
             pltpu.SMEM((ways, MAX_STACK), jnp.int32),  # entry keys at push
@@ -536,7 +534,7 @@ def closest_hit_walk(
     )
     outs = pl.pallas_call(
         _walk_kernel(bn, MAX_STACK, stats, leaf_slots, sub, ways, any_hit,
-                     pops),
+                     pops, width),
         grid_spec=grid_spec,
         # The scene tables are deliberately VMEM-resident (loaded once,
         # reused every grid step); v5e has 128 MiB of VMEM, well above the
