@@ -151,7 +151,12 @@ def main():
     if "4" in sel:
         glb = "/root/reference/public/models/glass_box.glb"
         if os.path.exists(glb):
-            r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=32))
+            # frames_per_trace=4 measured same-process: F=1 6.21 / F=4 6.91
+            # / F=8 6.82 Mrays/s (walk-bound config; the dense-path
+            # headline measured F>1 strictly WORSE — 262.6/234.8/219.2 at
+            # F=1/2/4 — so only the walk configs batch frames).
+            r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=32,
+                                      frames_per_trace=4))
             r.load_model(glb)
             r.camera.aperture = 0.05  # real depth of field
             mrays, wall, rays = _bench_renderer(r, spp=32)
@@ -159,7 +164,12 @@ def main():
                   {"device": dev, "env_lighting": "waived (parity: miss->black)"})
 
     if "5" in sel:
-        r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=8))
+        # frames_per_trace=8: all 8 frames' rays ride ONE walk call per
+        # scan step (2M lanes) — denser sort buckets + fuller compacted
+        # tail blocks. Measured same-process A/B (round 3): F=1 1.282 /
+        # F=4 1.446 / F=8 1.466 Mrays/s, images bit-identical.
+        r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=8,
+                                  frames_per_trace=8))
         r.load_scene(cornell_box(tessellation=55))  # 102,850 tris
         mrays, wall, rays = _bench_renderer(r, spp=8, warmup_spp=8)
         _emit("large-100k", mrays, wall, rays, 8,
