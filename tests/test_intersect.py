@@ -108,7 +108,7 @@ def test_tail_compaction_machinery_exact():
     no-op on results: wrapping a deterministic per-lane intersector
     (brute) gives bit-identical t/idx at any occupancy, dead lanes stay
     (inf, -1), and the full branch is taken when the live count exceeds
-    n/COMPACT_DIV."""
+    every COMPACT_DIVS tier."""
     import jax.numpy as jnp
 
     from wgpu_path_tracing_tpu.models.procedural import random_triangles
@@ -155,6 +155,53 @@ def test_tail_compaction_machinery_exact():
     t_ref, i_ref = inner(ro3, rd3, active=active, t_max=t_max, any_hit=True)
     np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_w))
     np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_w))
+
+
+def test_deep_compaction_tiers_exact(monkeypatch):
+    """The n/32 and n/128 tiers (built for frames_per_trace-batched
+    million-lane calls) must be bit-exact too. COMPACT_TIER_MIN_LANES is
+    lowered so the deep tiers engage at a CPU-testable lane count; every
+    occupancy lands in a different ladder branch."""
+    import jax.numpy as jnp
+
+    from wgpu_path_tracing_tpu.models.procedural import random_triangles
+    from wgpu_path_tracing_tpu.ops import intersect as I
+
+    monkeypatch.setattr(I, "COMPACT_TIER_MIN_LANES", 128)
+    sc = random_triangles(150, seed=11)
+    tri = np.zeros((150, 9), np.float32)
+    tri[:, 0:3] = sc.tri_v0
+    tri[:, 3:6] = sc.tri_v1 - sc.tri_v0
+    tri[:, 6:9] = sc.tri_v2 - sc.tri_v0
+    tri = jnp.asarray(tri)
+    root = np.concatenate([sc.bvh_aabb_min[0], sc.bvh_aabb_max[0]])
+
+    n = I.COMPACT_MIN_LANES
+    rng = np.random.default_rng(5)
+    cent = np.asarray(tri[:, 0:3] + (tri[:, 3:6] + tri[:, 6:9]) / 3.0)
+    tgt = cent[rng.integers(0, 150, n)]
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ro3 = jnp.asarray((tgt - d * 14).T, jnp.float32)
+    rd3 = jnp.asarray(d.T, jnp.float32)
+
+    def inner(ro3, rd3, active=None, t_max=None, any_hit=False):
+        t, idx = I.closest_hit_brute(tri, ro3.T, rd3.T)
+        if active is not None:
+            t = jnp.where(active, t, jnp.inf)
+            idx = jnp.where(active, idx, -1)
+        return t, idx
+
+    wrapped = I._with_tail_compaction(inner, jnp.asarray(root, jnp.float32))
+    # n/128 tier (<0.78%), n/32 (<3.1%), n/8, n/2, full
+    for occupancy in (0.004, 0.02, 0.08, 0.4, 0.8):
+        active = jnp.asarray(rng.random(n) < occupancy)
+        t_ref, i_ref = inner(ro3, rd3, active=active)
+        for reorder in (None, True):
+            kw = {} if reorder is None else {"reorder": jnp.asarray(True)}
+            t_w, i_w = wrapped(ro3, rd3, active=active, **kw)
+            np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_w))
+            np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_w))
 
 
 def test_bucket_reorder_machinery_exact():

@@ -316,11 +316,15 @@ REORDER_POS_BITS = 2  # bucket-reorder key: direction octant (3 bits) +
 REORDER_MIN_NODES = 128  # wide-node count below which the bucket
 # reorder is a net loss (glass_box: 48 nodes, sort cost > union win)
 
-COMPACT_DIV = 8  # tail compaction engages when <= n/COMPACT_DIV lanes are
-# alive. Measured (round 3, 103k Cornell, 262k lanes at 5% occupancy, one
-# process): full walk 147.8 ms/call vs compacted 30.5 ms (machinery —
-# nonzero + 2 gathers + 2 scatters — is 5.5 ms of that). Tail bounces at
-# 1-7% occupancy were ~1.1 s of the 3.5 s/spp on large-100k (TODO.md).
+COMPACT_DIVS = (2, 8, 32, 128)  # geometric tier ladder: pack the alive
+# rays into the smallest n/div lane set that holds them. Measured (round
+# 3, 103k Cornell, 262k lanes at 5% occupancy, one process): full walk
+# 147.8 ms/call vs n/8-compacted 30.5 ms (machinery — nonzero + 2
+# gathers + 2 scatters — is 5.5 ms of that). The deep tiers (n/32,
+# n/128) exist for frames_per_trace-batched calls (1-2M lanes), whose
+# late Russian-roulette bounces run below 1% occupancy yet still filled
+# a quarter of the n/8 tier's blocks.
+COMPACT_TIER_MIN_LANES = 2048  # one walk block; skip tiers smaller than this
 COMPACT_MIN_LANES = 16384  # below this the full call is already cheap
 
 
@@ -385,9 +389,9 @@ def _with_tail_compaction(inner, root_box, use_reorder=True):
     Late bounces run at 1-7% occupancy (Russian roulette + misses), but a
     block-walk intersector pays per-BLOCK costs: every 2048-lane block with
     even one alive ray walks its whole block union. Packing the alive rays
-    into the first K = n/COMPACT_DIV lanes cuts the visited blocks by the
-    occupancy factor. The branch is a ``lax.cond`` on the live count —
-    both sides compile once, the device executes one.
+    into the smallest n/div lane set that holds them (COMPACT_DIVS tier
+    ladder) cuts the visited blocks by the occupancy factor. Each branch
+    of the ``lax.cond`` ladder compiles once; the device executes one.
 
     Winner selection on razor-edge near-ties (two triangles within ~1 ulp
     of t along a shared edge) is visit-order-dependent in the walk EITHER
@@ -457,17 +461,18 @@ def _with_tail_compaction(inner, root_box, use_reorder=True):
             )
 
         cnt = jnp.sum(active.astype(jnp.int32))
-        # Two tiers: the sparse tail (<= n/8, late bounces at 1-12% —
-        # the 4.8x measured win) and a mid tier (<= n/2, the Russian-
-        # roulette band) that still halves the visited blocks.
-        return jax.lax.cond(
-            cnt <= n // COMPACT_DIV,
-            compacted(n // COMPACT_DIV),
-            lambda _: jax.lax.cond(
-                cnt <= n // 2, compacted(n // 2), full, None
-            ),
-            None,
-        )
+        # Geometric tier ladder (COMPACT_DIVS): nested lax.conds checking
+        # the deepest tier first; each tier compiles the inner walk once
+        # at its lane count, the device executes exactly one branch.
+        out = full
+        for div in sorted(set(COMPACT_DIVS)):  # shallowest first
+            k = n // div
+            if k < COMPACT_TIER_MIN_LANES:
+                continue
+            prev = out
+            out = (lambda k=k, prev=prev: lambda _: jax.lax.cond(
+                cnt <= k, compacted(k), prev, None))()
+        return out(None)
 
     return wrapped
 
