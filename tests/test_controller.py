@@ -177,6 +177,12 @@ def test_http_viewer_scene_swap():
         server.step(1 / 60)  # render tick installs the staged scene
         assert r.scene.num_triangles == 40  # transform.glb
         # bytes-based swap (the browser drop handler posts the file body)
+        import glob
+        import os as OS
+        import tempfile
+        tmp_glbs_before = set(
+            glob.glob(OS.path.join(tempfile.gettempdir(), "*.glb"))
+        )
         with open(f"{MODELS}/transform.glb", "rb") as f:
             body = f.read()
         req = urllib.request.Request(f"{base}/load", data=body, method="POST")
@@ -188,6 +194,17 @@ def test_http_viewer_scene_swap():
         server.step(1 / 60)
         assert r.scene.num_triangles == 40
         assert n_cornell != 40  # the swap actually changed the scene
+        # The upload's temp copy is unlinked once the load settles (the
+        # done-callback may lag the staging by a beat — poll briefly).
+        t0 = T.perf_counter()
+        while T.perf_counter() - t0 < deadline:
+            leaked = set(
+                glob.glob(OS.path.join(tempfile.gettempdir(), "*.glb"))
+            ) - tmp_glbs_before
+            if not leaked:
+                break
+            T.sleep(0.05)
+        assert not leaked, f"upload temp files not cleaned up: {leaked}"
         # bad request: neither path nor body
         req = urllib.request.Request(f"{base}/load", method="POST")
         try:

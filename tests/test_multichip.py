@@ -77,6 +77,33 @@ def test_sharded_matches_single_chip(setup, mesh_shape):
     np.testing.assert_array_equal(np.asarray(counters), ref_counters)
 
 
+def test_sharded_frames_per_trace(setup):
+    """frames_per_trace on the sharded path: batching F local frames into
+    one trace call keeps the RNG schedule, so the image matches F=1 up to
+    the documented FMA-placement ulps (traced shapes differ) and the ray
+    counters match exactly (full-weight chunk)."""
+    scene, dev, cam, kwargs, ref_rm, ref_counters = setup
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    mesh = SH.make_mesh(jax.devices()[:4], sample_shards=2)
+    scene_rep = SH.replicate_scene(dev, mesh)
+
+    outs = {}
+    for fpt in (1, 2):
+        accum = SH.shard_accum(
+            jnp.zeros((WIDTH * HEIGHT, 3), jnp.float32), mesh
+        )
+        out, counters = SH.render_chunk_sharded(
+            scene_rep, cam, accum, jnp.int32(0), mesh=mesh,
+            frames_per_trace=fpt, **kwargs
+        )
+        outs[fpt] = SH.untile_image(
+            SH.gather_image(out), WIDTH, HEIGHT, mesh.shape["row"]
+        )
+        np.testing.assert_array_equal(np.asarray(counters), ref_counters)
+    np.testing.assert_allclose(outs[2], outs[1], rtol=1e-4, atol=1e-5)
+
+
 def test_renderer_multichip_surface():
     """Renderer(devices=...) end-to-end: multi-chip render equals
     single-chip render through the public API."""

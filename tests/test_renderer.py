@@ -221,11 +221,20 @@ def test_render_sync_false_defers_counters():
     r.render(spp=4, fetch=False)
     base = r.stats()["rays_total"]
     for _ in range(3):
-        r.render(spp=4, fetch=False, sync=False)
+        # sync=False implies no fetch (docstring) even with the default
+        # fetch=True — the call must return None, not silently sync on
+        # the image pull.
+        assert r.render(spp=4, sync=False) is None
     assert r._deferred_counters  # counters actually deferred
-    total = r.stats()["rays_total"]
+    dispatch_secs = r._last_render_seconds  # dispatch-only, provisional
+    st = r.stats()
+    total = st["rays_total"]
     assert not r._deferred_counters
     assert total > base
+    # stats() must NOT divide the full deferred ray count by the
+    # dispatch-only wall: the sync replaces last_render_seconds with the
+    # first-dispatch -> counter-pull span, which covers all three calls.
+    assert st["last_render_seconds"] >= dispatch_secs
     img_a = r.image()
 
     r2 = Renderer(RenderConfig(width=16, height=16, frames_per_chunk=4))

@@ -224,6 +224,44 @@ def test_wide_native_matches_python(pack):
         )
 
 
+@pytest.mark.parametrize("pack", ["none", "ffd"])
+def test_wide_native_oversized_before_small(pack):
+    """Emission-order parity when an OVERSIZED elem precedes a small one
+    in the expansion list: the C++ twin emits groups and child recursions
+    in one interleaved pass over elems (pack=0), and group/node ids are
+    allocation-order, so a smalls-first Python pass renumbers everything.
+    Minimal trigger (first seen on a 50k random_triangles scene): a root
+    whose LEFT child is an oversized leaf (chunked via a chained node)
+    and whose RIGHT child is a small leaf."""
+    from wgpu_path_tracing_tpu.accel.native import native_available
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    # meta rows: [left, right, tri_offset, tri_count]; leaf = count > 0.
+    meta = np.array(
+        [[1, 2, 0, 0],        # root (interior)
+         [-1, -1, 0, 200],    # oversized leaf: 200 > LEAF_SLOTS=128
+         [-1, -1, 200, 10]],  # small leaf
+        np.int32,
+    )
+    amin = np.array([[0, 0, 0], [0, 0, 0], [2, 2, 2]], np.float32)
+    amax = np.array([[3, 3, 3], [1, 1, 1], [3, 3, 3]], np.float32)
+    rng = np.random.default_rng(3)
+    tri = rng.normal(size=(210, 9)).astype(np.float32)
+    py = build_wide_bvh(amin, amax, meta, tri, prefer_native=False,
+                        pack=pack)
+    nat = build_wide_bvh(amin, amax, meta, tri, prefer_native=True,
+                         pack=pack)
+    np.testing.assert_array_equal(py.meta, nat.meta)
+    np.testing.assert_array_equal(py.order, nat.order)
+    np.testing.assert_array_equal(
+        py.boxes.view(np.uint32), nat.boxes.view(np.uint32)
+    )
+    np.testing.assert_array_equal(
+        py.tris.view(np.uint32), nat.tris.view(np.uint32)
+    )
+
+
 def test_stack_depth_guard(monkeypatch):
     """A wide tree deeper than the kernel's DFS stack bound must be
     rejected by the builder (the count-ratio SAH always produces balanced

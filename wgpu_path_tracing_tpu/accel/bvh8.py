@@ -97,8 +97,9 @@ def _check_stack_depth(wmeta: np.ndarray) -> None:
         raise WideBVHDepthError(
             f"wide-BVH depth {int(depth[0])} needs a {need}-entry DFS "
             f"stack > MAX_STACK={MAX_STACK} at pops={pops}; this tree "
-            "is pathologically deep (degenerate SAH spine) — rebuild with "
-            "larger leaves"
+            "is pathologically deep (degenerate SAH spine) — "
+            "pack_device_scene catches this and falls back to the pair "
+            "dispatch (ops/pairs.py)"
         )
 
 
@@ -347,8 +348,21 @@ def build_wide_bvh(
                 else:
                     slots.append((emit_group_multi(members), box))
         else:
-            for e in smalls:
-                slots.append((emit_group(int(lo[e]), count(e)), _box_of(e)))
+            # pack="none": one subtree per slot, INTERLEAVED in elems
+            # order — the C++ twin's pack=0 branch emits groups and
+            # recursions in a single pass over elems, and group/node ids
+            # are allocation-order, so a smalls-first pass here would
+            # renumber both whenever an oversized elem precedes a small
+            # one (first seen on a 50k-tri scene; bit-identity test).
+            for e in elems:
+                if count(e) <= leaf_slots:
+                    slots.append(
+                        (emit_group(int(lo[e]), count(e)), _box_of(e))
+                    )
+                else:
+                    slots.append((build(e), _box_of(e)))
+            _fill(nid, slots)
+            return nid
         for e in elems:
             if count(e) > leaf_slots:
                 slots.append((build(e), _box_of(e)))

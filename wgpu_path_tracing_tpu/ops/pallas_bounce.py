@@ -94,6 +94,18 @@ def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK):
     # lax.cond — a skipped chunk contributes exactly the +0.0 its all-zero
     # one-hot rows would have (bit-identical, verified on-chip; glass
     # 8.71 -> 8.34 s same-process).
+    if n_chunks > 32:
+        # The touch word is one int32 (bit 31 = the sign bit still works;
+        # a shift count >= 32 does not). At the current caps
+        # (MAX_VMEM_TRIS=16384, UNTILED_ATLAS_TEXELS=128^2, chunk=512)
+        # n_chunks is at most exactly 32 — raising either cap past a
+        # 16384-row table needs a wider touch mask here first, or chunks
+        # >= 32 would be silently skipped (zero rows, wrong radiance).
+        raise ValueError(
+            f"_select_rows: {n_chunks} chunks exceed the 32-bit touch "
+            "mask; widen the gating mask before raising MAX_VMEM_TRIS / "
+            "UNTILED_ATLAS_TEXELS"
+        )
     cidx = idx2 // chunk
     touch = jnp.int32(0)
     for c in range(n_chunks):

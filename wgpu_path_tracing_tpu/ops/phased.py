@@ -53,8 +53,12 @@ from wgpu_path_tracing_tpu.accel.bvh8 import (
     SUB,
     group_rows,
 )
+# The ONE definition of the slab/MT intersection math, shared with the
+# walk kernel — the exactness equivalence (walk == phased == brute, by
+# test) is load-bearing for kernel selection, so an edit there changes
+# both kernels together.
+from wgpu_path_tracing_tpu.ops.walk import mt_subcluster, slab_entry
 
-EPSILON = 1e-6
 INF = np.float32(np.inf)
 
 BN = 2048  # rays per block (lane axis), same default as the walk
@@ -89,27 +93,7 @@ def _phased_kernel(bn: int, ng_pad: int, grows: int, sub: int, sub_w: int,
         # phase 2's first pk read.
         for c in range(n_chunks):
             slab = sb_ref[c * 32:(c + 1) * 32, :]  # (32, 8) static slice
-            mnx = slab[:, 0:1]
-            mny = slab[:, 1:2]
-            mnz = slab[:, 2:3]
-            mxx = slab[:, 3:4]
-            mxy = slab[:, 4:5]
-            mxz = slab[:, 5:6]
-            t1x = (mnx - ox) * ix
-            t2x = (mxx - ox) * ix
-            t1y = (mny - oy) * iy
-            t2y = (mxy - oy) * iy
-            t1z = (mnz - oz) * iz
-            t2z = (mxz - oz) * iz
-            tn = jnp.maximum(
-                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-                jnp.minimum(t1z, t2z),
-            )
-            tf = jnp.minimum(
-                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-                jnp.maximum(t1z, t2z),
-            )
-            enter = (tf >= tn) & (tf >= 0.0) & (tn <= lim)  # (32, bn)
+            _, enter = slab_entry(slab, ox, oy, oz, ix, iy, iz, lim)
             hit_row = jnp.max(
                 jnp.where(enter, jnp.float32(1.0), jnp.float32(0.0)),
                 axis=1,
@@ -133,46 +117,9 @@ def _phased_kernel(bn: int, ng_pad: int, grows: int, sub: int, sub_w: int,
                     @pl.when(((bits >> c) & 1) != 0)
                     def _mt(c=c, r0=r0):
                         lo, hi = c * sub_w, (c + 1) * sub_w
-                        slab = tri_ref[pl.ds(r0, 10), lo:hi]
-                        tr = jnp.swapaxes(slab, 0, 1)  # (sub_w, 10)
-                        v0x = tr[:, 0:1]
-                        v0y = tr[:, 1:2]
-                        v0z = tr[:, 2:3]
-                        e1x = tr[:, 3:4]
-                        e1y = tr[:, 4:5]
-                        e1z = tr[:, 5:6]
-                        e2x = tr[:, 6:7]
-                        e2y = tr[:, 7:8]
-                        e2z = tr[:, 8:9]
-                        gidx = tr[:, 9:10]
-
-                        hx = dy * e2z - dz * e2y
-                        hy = dz * e2x - dx * e2z
-                        hz = dx * e2y - dy * e2x
-                        a = e1x * hx + e1y * hy + e1z * hz
-                        fInv = 1.0 / a
-                        sx = ox - v0x
-                        sy = oy - v0y
-                        sz = oz - v0z
-                        u = fInv * (sx * hx + sy * hy + sz * hz)
-                        qx = sy * e1z - sz * e1y
-                        qy = sz * e1x - sx * e1z
-                        qz = sx * e1y - sy * e1x
-                        v = fInv * (dx * qx + dy * qy + dz * qz)
-                        tt = fInv * (e2x * qx + e2y * qy + e2z * qz)
-                        valid = (
-                            (jnp.abs(a) >= EPSILON)
-                            & (u >= 0.0)
-                            & (u <= 1.0)
-                            & (v >= 0.0)
-                            & (u + v <= 1.0)
-                            & (tt > EPSILON)
-                            & (gidx >= 0.0)
+                        min_t, min_idx = mt_subcluster(
+                            tri_ref, r0, lo, hi, ox, oy, oz, dx, dy, dz
                         )
-                        t_masked = jnp.where(valid, tt, INF)
-                        min_t = jnp.min(t_masked, axis=0, keepdims=True)
-                        idx_m = jnp.where(t_masked == min_t, gidx, INF)
-                        min_idx = jnp.min(idx_m, axis=0, keepdims=True)
                         cur = t_out[...]
                         better = min_t < cur
                         t_out[...] = jnp.where(better, min_t, cur)

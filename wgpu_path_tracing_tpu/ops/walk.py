@@ -72,7 +72,92 @@ POPS = 2  # stack entries processed per while-loop iteration UNDER ONE
 # 84.9 at pops=1), within noise on the 356-node 103k tree; pops>=4
 # REJECTED on both (2x slower — the longer serialized body eats the
 # fused-sync win). Production selection is per scene via
-# accel.bvh8.pops_for_tree (deep trees run pops=1).
+# accel.bvh8.pops_for_tree (unconditionally 2; a tree too deep for the
+# pops=2 stack bound has its walk tables omitted at build time and auto
+# selection falls back to the pair dispatch — models/types.py).
+
+
+def slab_entry(slab, ox, oy, oz, ix, iy, iz, lim):
+    """Shared slab (AABB) entry test over bounds rows — the one
+    intersection-math definition for the walk AND phased kernels (their
+    exactness equivalence is load-bearing for kernel selection, so an
+    edit here changes both together). slab: (rows, 8) child/sub-cluster
+    bounds rows [min3|max3|pad2]; o/i*: (1, bn) ray origins and NaN-safe
+    reciprocal directions; lim: (1, bn) per-lane t limit. Returns
+    (tn (rows, bn) entry distances, enter (rows, bn) bool)."""
+    mnx = slab[:, 0:1]
+    mny = slab[:, 1:2]
+    mnz = slab[:, 2:3]
+    mxx = slab[:, 3:4]
+    mxy = slab[:, 4:5]
+    mxz = slab[:, 5:6]
+    t1x = (mnx - ox) * ix
+    t2x = (mxx - ox) * ix
+    t1y = (mny - oy) * iy
+    t2y = (mxy - oy) * iy
+    t1z = (mnz - oz) * iz
+    t2z = (mxz - oz) * iz
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.minimum(t1z, t2z),
+    )
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z),
+    )
+    enter = (tf >= tn) & (tf >= 0.0) & (tn <= lim)
+    return tn, enter
+
+
+def mt_subcluster(tri_ref, r0, lo, hi, ox, oy, oz, dx, dy, dz):
+    """Shared Moller-Trumbore over one sub-cluster lane slice of a leaf
+    slab (pt.wgsl:176-204 semantics; the one MT definition for the walk
+    AND phased kernels — see slab_entry). tri_ref rows r0..r0+9 hold
+    [v0, e1, e2, global-index] on lanes; lanes [lo, hi) are the
+    sub-cluster. Returns (min_t (1, bn), min_idx_f (1, bn)) — the
+    winning t (INF = miss) and its f32 global triangle index (INF on
+    miss; ties break to the smallest index, matching brute)."""
+    slab = tri_ref[pl.ds(r0, 10), lo:hi]
+    tr = jnp.swapaxes(slab, 0, 1)  # (sub_w, 10)
+    v0x = tr[:, 0:1]
+    v0y = tr[:, 1:2]
+    v0z = tr[:, 2:3]
+    e1x = tr[:, 3:4]
+    e1y = tr[:, 4:5]
+    e1z = tr[:, 5:6]
+    e2x = tr[:, 6:7]
+    e2y = tr[:, 7:8]
+    e2z = tr[:, 8:9]
+    gidx = tr[:, 9:10]
+
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    fInv = 1.0 / a
+    sx = ox - v0x
+    sy = oy - v0y
+    sz = oz - v0z
+    u = fInv * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = fInv * (dx * qx + dy * qy + dz * qz)
+    tt = fInv * (e2x * qx + e2y * qy + e2z * qz)
+    valid = (
+        (jnp.abs(a) >= EPSILON)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (tt > EPSILON)
+        & (gidx >= 0.0)
+    )
+    t_masked = jnp.where(valid, tt, INF)
+    min_t = jnp.min(t_masked, axis=0, keepdims=True)
+    idx_m = jnp.where(t_masked == min_t, gidx, INF)
+    min_idx = jnp.min(idx_m, axis=0, keepdims=True)
+    return min_t, min_idx
 
 
 def _walk_kernel(bn: int, max_stack: int, stats: bool,
@@ -160,27 +245,12 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
         def entry_tn(y, slab):
             # slab: (rows, 8) child-major bounds rows [min3|max3]; returns
             # (rows, 1) block-min entry distance (inf = no ray enters).
-            mnx = slab[:, 0:1]
-            mny = slab[:, 1:2]
-            mnz = slab[:, 2:3]
-            mxx = slab[:, 3:4]
-            mxy = slab[:, 4:5]
-            mxz = slab[:, 5:6]
-            t1x = (mnx - y.ox) * y.ix
-            t2x = (mxx - y.ox) * y.ix
-            t1y = (mny - y.oy) * y.iy
-            t2y = (mxy - y.oy) * y.iy
-            t1z = (mnz - y.oz) * y.iz
-            t2z = (mxz - y.oz) * y.iz
-            tn = jnp.maximum(
-                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-                jnp.minimum(t1z, t2z),
+            # Math shared with the phased kernel via module-level
+            # slab_entry — their exactness equivalence is load-bearing.
+            tn, enter = slab_entry(
+                slab, y.ox, y.oy, y.oz, y.ix, y.iy, y.iz,
+                limcur[0:1, y.s],
             )
-            tf = jnp.minimum(
-                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-                jnp.maximum(t1z, t2z),
-            )
-            enter = (tf >= tn) & (tf >= 0.0) & (tn <= limcur[0:1, y.s])
             return jnp.min(
                 jnp.where(enter, tn, INF), axis=1, keepdims=True
             )
@@ -286,49 +356,16 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
 
                         @pl.when(hit_sub)
                         def _mt(c=c, w=w, y=y, e=e):
+                            # MT math shared with the phased kernel via
+                            # module-level mt_subcluster (exactness
+                            # equivalence is load-bearing).
                             g = -e.node - 1
                             r0 = g * grows
                             lo, hi = c * sub_w, (c + 1) * sub_w
-                            slab = tri_ref[pl.ds(r0, 10), lo:hi]
-                            tr = jnp.swapaxes(slab, 0, 1)  # (sub_w, 10)
-                            v0x = tr[:, 0:1]
-                            v0y = tr[:, 1:2]
-                            v0z = tr[:, 2:3]
-                            e1x = tr[:, 3:4]
-                            e1y = tr[:, 4:5]
-                            e1z = tr[:, 5:6]
-                            e2x = tr[:, 6:7]
-                            e2y = tr[:, 7:8]
-                            e2z = tr[:, 8:9]
-                            gidx = tr[:, 9:10]
-
-                            hx = y.dy * e2z - y.dz * e2y
-                            hy = y.dz * e2x - y.dx * e2z
-                            hz = y.dx * e2y - y.dy * e2x
-                            a = e1x * hx + e1y * hy + e1z * hz
-                            fInv = 1.0 / a
-                            sx = y.ox - v0x
-                            sy = y.oy - v0y
-                            sz = y.oz - v0z
-                            u = fInv * (sx * hx + sy * hy + sz * hz)
-                            qx = sy * e1z - sz * e1y
-                            qy = sz * e1x - sx * e1z
-                            qz = sx * e1y - sy * e1x
-                            v = fInv * (y.dx * qx + y.dy * qy + y.dz * qz)
-                            tt = fInv * (e2x * qx + e2y * qy + e2z * qz)
-                            valid = (
-                                (jnp.abs(a) >= EPSILON)
-                                & (u >= 0.0)
-                                & (u <= 1.0)
-                                & (v >= 0.0)
-                                & (u + v <= 1.0)
-                                & (tt > EPSILON)
-                                & (gidx >= 0.0)
+                            min_t, min_idx = mt_subcluster(
+                                tri_ref, r0, lo, hi,
+                                y.ox, y.oy, y.oz, y.dx, y.dy, y.dz,
                             )
-                            t_masked = jnp.where(valid, tt, INF)
-                            min_t = jnp.min(t_masked, axis=0, keepdims=True)
-                            idx_m = jnp.where(t_masked == min_t, gidx, INF)
-                            min_idx = jnp.min(idx_m, axis=0, keepdims=True)
                             cur = best_t[0:1, y.s]
                             better = min_t < cur
                             new_t = jnp.where(better, min_t, cur)

@@ -84,6 +84,7 @@ def shard_accum(accum, mesh: Mesh):
         "bounce_kernel",
         "slots_used",
         "n_active",
+        "frames_per_trace",
     ),
     donate_argnames=("accum",),
 )
@@ -109,6 +110,7 @@ def render_chunk_sharded(
     bounce_kernel: str = "auto",
     slots_used: tuple = (True, True, True, True),
     n_active: int | None = None,
+    frames_per_trace: int = 1,
 ):
     """Sharded equivalent of render/pipeline.py::render_chunk.
 
@@ -118,7 +120,17 @@ def render_chunk_sharded(
     actually contribute — the tail frames run but are zero-weighted, which
     lets a caller land on an exact total spp that isn't a multiple of the
     sample axis. Returns (accum, counters[2] int32).
+
+    ``frames_per_trace`` batches F of a shard's local frames into ONE
+    trace call per scan step, same rationale and radiance-difference
+    classes as render_chunk (denser walk blocks on the large-scene
+    intersectors — exactly the multi-chip workloads). The effective F is
+    gcd-clamped to divide the local frame count, and drops to 1 on a
+    zero-weighted-tail chunk (n_active < n_frames, the final sub-multiple
+    only) so per-frame weights and ray counters stay exact.
     """
+    import math
+
     ns = mesh.shape["sample"]
     nr = mesh.shape["row"]
     assert n_frames % ns == 0, (n_frames, ns)
@@ -128,6 +140,9 @@ def render_chunk_sharded(
     assert 0 < n_active <= n_frames, (n_active, n_frames)
     local_frames = n_frames // ns
     local_rows = height // nr
+    fpt = math.gcd(max(1, int(frames_per_trace)), local_frames)
+    if n_active != n_frames:
+        fpt = 1
 
     scene_specs = jax.tree.map(lambda _: P(), scene)
 
@@ -156,30 +171,52 @@ def render_chunk_sharded(
             slots_used=slots_used,
         )
 
+        n_loc = local_rows * width
+
         def step(carry, k):
             local_sum, counters = carry
-            in_chunk = k * ns + s_idx
-            frame = frame_start + in_chunk
-            ro, rd, state = CAM.generate_rays(
-                cam, x, y, frame, use_dof=use_dof, rng_mode=rng_mode
-            )
+            # Local frame j = k*fpt + i maps to global in-chunk index
+            # j*ns + s_idx (frames round-robin the sample axis, same
+            # schedule as fpt=1 — RNG streams are unchanged).
+            parts = []
+            weights = []
+            for i in range(fpt):
+                in_chunk = (k * fpt + jnp.int32(i)) * ns + s_idx
+                frame = frame_start + in_chunk
+                parts.append(CAM.generate_rays(
+                    cam, x, y, frame, use_dof=use_dof, rng_mode=rng_mode
+                ))
+                weights.append(in_chunk < n_active)
+            if fpt == 1:
+                ro, rd, state = parts[0]
+            else:
+                ro = jnp.concatenate([p[0] for p in parts])
+                rd = jnp.concatenate([p[1] for p in parts])
+                state = jnp.concatenate([p[2] for p in parts])
             radiance, state, stats = trace_fn(ro, rd, state)
-            color = jnp.minimum(radiance, jnp.float32(firefly_clamp))
             # Frames past n_active run (uniform trip count across shards)
-            # but contribute nothing.
-            w = (in_chunk < n_active).astype(jnp.float32)
-            wi = (in_chunk < n_active).astype(jnp.int32)
+            # but contribute nothing. fpt > 1 only on full-weight chunks
+            # (see above), where the batched stats cover exactly the
+            # contributing frames.
+            if fpt == 1:
+                wi = weights[0].astype(jnp.int32)
+            else:
+                wi = jnp.int32(1)
             counters = counters + wi * jnp.stack(
                 [stats["closest"], stats["shadow"]]
             )
-            return (local_sum + w * color, counters), None
+            for i in range(fpt):
+                color = jnp.minimum(radiance[i * n_loc : (i + 1) * n_loc],
+                                    jnp.float32(firefly_clamp))
+                local_sum = local_sum + weights[i].astype(jnp.float32) * color
+            return (local_sum, counters), None
 
         init = (
-            jnp.zeros((local_rows * width, 3), jnp.float32),
+            jnp.zeros((n_loc, 3), jnp.float32),
             jnp.zeros((2,), jnp.int32),
         )
         (local_sum, counters), _ = jax.lax.scan(
-            step, init, jnp.arange(local_frames, dtype=jnp.int32)
+            step, init, jnp.arange(local_frames // fpt, dtype=jnp.int32)
         )
 
         chunk_sum = jax.lax.psum(local_sum, "sample")

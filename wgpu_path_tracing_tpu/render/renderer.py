@@ -94,6 +94,7 @@ class Renderer:
         # lets an interactive loop pipeline chunks with NO per-call host
         # round trip (the measured small-canvas dispatch floor).
         self._deferred_counters: list = []
+        self._deferred_t0: float | None = None
         self._on_update = []
         self._last_render_seconds = 0.0
         # Pass-level profiler + frame meter (profiler.ts / fps-meter.tsx
@@ -231,7 +232,12 @@ class Renderer:
 
     def _sync_deferred(self) -> None:
         """Fold counters from render(sync=False) calls into the totals.
-        The whole unsynced run counts as the 'last render' for stats()."""
+        The whole unsynced run counts as the 'last render' for stats():
+        its wall clock spans first dispatch -> this sync (the counter
+        pull blocks until every chunk completes), so mrays_per_sec stays
+        honest — never real rays over dispatch-only seconds. Idle time
+        between completion and the stats() call counts against it, the
+        conservative direction."""
         if not self._deferred_counters:
             return
         add = np.zeros(2, np.int64)
@@ -240,12 +246,16 @@ class Renderer:
         self._deferred_counters = []
         self._last_counters = add
         self._counters = self._counters + add
+        if self._deferred_t0 is not None:
+            self._last_render_seconds = time.perf_counter() - self._deferred_t0
+            self._deferred_t0 = None
 
     def reset(self) -> None:
         """resetOutputBuffer (renderer.ts:357-366): restart accumulation."""
         self.frame_index = 0
         self._counters = np.zeros(2, np.int64)
         self._deferred_counters = []
+        self._deferred_t0 = None
 
     # --- rendering ----------------------------------------------------------
     def _ensure_accum(self):
@@ -368,6 +378,10 @@ class Renderer:
                 common["n_frames"] = chunk + (-chunk) % ns
                 common["n_active"] = chunk
                 common["bounce_kernel"] = cfg.bounce_kernel
+                # Per-shard batching (gcd-clamped to the local frame
+                # count inside render_chunk_sharded; padded tail chunks
+                # drop to F=1 there).
+                common["frames_per_trace"] = fpt
                 self._accum, counters = SH.render_chunk_sharded(
                     self._scene_dev,
                     cam,
@@ -405,19 +419,35 @@ class Renderer:
             remaining -= chunk
             if on_chunk is not None:
                 on_chunk(self.frame_index)
-        if not sync and fetch:
-            sync = True  # a fetch blocks on the chain anyway
-        if sync:
+        if not sync:
+            # Documented implication: sync=False returns at dispatch, so
+            # there is nothing to fetch — forcing fetch=False here keeps
+            # the call non-blocking instead of silently syncing on the
+            # image pull.
+            fetch = False
+            if self._deferred_t0 is None:
+                self._deferred_t0 = t0
+            self._deferred_counters.extend(counters_dev)
+            # Dispatch-only time; provisional. The next sync point
+            # (stats(), a sync render) replaces it with the full
+            # dispatch-to-completion wall of the unsynced run, so
+            # stats() never divides real ray counts by enqueue time.
+            self._last_render_seconds = time.perf_counter() - t0
+        else:
+            # A sync render folds any earlier unsynced chunks in: the
+            # 'last render' then spans from the first unsynced dispatch.
+            start = (self._deferred_t0
+                     if self._deferred_counters and self._deferred_t0
+                     is not None else t0)
             pending = self._deferred_counters + counters_dev
             self._deferred_counters = []
+            self._deferred_t0 = None
             render_counters = np.zeros(2, np.int64)
             for c in reversed(pending):  # last first: one sync, then fetches
                 render_counters = render_counters + np.asarray(c, np.int64)
             self._last_counters = render_counters
             self._counters = self._counters + render_counters
-        else:
-            self._deferred_counters.extend(counters_dev)
-        self._last_render_seconds = time.perf_counter() - t0
+            self._last_render_seconds = time.perf_counter() - start
 
         if not fetch:
             return None

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -142,6 +143,7 @@ class ViewerServer:
                 path = q.get("path", [None])[0]
                 n = int(self.headers.get("Content-Length") or 0)
                 body = self.rfile.read(n) if n else b""
+                tmp_path = None
                 try:
                     if path is None and body:
                         import tempfile
@@ -151,14 +153,31 @@ class ViewerServer:
                             suffix=suffix, delete=False
                         ) as f:
                             f.write(body)
-                            path = f.name
+                            path = tmp_path = f.name
                     if path is None:
                         self._send(400, "text/plain",
                                    b"need ?path= or a .glb body")
                         return
-                    viewer.renderer.load_model_async(path)
+                    future = viewer.renderer.load_model_async(path)
+                    if tmp_path is not None:
+                        # The upload's temp copy is only needed until the
+                        # background parse reads it — unlink when the load
+                        # settles (success OR failure) so repeated
+                        # drag-drops don't accumulate scene-sized files.
+                        def _cleanup(_f, p=tmp_path):
+                            try:
+                                os.unlink(p)
+                            except OSError:
+                                pass
+
+                        future.add_done_callback(_cleanup)
                     self._send(200, "text/plain", b"staged")
                 except Exception as e:  # surface parse errors to the client
+                    if tmp_path is not None:
+                        try:
+                            os.unlink(tmp_path)
+                        except OSError:
+                            pass
                     self._send(500, "text/plain", str(e).encode())
 
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
