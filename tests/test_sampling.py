@@ -118,3 +118,51 @@ def test_ggx_half_vector_concentration():
         ct = np.asarray(vec.dot(vec.normalize(d), V3(*_v3(0, 0, 1))))
         means.append(ct.mean())
     assert means[0] > means[1] + 0.2, means
+
+
+def test_r2_stratified_sequence():
+    """The "stratified" rng mode's R2 point set: values live in [0, 1),
+    per-frame steps follow the R2 additive constants, per-pixel rotations
+    decorrelate neighbors, and the frame-average of the jitter converges
+    faster than the reference PCG stream (the property the mode exists
+    for). Deterministic (hash rotations are fixed), so exact thresholds."""
+    x = jnp.arange(8, dtype=jnp.int32)
+    y = jnp.arange(8, dtype=jnp.int32) * 3
+    pts = np.array(
+        [np.stack(RNG.r2_point(x, y, jnp.int32(f), stream=1))
+         for f in range(256)]
+    )  # (frames, 2, pixels)
+    assert (pts >= 0.0).all() and (pts < 1.0).all()
+    # Consecutive-frame steps are the R2 constants (mod 1, to f32 ulps).
+    du = (pts[1:, 0] - pts[:-1, 0]) % 1.0
+    dv = (pts[1:, 1] - pts[:-1, 1]) % 1.0
+    assert np.abs(du - RNG.R2_A1).max() < 1e-4
+    assert np.abs(dv - RNG.R2_A2).max() < 1e-4
+    # Rotations differ across pixels (no global sequence sharing).
+    assert len(np.unique(pts[0, 0].round(6))) == 8
+    # Faster convergence of the frame-mean than independent PCG draws.
+    err_r2 = np.abs(pts.mean(axis=0) - 0.5).max()
+    pcg = []
+    for f in range(256):
+        st = RNG.seed_pixel(x, y, jnp.int32(f))
+        u, st = RNG.rand(st)
+        v, _ = RNG.rand(st)
+        pcg.append(np.stack([np.asarray(u), np.asarray(v)]))
+    err_pcg = np.abs(np.mean(pcg, axis=0) - 0.5).max()
+    assert err_r2 < err_pcg / 2.0, (err_r2, err_pcg)
+
+
+def test_stratified_mode_renders():
+    """rng="stratified" end-to-end: runs, NaN-free, actually changes the
+    image vs reference parity mode (same scene/camera), and the DEFAULT
+    mode's image is untouched by the feature (parity is sacred)."""
+    from wgpu_path_tracing_tpu import Renderer, RenderConfig, cornell_box
+
+    imgs = {}
+    for mode in ("reference", "stratified"):
+        r = Renderer(RenderConfig(width=16, height=16, frames_per_chunk=4,
+                                  rng=mode))
+        r.load_scene(cornell_box())
+        imgs[mode] = r.render(spp=4)
+        assert not np.isnan(imgs[mode]).any()
+    assert np.abs(imgs["reference"] - imgs["stratified"]).max() > 0.0

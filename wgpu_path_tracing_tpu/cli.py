@@ -250,7 +250,7 @@ def main(argv=None) -> int:
                     help="samples batched into one trace call (denser "
                          "ray blocks for large scenes; see RenderConfig)")
     pr.add_argument("--mode", choices=("pt", "normal", "bvh_depth"), default="pt")
-    pr.add_argument("--rng", choices=("reference", "hash"), default="reference")
+    pr.add_argument("--rng", choices=("reference", "hash", "stratified"), default="reference")
     pr.add_argument("--intersector",
                     choices=("auto", "brute", "bvh", "cluster", "stack",
                              "walk", "pairs", "phased"),
@@ -297,7 +297,7 @@ def main(argv=None) -> int:
                     dest="frames_per_trace",
                     help="samples batched into one trace call")
     pv.add_argument("--mode", choices=("pt",), default="pt")
-    pv.add_argument("--rng", choices=("reference", "hash"), default="reference")
+    pv.add_argument("--rng", choices=("reference", "hash", "stratified"), default="reference")
     pv.add_argument("--env-map", default=None, metavar="PATH")
     pv.add_argument("--env-intensity", type=float, default=1.0)
     pv.add_argument("--env-rotation", type=float, default=0.0)

@@ -49,8 +49,18 @@ def generate_rays(cam, x, y, frame, *, use_dof: bool, rng_mode: str = "reference
     else:
         state = RNG.hash_seed(x, y, frame)
 
-    jx, state = RNG.rand(state)
-    jy, state = RNG.rand(state)
+    if rng_mode == "stratified":
+        # Opt-in extension (not reference parity): primary-ray decisions
+        # draw from a per-pixel-rotated R2 low-discrepancy sequence — the
+        # per-pixel estimator is a plain average over frames, where
+        # well-spaced points converge ~O(1/N) on the smooth lens/AA
+        # integrals vs O(1/sqrt(N)) for independent uniforms. Bounce
+        # decisions keep the PCG stream (path space is too discontinuous
+        # for a 2D sequence to help there).
+        jx, jy = RNG.r2_point(x, y, frame, stream=1)
+    else:
+        jx, state = RNG.rand(state)
+        jy, state = RNG.rand(state)
     px = x.astype(jnp.float32) + jx
     py = y.astype(jnp.float32) + jy
 
@@ -69,8 +79,11 @@ def generate_rays(cam, x, y, frame, *, use_dof: bool, rng_mode: str = "reference
 
     if use_dof:
         focal = cam["position"][None, :] + rd * cam["focus_distance"]
-        r, state = RNG.rand(state)
-        theta, state = RNG.rand(state)
+        if rng_mode == "stratified":
+            r, theta = RNG.r2_point(x, y, frame, stream=3)
+        else:
+            r, state = RNG.rand(state)
+            theta, state = RNG.rand(state)
         rr = jnp.sqrt(r) * cam["aperture"]
         ang = theta * (2.0 * PI)
         offset = (

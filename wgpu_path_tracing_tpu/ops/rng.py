@@ -94,6 +94,37 @@ def rand_int(state: jnp.ndarray, lo: int, hi: int, mask: jnp.ndarray | None = No
     return idx, new_state
 
 
+# R2 additive low-discrepancy sequence (the plastic constant's inverse
+# powers): frame k's 2D point is frac(k * (R2_A1, R2_A2)) — consecutive
+# samples are maximally spread in the unit square. Used by the opt-in
+# "stratified" rng mode (RenderConfig.rng) for PRIMARY-ray decisions
+# (pixel jitter, lens disc), where the estimator is a plain average over
+# frames and low-discrepancy beats independent uniforms; path/bounce
+# decisions keep the PCG stream. Not part of reference parity.
+R2_A1 = 0.7548776662466927
+R2_A2 = 0.5698402909980532
+R2_CYCLE = 4096  # frames fold modulo this: f32 frac() precision degrades
+# past ~2^12 * R2_A (24-bit mantissa); a 4096-frame stratification window
+# is far beyond any practical spp-per-pixel-jitter benefit anyway.
+
+
+def r2_point(x, y, frame, stream: int = 0):
+    """Per-(pixel, frame) scrambled R2 point in [0,1)^2: the shared R2
+    sequence rotated per pixel (Cranley-Patterson) by two hash_seed
+    streams, so neighboring pixels decorrelate while each pixel's frame
+    sequence stays low-discrepancy."""
+    zero = jnp.zeros((), jnp.int32)
+    inv = np.float32(1.0 / 4294967296.0)  # u32 word -> [0, 1)
+    u0 = _u32_to_f32(hash_seed(x, y, zero, stream=stream)) * inv
+    v0 = _u32_to_f32(hash_seed(x, y, zero, stream=stream + 1)) * inv
+    f = (jnp.asarray(frame).astype(jnp.int32) & (R2_CYCLE - 1)).astype(
+        jnp.float32
+    )
+    u = u0 + f * np.float32(R2_A1)
+    v = v0 + f * np.float32(R2_A2)
+    return u - jnp.floor(u), v - jnp.floor(v)
+
+
 def hash_seed(x, y, frame, stream: int = 0) -> jnp.ndarray:
     """"hash" rng mode: a well-mixed seed (no y*1000 collisions).
 

@@ -17,7 +17,11 @@ TPU-specific knobs (no reference equivalent):
 
 * ``rng`` — "reference" reproduces random.wgsl's per-pixel PCG stream
   including its conditional draw schedule; "hash" is a statistically stronger
-  counter-based mode (decorrelated across draws) for production renders.
+  counter-based mode (decorrelated across draws) for production renders;
+  "stratified" additionally draws PRIMARY-ray decisions (pixel jitter, lens
+  disc) from a per-pixel-rotated R2 low-discrepancy sequence — measurably
+  lower error at equal spp on AA edges and DoF blur (numbers in
+  BASELINE.md), bounce decisions unchanged ("hash" stream).
 * ``intersector`` — "auto" picks dense all-rays×all-triangles for small
   scenes (VPU-optimal, zero gathers) and the in-kernel wide-BVH block walk
   (ops/walk.py) otherwise, with pair dispatch as the out-of-VMEM fallback.
@@ -58,7 +62,7 @@ class RenderConfig:
     rotate_speed: float = math.pi / 18
 
     # TPU execution
-    rng: str = "reference"  # "reference" | "hash"
+    rng: str = "reference"  # "reference" | "hash" | "stratified"
     intersector: str = "auto"  # "auto"|"brute"|"walk"|"phased"|"pairs"|"bvh"|"cluster"|"stack"
     bounce_kernel: str = "auto"  # "auto" | "pallas" | "xla"
     brute_force_max_tris: int = 4096  # "auto" threshold (Pallas dense wins up to here)
@@ -84,7 +88,7 @@ class RenderConfig:
 
     def validate(self) -> "RenderConfig":
         assert self.width > 0 and self.height > 0
-        assert self.rng in ("reference", "hash")
+        assert self.rng in ("reference", "hash", "stratified")
         assert self.intersector in (
             "auto", "brute", "walk", "phased", "pairs", "bvh", "cluster",
             "stack"
