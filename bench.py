@@ -71,7 +71,11 @@ def _bench_sustained(r, spp: int, reps: int = 32):
     meaningful basis for tiny canvases, whose from-scratch wall is the
     per-call host round trip (~100 ms through this tunnel), not device
     time."""
-    r.render(spp=spp, fetch=False)  # warm + drain the queue
+    # Warm pass: compiles the chunk program AND the one-pull counter
+    # stack for this rep count (a fresh stack shape costs a remote
+    # compile round trip that would otherwise land inside the clock).
+    for _ in range(reps):
+        r.render(spp=spp, fetch=False, sync=False)
     before = r.stats()["rays_total"]
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -177,11 +181,24 @@ def main():
                "multichip": "validated via dryrun_multichip (1 physical chip)"})
 
     if "6" in sel:
+        # Congruent map set (the production-common case): pack bakes the
+        # fat-atlas table so the external gather fetches ONE row per lane
+        # (measured ~3.6x on the latency-bound per-row fetch, round 3).
         r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=64))
-        r.load_scene(textured_cornell(atlas_size=512))
+        r.load_scene(textured_cornell(atlas_size=512, congruent=True))
+        assert "atlas_fat" in r._scene_dev, "fat atlas did not engage"
         mrays, wall, rays = _bench_renderer(r, spp=64)
+        # Non-congruent map sets (mixed per-slot resolutions) fall back to
+        # one gather per mapped slot — keep that cliff measured, not
+        # hidden.
+        r2 = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=64))
+        r2.load_scene(textured_cornell(atlas_size=512))
+        assert "atlas_fat" not in r2._scene_dev
+        mrays2, _, _ = _bench_renderer(r2, spp=64)
         _emit("textured-512atlas", mrays, wall, rays, 64,
-              {"device": dev, "atlas": "512x512 external HBM texel gather"})
+              {"device": dev,
+               "atlas": "512x512 external HBM texel gather (fat, congruent)",
+               "noncongruent_mrays": round(mrays2, 3)})
 
     if "headline" in sel:
         r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=128))

@@ -235,3 +235,105 @@ def test_slot_gating_hit_exact():
     gated = hit_fields(slots)
     for a, b in zip(all_on, gated):
         np.testing.assert_array_equal(a, b)
+
+
+def test_fat_atlas_gates():
+    """pack_device_scene bakes the fat-atlas table (models/types.py::
+    _build_fat_atlas) only for big atlases whose textured materials carry
+    CONGRUENT map sets with in-[0,1] uvs; everything else keeps the
+    per-slot gather path (key absent)."""
+    from wgpu_path_tracing_tpu.models.procedural import textured_cornell
+
+    packed = pack_device_scene(
+        textured_cornell(atlas_size=256, congruent=True))
+    assert "atlas_fat" in packed
+    a = packed["atlas"]
+    assert packed["atlas_fat"].shape == (a.shape[0] * a.shape[1], 16)
+    # non-congruent map set (mixed rect sizes): per-slot fallback
+    assert "atlas_fat" not in pack_device_scene(
+        textured_cornell(atlas_size=256))
+    # small atlas: in-VMEM kernel sampler, fat table would be dead weight
+    assert "atlas_fat" not in pack_device_scene(
+        textured_cornell(atlas_size=32, congruent=True))
+    # out-of-[0,1] uvs: the reference's sign-preserving %-wrap indexes
+    # backwards across rect boundaries, which the fat table cannot
+    # reproduce — gate must refuse
+    sc = textured_cornell(atlas_size=256, congruent=True)
+    sc.tri_uv0[0] = [-0.25, 0.5]
+    assert "atlas_fat" not in pack_device_scene(sc)
+
+
+def test_fat_atlas_values_match_per_slot():
+    """On texel-safe uvs the fat row fetch must reproduce the per-slot
+    sample_atlas values EXACTLY (same texels, same fallbacks) for all
+    four slots."""
+    from wgpu_path_tracing_tpu.models.procedural import textured_cornell
+    from wgpu_path_tracing_tpu.ops import shade as SHADE
+    from wgpu_path_tracing_tpu.ops.gathers import fetch_rows
+
+    packed = pack_device_scene(
+        textured_cornell(atlas_size=256, congruent=True))
+    dev = jax.device_put(packed)
+    h, w = packed["atlas"].shape[0], packed["atlas"].shape[1]
+    n = 256
+    rng = np.random.default_rng(7)
+    nt = packed["tri_full"].shape[0]
+    idx = jnp.asarray(rng.integers(0, nt, n).astype(np.int32))
+    # Texel-center uvs: stay away from the fat path's documented
+    # texel-boundary ulp class.
+    uu = jnp.asarray(((rng.integers(0, 128, n) + 0.5) / 128).astype(np.float32))
+    vv = jnp.asarray(((rng.integers(0, 128, n) + 0.5) / 128).astype(np.float32))
+
+    @jax.jit
+    def go():
+        row = fetch_rows(dev["tri_full"], idx)
+        get = lambda c: row[:, c]
+        quads_fat = SHADE.sample_atlas_fat(dev["atlas_fat"], h, w, get, uu, vv)
+        quads_ref = []
+        for k in range(4):
+            rect = [get(SHADE.SLOT_RECT_COLS[k] + i) for i in range(4)]
+            quads_ref.append(SHADE.sample_atlas(
+                dev["atlas"], rect, uu, vv, SHADE.SLOT_FALLBACKS[k]))
+        return quads_fat, quads_ref
+
+    quads_fat, quads_ref = go()
+    for k in range(4):
+        for c in range(4):
+            np.testing.assert_array_equal(
+                np.asarray(quads_fat[k][c]), np.asarray(quads_ref[k][c]),
+                err_msg=f"slot {k} channel {c}")
+
+
+def test_fat_atlas_trace_parity():
+    """Full-trace parity on the fat path: the XLA trace and the Pallas
+    external bounce must agree exactly on RNG streams and to FMA ulps on
+    radiance (both consume shade.sample_atlas_fat, so texel choice is
+    identical by construction)."""
+    from wgpu_path_tracing_tpu.models.procedural import textured_cornell
+    from wgpu_path_tracing_tpu.ops.pallas_bounce import (
+        prepare_tables,
+        trace_pallas,
+    )
+
+    sc = textured_cornell(atlas_size=256, congruent=True)
+    scene = jax.device_put(pack_device_scene(sc))
+    assert "atlas_fat" in scene
+    tables = prepare_tables(scene)
+    assert tables is not None and tables[3][2] == "ext"
+    cam = camera_device(Camera(width=WIDTH, height=HEIGHT).as_pytree(),
+                        WIDTH, HEIGHT)
+    x, y = CAM.pixel_grid(WIDTH, HEIGHT)
+    ro, rd, state = CAM.generate_rays(cam, x, y, jnp.int32(0), use_dof=True)
+    ch = make_closest_hit(scene, "brute", 4096, 4)
+    rad_x, st_x, _ = TRACE.trace(
+        scene, ch, ro, rd, state,
+        max_bounces=4, do_mis=True, num_lights=sc.num_lights,
+    )
+    rad_p, st_p, _ = trace_pallas(
+        scene, ch, ro, rd, state,
+        max_bounces=4, do_mis=True, num_lights=sc.num_lights, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(st_x), np.asarray(st_p))
+    np.testing.assert_allclose(
+        np.asarray(rad_x), np.asarray(rad_p), rtol=1e-5, atol=1e-6
+    )

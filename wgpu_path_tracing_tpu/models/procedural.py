@@ -272,7 +272,8 @@ def random_triangles(
     )
 
 
-def textured_cornell(tessellation: int = 1, atlas_size: int = 32) -> SceneArrays:
+def textured_cornell(tessellation: int = 1, atlas_size: int = 32,
+                     congruent: bool = False) -> SceneArrays:
     """Cornell box with a synthetic texture atlas (the reference's surviving
     sample scenes ship no textures — sponza.glb is stripped): checkerboard
     albedo + random rough/metal PBR map on the white material, perturbed
@@ -295,6 +296,26 @@ def textured_cornell(tessellation: int = 1, atlas_size: int = 32) -> SceneArrays
     atlas[0:h2, 0:h2, 0] = 0.2 + 0.6 * checker
     atlas[0:h2, 0:h2, 1] = 0.8 - 0.5 * checker
     atlas[0:h2, 0:h2, 2] = 0.4
+    if congruent:
+        # Congruent map set (the production-common case: real glTF
+        # materials ship albedo/PBR/normal at ONE resolution): all three
+        # rects are (a/2, a/2), which lets pack_device_scene bake the
+        # fat-atlas table (models/types.py::_build_fat_atlas) so the
+        # external bounce gather fetches ONE row per lane instead of one
+        # per mapped slot.
+        atlas[0:h2, h2:a, 1] = rng.uniform(0.2, 1.0, (h2, h2)).astype(
+            np.float32)
+        atlas[0:h2, h2:a, 2] = rng.uniform(0.0, 1.0, (h2, h2)).astype(
+            np.float32)
+        nm = rng.uniform(0.3, 0.7, (h2, h2, 2)).astype(np.float32)
+        atlas[h2:a, 0:h2, 0] = nm[..., 0]
+        atlas[h2:a, 0:h2, 1] = nm[..., 1]
+        atlas[h2:a, 0:h2, 2] = 1.0
+        scene.mat_albedo_rect[0] = [0, 0, h2, h2]
+        scene.mat_pbr_rect[0] = [h2, 0, h2, h2]
+        scene.mat_normal_rect[1] = [0, h2, h2, h2]
+        scene.atlas = atlas
+        return scene
     # pbr map at (a/2, 0, a/4, a/4): g = roughness, b = metallic
     atlas[0:q, h2:h2 + q, 1] = rng.uniform(0.2, 1.0, (q, q)).astype(np.float32)
     atlas[0:q, h2:h2 + q, 2] = rng.uniform(0.0, 1.0, (q, q)).astype(np.float32)

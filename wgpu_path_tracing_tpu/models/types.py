@@ -235,6 +235,77 @@ def texture_slots_used(tri_full) -> tuple[bool, bool, bool, bool]:
     )
 
 
+def _build_fat_atlas(scene: "SceneArrays", atlas: np.ndarray):
+    """Pre-bake the (H*W, 16) fat-atlas table for big-atlas scenes.
+
+    One gather row per texel of each material's REPRESENTATIVE rect (its
+    first mapped slot in (albedo, pbr, emissive, normal) order) carrying
+    all four slots' texels at the same relative offset — so the external
+    bounce gather (ops/pallas_bounce.py::_gather_texels) and the XLA trace
+    path fetch ONE row per lane instead of four (the per-row fetch is
+    latency-bound on TPU; measured ~3.6x, round 3). Unmapped slots hold
+    the slot fallback constant (shade.SLOT_FALLBACKS, inlined here to
+    avoid an import cycle).
+
+    Returns None (fat mode disabled, per-slot gathers used) unless ALL of:
+      * atlas area above the in-VMEM sampler bound (the fat table only
+        serves the external gather path),
+      * every textured material's mapped rects are congruent (equal w, h
+        — the production-common case: real glTF map sets share one
+        resolution),
+      * every textured triangle's uvs sit in [0, 1] (outside, the
+        reference's sign-preserving %-wrap indexes backwards across rect
+        boundaries, which a relative-offset table cannot reproduce),
+      * no two materials share a representative rect with different slot
+        rects, and all rects are in-bounds.
+    Texel choice matches the per-slot path except the documented
+    texel-boundary ulp class (see shade.sample_atlas_fat).
+    """
+    h, w = int(atlas.shape[0]), int(atlas.shape[1])
+    from wgpu_path_tracing_tpu.ops.pallas_bounce import UNTILED_ATLAS_TEXELS
+
+    if h * w <= UNTILED_ATLAS_TEXELS:
+        return None
+    if scene.num_triangles == 0:
+        return None
+    rect_tables = (scene.mat_albedo_rect, scene.mat_pbr_rect,
+                   scene.mat_emissive_rect, scene.mat_normal_rect)
+    mats = np.unique(np.asarray(scene.tri_mat, np.int64))
+    textured_mats = []
+    rep_map: dict = {}
+    for m in mats:
+        rs = [tuple(int(v) for v in tab[m]) for tab in rect_tables]
+        nonempty = [r for r in rs if r[2] > 0 and r[3] > 0]
+        if not nonempty:
+            continue
+        if len({(r[2], r[3]) for r in nonempty}) != 1:
+            return None  # non-congruent map set
+        for (rx, ry, rw, rh) in nonempty:
+            if rx < 0 or ry < 0 or rx + rw > w or ry + rh > h:
+                return None
+        rep = nonempty[0]
+        if rep_map.setdefault(rep, tuple(rs)) != tuple(rs):
+            return None  # two materials share a rep rect
+        textured_mats.append((int(m), rs, rep))
+    if not textured_mats:
+        return None
+    tex_tris = np.isin(np.asarray(scene.tri_mat),
+                       [m for m, _, _ in textured_mats])
+    for uv in (scene.tri_uv0, scene.tri_uv1, scene.tri_uv2):
+        u = np.asarray(uv)[tex_tris]
+        if u.size and ((u < 0.0).any() or (u > 1.0).any()):
+            return None
+    fat = np.empty((h, w, 16), np.float32)
+    fat[:] = np.array([1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                       0.5, 0.5, 1, 1], np.float32)  # SLOT_FALLBACKS
+    for _, rs, (rx, ry, rw, rh) in textured_mats:
+        for k, (kx, ky, kw, kh) in enumerate(rs):
+            if kw > 0 and kh > 0:
+                fat[ry:ry + rh, rx:rx + rw, 4 * k:4 * k + 4] = (
+                    atlas[ky:ky + rh, kx:kx + rw, :])
+    return fat.reshape(h * w, 16)
+
+
 def pack_device_scene(scene: SceneArrays, cluster_k: int = 64):
     """Build the packed device tables (as NumPy; caller moves them to jnp).
 
@@ -389,6 +460,14 @@ def pack_device_scene(scene: SceneArrays, cluster_k: int = 64):
             else {}
         ),
         "atlas": np.asarray(atlas, np.float32),
+        # Big-atlas fat table (one gather serves all four texture slots);
+        # key PRESENT only when the scene qualifies — see _build_fat_atlas.
+        **(
+            {"atlas_fat": fat_atlas}
+            if (fat_atlas := _build_fat_atlas(
+                scene, np.asarray(atlas, np.float32))) is not None
+            else {}
+        ),
         # Environment lighting extension (ops/env.py): 1x1 placeholder =
         # disabled (reference parity: miss -> black, pt.wgsl:646-649).
         # Renderer.set_environment swaps in a real (H, W, 3) map.

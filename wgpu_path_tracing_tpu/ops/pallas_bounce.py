@@ -160,7 +160,7 @@ def _make_atlas_sampler(atlas_ref, width: int, height: int):
     return sample
 
 
-def _gather_texels(atlas, tri_full, idx, ro3, rd3, slots_used):
+def _gather_texels(scene, idx, ro3, rd3, slots_used):
     """XLA-side texel pre-gather for EXTERNAL atlas mode (big atlases).
 
     The in-VMEM samplers pay MXU one-hot MACs proportional to atlas AREA
@@ -171,14 +171,23 @@ def _gather_texels(atlas, tri_full, idx, ro3, rd3, slots_used):
     row, interpolate uv with the SAME expressions the kernel uses
     (shade.barycentrics_from_cols — texel choice can differ from an
     in-kernel sample only by FMA-placement ulps on texel boundaries, the
-    documented class), sample each USED slot with shade.sample_atlas
-    (fallbacks applied), and hand the kernel (4 * n_used, N) finished
-    texel rows in hit_attributes_from_cols call order."""
+    documented class), sample each USED slot (fallbacks applied), and
+    hand the kernel (4 * n_used, N) finished texel rows in
+    hit_attributes_from_cols call order.
+
+    When pack_device_scene built a fat table ("atlas_fat": congruent
+    rects, uv in [0,1]) ALL slots ride ONE gather — the per-row fetch is
+    latency-bound (~8-11 ns each, measured round 3), so one fetch of a
+    64-B fat row costs ~the same as one 16-B texel fetch and the four
+    per-slot gathers collapse 4x. Values are produced by the same
+    shade.sample_atlas_fat the XLA trace path uses, so the two paths stay
+    bit-identical."""
     from wgpu_path_tracing_tpu.ops import shade as SHADE
     from wgpu_path_tracing_tpu.ops.gathers import fetch_rows
 
+    atlas = scene["atlas"]
     safe = jnp.maximum(idx, 0)
-    row = fetch_rows(tri_full, safe)  # (N, TF_COLS)
+    row = fetch_rows(scene["tri_full"], safe)  # (N, TF_COLS)
 
     def get(c):
         return row[:, c]
@@ -186,17 +195,22 @@ def _gather_texels(atlas, tri_full, idx, ro3, rd3, slots_used):
     ro = V3(ro3[0], ro3[1], ro3[2])
     rd = V3(rd3[0], rd3[1], rd3[2])
     _, _, _, _, _, uv_u, uv_v = SHADE.barycentrics_from_cols(get, ro, rd)
-    slot_rects = (T.TF_ALBEDO_RECT, T.TF_PBR_RECT, T.TF_EMISSIVE_RECT,
-                  T.TF_NORMAL_RECT)
-    fallbacks = ((1.0, 1.0, 1.0, 1.0), (1.0, 1.0, 1.0, 1.0),
-                 (1.0, 1.0, 1.0, 1.0), (0.5, 0.5, 1.0, 1.0))
     rows = []
-    for k in range(4):
-        if not slots_used[k]:
-            continue
-        rect = [get(slot_rects[k] + i) for i in range(4)]
-        rows.extend(SHADE.sample_atlas(atlas, rect, uv_u, uv_v,
-                                       fallbacks[k]))
+    if "atlas_fat" in scene:
+        quads = SHADE.sample_atlas_fat(
+            scene["atlas_fat"], atlas.shape[0], atlas.shape[1],
+            get, uv_u, uv_v,
+        )
+        for k in range(4):
+            if slots_used[k]:
+                rows.extend(quads[k])
+    else:
+        for k in range(4):
+            if not slots_used[k]:
+                continue
+            rect = [get(SHADE.SLOT_RECT_COLS[k] + i) for i in range(4)]
+            rows.extend(SHADE.sample_atlas(atlas, rect, uv_u, uv_v,
+                                           SHADE.SLOT_FALLBACKS[k]))
     return jnp.stack(rows, axis=0)  # (4 * n_used, N)
 
 
@@ -496,8 +510,7 @@ def trace_pallas(
             # handed to the kernel as per-lane rows (no VMEM residency,
             # no size cap).
             atlas_op = _gather_texels(
-                scene["atlas"], scene["tri_full"], idx, rays[0:3],
-                rays[3:6], slots_used,
+                scene, idx, rays[0:3], rays[3:6], slots_used,
             )
         outs = bounce_stage_pallas(
             bounce_idx, rays, state_r, thr, res, alive,

@@ -73,6 +73,61 @@ def sample_atlas(atlas, rect, u, v, fallback):
     return out
 
 
+# Texture-slot order shared by every sampler path: (albedo, pbr, emissive,
+# normal) — the call order of hit_attributes_from_cols and the channel
+# order of the fat-atlas table (pack_device_scene "atlas_fat").
+SLOT_RECT_COLS = (T.TF_ALBEDO_RECT, T.TF_PBR_RECT, T.TF_EMISSIVE_RECT,
+                  T.TF_NORMAL_RECT)
+SLOT_FALLBACKS = ((1.0, 1.0, 1.0, 1.0), (1.0, 1.0, 1.0, 1.0),
+                  (1.0, 1.0, 1.0, 1.0), (0.5, 0.5, 1.0, 1.0))
+
+
+def sample_atlas_fat(fat, h, w, get, uv_u, uv_v):
+    """All four texture slots in ONE native gather (big-atlas fast path).
+
+    The per-texel gather is latency-bound on TPU (~8-11 ns per fetched row
+    regardless of row width or index coherence, measured round 3), so four
+    per-slot gathers cost ~4x one: pack_device_scene pre-bakes a
+    (H*W, 16) "fat" table — for every texel of a material's REPRESENTATIVE
+    rect (its first mapped slot in SLOT order), the four slots' texels at
+    the same relative offset ride one row (unmapped slots hold their
+    SLOT_FALLBACKS constant). Only built when every material's mapped
+    rects are congruent (equal w,h — the production-common case: real glTF
+    map sets share one resolution) and all uvs sit in [0,1]; texel choice
+    then matches the per-slot sample_atlas for every slot except the
+    documented texel-boundary ulp class (floor(rx_k + f) vs floor(rx_rep
+    + f) can round across an integer on boundary-epsilon uvs).
+
+    Returns the four [r, g, b, a] quads in SLOT order.
+    """
+    rects = [[get(c + i) for i in range(4)] for c in SLOT_RECT_COLS]
+    missing = [(r[2] == 0.0) | (r[3] == 0.0) for r in rects]
+    # Representative rect = first mapped slot (fold from the last so the
+    # earliest mapped slot wins).
+    rx, ry, rw, rh = rects[3]
+    for k in (2, 1, 0):
+        sel = ~missing[k]
+        rx = jnp.where(sel, rects[k][0], rx)
+        ry = jnp.where(sel, rects[k][1], ry)
+        rw = jnp.where(sel, rects[k][2], rw)
+        rh = jnp.where(sel, rects[k][3], rh)
+    # Index math identical to sample_atlas (pt.wgsl:112-120) on the
+    # representative rect.
+    ax = rx + jnp.fmod(uv_u, 1.0) * rw
+    ay = ry + jnp.fmod(uv_v, 1.0) * rh
+    ix = jnp.clip(ax, 0.0, w - 1).astype(jnp.int32)
+    iy = jnp.clip(ay, 0.0, h - 1).astype(jnp.int32)
+    row = fat[iy * w + ix]  # (N, 16) — the one gather
+    quads = []
+    for k in range(4):
+        fb = SLOT_FALLBACKS[k]
+        quads.append([
+            jnp.where(missing[k], fb[c], row[..., 4 * k + c])
+            for c in range(4)
+        ])
+    return quads
+
+
 def barycentrics_from_cols(get, ro: V3, rd: V3):
     """Shared exact barycentric/uv expressions (pt.wgsl:128-156): used by
     Hit construction AND the external texel pre-gather
@@ -135,37 +190,47 @@ def hit_attributes_from_cols(get, ro: V3, rd: V3, t, found, atlas=None,
     )
 
     if atlas is not None:
-        if callable(atlas):
+        fat_quads = None
+        if isinstance(atlas, tuple) and atlas[0] == "fat":
+            # Fat-atlas mode: ONE gather covers all four slots (see
+            # sample_atlas_fat); quads arrive in SLOT order.
+            _, fat_arr, ah, aw = atlas
+            fat_quads = sample_atlas_fat(fat_arr, ah, aw, get, uv_u, uv_v)
+            sample = None
+        elif callable(atlas):
             sample = atlas
         else:
             import functools
 
             sample = functools.partial(sample_atlas, atlas)
+
+        def slot(k):
+            if fat_quads is not None:
+                return fat_quads[k]
+            rect = [get(SLOT_RECT_COLS[k] + i) for i in range(4)]
+            return sample(rect, uv_u, uv_v, SLOT_FALLBACKS[k])
+
         if slots_used[0]:
-            albedo_rect = [get(T.TF_ALBEDO_RECT + i) for i in range(4)]
-            av = sample(albedo_rect, uv_u, uv_v, (1.0, 1.0, 1.0, 1.0))
+            av = slot(0)
             albedo = V3(av[0], av[1], av[2]) * base_color
             alpha = av[3]
         else:
             albedo = base_color
             alpha = jnp.ones_like(u)
         if slots_used[1]:
-            pbr_rect = [get(T.TF_PBR_RECT + i) for i in range(4)]
-            pv = sample(pbr_rect, uv_u, uv_v, (1.0, 1.0, 1.0, 1.0))
+            pv = slot(1)
             metallic = pv[2] * metallic_f
             roughness = jnp.maximum(pv[1] * roughness_f, 0.04)
         else:
             metallic = metallic_f
             roughness = jnp.maximum(roughness_f, 0.04)
         if slots_used[2]:
-            emissive_rect = [get(T.TF_EMISSIVE_RECT + i) for i in range(4)]
-            ev = sample(emissive_rect, uv_u, uv_v, (1.0, 1.0, 1.0, 1.0))
+            ev = slot(2)
             emission = V3(ev[0], ev[1], ev[2]) * emission_f
         else:
             emission = emission_f
 
         if slots_used[3]:
-            normal_rect = [get(T.TF_NORMAL_RECT + i) for i in range(4)]
             # Tangent basis from UV derivatives (pt.wgsl:176-189). No
             # degenerate-UV guard, as in the reference — the NaN basis is
             # only consumed when a normal-map texel is actually sampled.
@@ -179,7 +244,7 @@ def hit_attributes_from_cols(get, ro: V3, rd: V3, t, found, atlas=None,
             tvec = vec.normalize(tangent - tn * vec.dot(tn, tangent))
             bvec = vec.normalize(vec.cross(tn, tvec))
 
-            nm = sample(normal_rect, uv_u, uv_v, (0.5, 0.5, 1.0, 1.0))
+            nm = slot(3)
             use_nm = (nm[0] != 0.5) | (nm[1] != 0.5) | (nm[2] != 1.0)
             world_normal = vec.normalize(
                 tvec * (nm[0] * 2.0 - 1.0)
@@ -228,12 +293,16 @@ def hit_attributes(scene, ro, rd, t, idx, textured: bool | None = None,
     row = fetch_rows(scene["tri_full"], safe)  # (N, TF_COLS)
     if textured is None:
         textured = scene["atlas"].shape[0] > 1 or scene["atlas"].shape[1] > 1
+    atlas = scene["atlas"] if textured else None
+    if textured and "atlas_fat" in scene:
+        atlas = ("fat", scene["atlas_fat"],
+                 scene["atlas"].shape[0], scene["atlas"].shape[1])
     return hit_attributes_from_cols(
         lambda c: row[:, c],
         vec.from_cols(ro),
         vec.from_cols(rd),
         t,
         found,
-        atlas=scene["atlas"] if textured else None,
+        atlas=atlas,
         slots_used=slots_used,
     )

@@ -197,6 +197,11 @@ def trace(
     if textured is None:
         textured = scene["atlas"].shape[0] > 1 or scene["atlas"].shape[1] > 1
     atlas = scene["atlas"] if textured else None
+    if textured and "atlas_fat" in scene:
+        # Big-atlas fat table (pack_device_scene): one native gather
+        # covers all four texture slots — see shade.sample_atlas_fat.
+        atlas = ("fat", scene["atlas_fat"],
+                 scene["atlas"].shape[0], scene["atlas"].shape[1])
     env = None
     if "env" in scene:
         from wgpu_path_tracing_tpu.ops.env import make_env_sampler

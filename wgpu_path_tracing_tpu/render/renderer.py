@@ -230,6 +230,29 @@ class Renderer:
         self._accum = None
         self.reset()
 
+    @staticmethod
+    def _pull_counters(pending: list) -> np.ndarray:
+        """Sum per-chunk (2,) int32 counters with ONE device->host pull.
+
+        Every D2H transfer through the axon tunnel pays a full round trip
+        (~25 ms measured round 3 — latency, not bandwidth), so pulling k
+        chunks' counters one by one costs k round trips and was the
+        entire small-canvas "dispatch floor" (config 1: 32 pulls x 25 ms
+        dwarfed the ~3 ms of real device work per chunk). Stacking them
+        on device (async, rides the dispatch queue) and fetching the
+        (k, 2) result once turns that into a single round trip. Int32 per
+        chunk, summed in int64 on the host — a device-side int32 running
+        sum could overflow on deep spp."""
+        if len(pending) == 1:
+            return np.asarray(pending[0], np.int64)
+        # Pad to the next power of two with zeros so the stack program
+        # comes from a small, quickly-warmed shape set (a fresh shape
+        # costs a full remote compile round trip on axon).
+        k = 1 << (len(pending) - 1).bit_length()
+        pad = [jnp.zeros_like(pending[0])] * (k - len(pending))
+        stacked = np.asarray(jnp.stack(pending + pad), np.int64)
+        return stacked.sum(axis=0)
+
     def _sync_deferred(self) -> None:
         """Fold counters from render(sync=False) calls into the totals.
         The whole unsynced run counts as the 'last render' for stats():
@@ -240,9 +263,7 @@ class Renderer:
         conservative direction."""
         if not self._deferred_counters:
             return
-        add = np.zeros(2, np.int64)
-        for c in reversed(self._deferred_counters):
-            add = add + np.asarray(c, np.int64)
+        add = self._pull_counters(self._deferred_counters)
         self._deferred_counters = []
         self._last_counters = add
         self._counters = self._counters + add
@@ -400,13 +421,10 @@ class Renderer:
                     frames_per_trace=fpt,
                     **common,
                 )
-            # Counters stay ON DEVICE until the render completes (a host
-            # pull per chunk costs a tunnel round trip each — the measured
-            # config-1 dispatch floor); pulling the LAST chunk's counters
-            # at the end syncs the whole chain through the donated-accum
-            # data dependency, then the rest are already-computed fetches.
-            # (Int32 per chunk, summed in int64 on the host — a single
-            # device-side int32 running sum could overflow on deep spp.)
+            # Counters stay ON DEVICE until the render completes; the sync
+            # point stacks them device-side and pulls ONCE
+            # (_pull_counters — every D2H fetch is a full tunnel round
+            # trip, so per-chunk pulls were the measured config-1 floor).
             counters_dev.append(counters)
             if on_chunk is not None:
                 # Per-chunk consumers (preview PNG, progress) need real
@@ -442,9 +460,7 @@ class Renderer:
             pending = self._deferred_counters + counters_dev
             self._deferred_counters = []
             self._deferred_t0 = None
-            render_counters = np.zeros(2, np.int64)
-            for c in reversed(pending):  # last first: one sync, then fetches
-                render_counters = render_counters + np.asarray(c, np.int64)
+            render_counters = self._pull_counters(pending)
             self._last_counters = render_counters
             self._counters = self._counters + render_counters
             self._last_render_seconds = time.perf_counter() - start
