@@ -129,8 +129,12 @@ def main():
     sel = {s.strip() for s in sel.split(",")}
 
     if "1" in sel:
+        # frames_per_trace=8: a 128^2 trace call is only 16k lanes (1/16
+        # of the dense kernels' tuned 262k); batching the chunk's 8
+        # frames into one call measured 132.3 vs 109.9 Mrays/s at F=1
+        # (post one-pull sync fix; images bit-identical across F).
         r = Renderer(RenderConfig(width=128, height=128, frames_per_chunk=8,
-                                  do_mis=False))
+                                  do_mis=False, frames_per_trace=8))
         r.load_scene(cornell_box())
         mrays0, wall0, _ = _bench_renderer(r, spp=8)
         mrays, wall, rays = _bench_sustained(r, spp=8)
