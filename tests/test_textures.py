@@ -337,3 +337,27 @@ def test_fat_atlas_trace_parity():
     np.testing.assert_allclose(
         np.asarray(rad_x), np.asarray(rad_p), rtol=1e-5, atol=1e-6
     )
+
+
+def test_fat_atlas_overlapping_rep_rects_refused():
+    """Two materials whose representative rects OVERLAP (not merely
+    coincide) would bake conflicting slot channels into the shared
+    texels; the gate must refuse."""
+    from wgpu_path_tracing_tpu.models.procedural import textured_cornell
+
+    sc = textured_cornell(atlas_size=256, congruent=True)
+    # mat1 currently maps only a normal rect at (0,128,128,128); give it
+    # an albedo rect overlapping mat0's rep (albedo) rect (0,0,128,128).
+    sc.mat_albedo_rect[1] = [64, 64, 128, 128]
+    sc.mat_pbr_rect[1] = [128, 128, 128, 128]
+    sc.mat_normal_rect[1] = [0, 0, 0, 0]
+    assert "atlas_fat" not in pack_device_scene(sc)
+
+
+def test_pull_counters_empty():
+    """render(spp=0, sync=True) dispatches no chunks; the one-pull sync
+    must treat the empty pending list as zero counters, not crash."""
+    from wgpu_path_tracing_tpu.render.renderer import Renderer
+
+    out = Renderer._pull_counters([])
+    np.testing.assert_array_equal(out, np.zeros(2, np.int64))

@@ -244,8 +244,8 @@ def _build_fat_atlas(scene: "SceneArrays", atlas: np.ndarray):
     bounce gather (ops/pallas_bounce.py::_gather_texels) and the XLA trace
     path fetch ONE row per lane instead of four (the per-row fetch is
     latency-bound on TPU; measured ~3.6x, round 3). Unmapped slots hold
-    the slot fallback constant (shade.SLOT_FALLBACKS, inlined here to
-    avoid an import cycle).
+    the slot fallback constant (shade.SLOT_FALLBACKS, imported lazily —
+    ops.shade imports this module at top level).
 
     Returns None (fat mode disabled, per-slot gathers used) unless ALL of:
       * atlas area above the in-VMEM sampler bound (the fat table only
@@ -289,15 +289,25 @@ def _build_fat_atlas(scene: "SceneArrays", atlas: np.ndarray):
         textured_mats.append((int(m), rs, rep))
     if not textured_mats:
         return None
+    # Rep rects must be pairwise DISJOINT (not merely non-identical):
+    # overlapping reps from different materials would bake conflicting
+    # slot channels into the shared texels — later writes silently win.
+    reps = sorted(rep_map)
+    for i, (ax, ay, aw2, ah2) in enumerate(reps):
+        for (bx, by, bw2, bh2) in reps[i + 1:]:
+            if (ax < bx + bw2 and bx < ax + aw2
+                    and ay < by + bh2 and by < ay + ah2):
+                return None  # overlapping rep rects
     tex_tris = np.isin(np.asarray(scene.tri_mat),
                        [m for m, _, _ in textured_mats])
     for uv in (scene.tri_uv0, scene.tri_uv1, scene.tri_uv2):
         u = np.asarray(uv)[tex_tris]
         if u.size and ((u < 0.0).any() or (u > 1.0).any()):
             return None
+    from wgpu_path_tracing_tpu.ops.shade import SLOT_FALLBACKS
+
     fat = np.empty((h, w, 16), np.float32)
-    fat[:] = np.array([1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
-                       0.5, 0.5, 1, 1], np.float32)  # SLOT_FALLBACKS
+    fat[:] = np.array([c for fb in SLOT_FALLBACKS for c in fb], np.float32)
     for _, rs, (rx, ry, rw, rh) in textured_mats:
         for k, (kx, ky, kw, kh) in enumerate(rs):
             if kw > 0 and kh > 0:

@@ -243,6 +243,8 @@ class Renderer:
         (k, 2) result once turns that into a single round trip. Int32 per
         chunk, summed in int64 on the host — a device-side int32 running
         sum could overflow on deep spp."""
+        if not pending:
+            return np.zeros(2, np.int64)
         if len(pending) == 1:
             return np.asarray(pending[0], np.int64)
         # Pad to the next power of two with zeros so the stack program
