@@ -192,17 +192,28 @@ def main():
         r.load_scene(textured_cornell(atlas_size=512, congruent=True))
         assert "atlas_fat" in r._scene_dev, "fat atlas did not engage"
         mrays, wall, rays = _bench_renderer(r, spp=64)
-        # Non-congruent map sets (mixed per-slot resolutions) fall back to
-        # one gather per mapped slot — keep that cliff measured, not
-        # hidden.
+        # Mixed per-slot resolutions (albedo a/2, pbr a/4) are DIVISIBLE
+        # map sets — fat mode bakes them downsampled onto the rep grid
+        # (models/types.py::_build_fat_atlas), so they ride the one-fetch
+        # path too.
         r2 = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=64))
         r2.load_scene(textured_cornell(atlas_size=512))
-        assert "atlas_fat" not in r2._scene_dev
+        assert "atlas_fat" in r2._scene_dev, "divisible fat did not engage"
         mrays2, _, _ = _bench_renderer(r2, spp=64)
+        # NON-divisible map sets (here a 96^2 pbr rect against a 256^2
+        # albedo) fall back to one gather per mapped slot — keep that
+        # cliff measured, not hidden.
+        sc3 = textured_cornell(atlas_size=512)
+        sc3.mat_pbr_rect[0] = [256, 0, 96, 96]
+        r3 = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=64))
+        r3.load_scene(sc3)
+        assert "atlas_fat" not in r3._scene_dev
+        mrays3, _, _ = _bench_renderer(r3, spp=64)
         _emit("textured-512atlas", mrays, wall, rays, 64,
               {"device": dev,
                "atlas": "512x512 external HBM texel gather (fat, congruent)",
-               "noncongruent_mrays": round(mrays2, 3)})
+               "mixedres_mrays": round(mrays2, 3),
+               "perslot_mrays": round(mrays3, 3)})
 
     if "headline" in sel:
         r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=128))

@@ -240,8 +240,9 @@ def test_slot_gating_hit_exact():
 def test_fat_atlas_gates():
     """pack_device_scene bakes the fat-atlas table (models/types.py::
     _build_fat_atlas) only for big atlases whose textured materials carry
-    CONGRUENT map sets with in-[0,1] uvs; everything else keeps the
-    per-slot gather path (key absent)."""
+    DIVISIBLE map sets (congruent, or every slot's dims divide the
+    largest slot's) with in-[0,1] uvs; everything else keeps the per-slot
+    gather path (key absent)."""
     from wgpu_path_tracing_tpu.models.procedural import textured_cornell
 
     packed = pack_device_scene(
@@ -249,9 +250,14 @@ def test_fat_atlas_gates():
     assert "atlas_fat" in packed
     a = packed["atlas"]
     assert packed["atlas_fat"].shape == (a.shape[0] * a.shape[1], 16)
-    # non-congruent map set (mixed rect sizes): per-slot fallback
-    assert "atlas_fat" not in pack_device_scene(
+    # mixed-resolution map set (albedo a/2, pbr a/4): a/4 divides a/2, so
+    # the divisible bake engages (smaller slots nearest-downsampled)
+    assert "atlas_fat" in pack_device_scene(
         textured_cornell(atlas_size=256))
+    # NON-divisible map set (96 does not divide 128): per-slot fallback
+    sc_nd = textured_cornell(atlas_size=256)
+    sc_nd.mat_pbr_rect[0] = [128, 0, 96, 96]
+    assert "atlas_fat" not in pack_device_scene(sc_nd)
     # small atlas: in-VMEM kernel sampler, fat table would be dead weight
     assert "atlas_fat" not in pack_device_scene(
         textured_cornell(atlas_size=32, congruent=True))
@@ -263,16 +269,20 @@ def test_fat_atlas_gates():
     assert "atlas_fat" not in pack_device_scene(sc)
 
 
-def test_fat_atlas_values_match_per_slot():
+@pytest.mark.parametrize("congruent", [True, False],
+                         ids=["congruent", "mixedres"])
+def test_fat_atlas_values_match_per_slot(congruent):
     """On texel-safe uvs the fat row fetch must reproduce the per-slot
     sample_atlas values EXACTLY (same texels, same fallbacks) for all
-    four slots."""
+    four slots — including the mixed-resolution (divisible) bake, where
+    smaller slots ride the rep grid nearest-downsampled."""
     from wgpu_path_tracing_tpu.models.procedural import textured_cornell
     from wgpu_path_tracing_tpu.ops import shade as SHADE
     from wgpu_path_tracing_tpu.ops.gathers import fetch_rows
 
     packed = pack_device_scene(
-        textured_cornell(atlas_size=256, congruent=True))
+        textured_cornell(atlas_size=256, congruent=congruent))
+    assert "atlas_fat" in packed
     dev = jax.device_put(packed)
     h, w = packed["atlas"].shape[0], packed["atlas"].shape[1]
     n = 256
@@ -304,18 +314,21 @@ def test_fat_atlas_values_match_per_slot():
                 err_msg=f"slot {k} channel {c}")
 
 
-def test_fat_atlas_trace_parity():
+@pytest.mark.parametrize("congruent", [True, False],
+                         ids=["congruent", "mixedres"])
+def test_fat_atlas_trace_parity(congruent):
     """Full-trace parity on the fat path: the XLA trace and the Pallas
     external bounce must agree exactly on RNG streams and to FMA ulps on
     radiance (both consume shade.sample_atlas_fat, so texel choice is
-    identical by construction)."""
+    identical by construction) — on congruent AND mixed-resolution
+    (divisible) map sets."""
     from wgpu_path_tracing_tpu.models.procedural import textured_cornell
     from wgpu_path_tracing_tpu.ops.pallas_bounce import (
         prepare_tables,
         trace_pallas,
     )
 
-    sc = textured_cornell(atlas_size=256, congruent=True)
+    sc = textured_cornell(atlas_size=256, congruent=congruent)
     scene = jax.device_put(pack_device_scene(sc))
     assert "atlas_fat" in scene
     tables = prepare_tables(scene)

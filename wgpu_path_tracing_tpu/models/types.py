@@ -250,9 +250,15 @@ def _build_fat_atlas(scene: "SceneArrays", atlas: np.ndarray):
     Returns None (fat mode disabled, per-slot gathers used) unless ALL of:
       * atlas area above the in-VMEM sampler bound (the fat table only
         serves the external gather path),
-      * every textured material's mapped rects are congruent (equal w, h
-        — the production-common case: real glTF map sets share one
-        resolution),
+      * every textured material's mapped rects are DIVISIBLE: some mapped
+        slot (the representative) has w, h that are componentwise integer
+        multiples of every other mapped slot's — the production-common
+        cases: congruent map sets (all one resolution) and mip-style
+        mixed pow2 resolutions (1024 albedo + 512 normal).  Smaller slots
+        bake nearest-DOWNSAMPLED onto the rep grid, which reproduces the
+        per-slot texel choice exactly: for uv fraction f, the rep cell is
+        i = floor(f*rw) and the slot-k texel floor(f*kw) equals
+        i // (rw//kw) whenever kw | rw (integer identity),
       * every textured triangle's uvs sit in [0, 1] (outside, the
         reference's sign-preserving %-wrap indexes backwards across rect
         boundaries, which a relative-offset table cannot reproduce),
@@ -278,12 +284,17 @@ def _build_fat_atlas(scene: "SceneArrays", atlas: np.ndarray):
         nonempty = [r for r in rs if r[2] > 0 and r[3] > 0]
         if not nonempty:
             continue
-        if len({(r[2], r[3]) for r in nonempty}) != 1:
-            return None  # non-congruent map set
+        # Representative = the EARLIEST mapped slot of maximal area, the
+        # same tie-break shade.sample_atlas_fat applies lane-wise at run
+        # time (strictly-greater fold).  Its dims must be componentwise
+        # multiples of every mapped slot's or the bake cannot reproduce
+        # per-slot texel choice.
+        rep = max(nonempty, key=lambda r: r[2] * r[3])
+        if any(rep[2] % r[2] or rep[3] % r[3] for r in nonempty):
+            return None  # non-divisible map set
         for (rx, ry, rw, rh) in nonempty:
             if rx < 0 or ry < 0 or rx + rw > w or ry + rh > h:
                 return None
-        rep = nonempty[0]
         if rep_map.setdefault(rep, tuple(rs)) != tuple(rs):
             return None  # two materials share a rep rect
         textured_mats.append((int(m), rs, rep))
@@ -311,8 +322,13 @@ def _build_fat_atlas(scene: "SceneArrays", atlas: np.ndarray):
     for _, rs, (rx, ry, rw, rh) in textured_mats:
         for k, (kx, ky, kw, kh) in enumerate(rs):
             if kw > 0 and kh > 0:
-                fat[ry:ry + rh, rx:rx + rw, 4 * k:4 * k + 4] = (
-                    atlas[ky:ky + rh, kx:kx + rw, :])
+                # Nearest-downsample onto the rep grid: rep cell (j, i)
+                # carries slot texel (j // (rh//kh), i // (rw//kw)) —
+                # np.repeat by the integer step realizes exactly that.
+                fat[ry:ry + rh, rx:rx + rw, 4 * k:4 * k + 4] = np.repeat(
+                    np.repeat(atlas[ky:ky + kh, kx:kx + kw, :],
+                              rh // kh, axis=0),
+                    rw // kw, axis=1)
     return fat.reshape(h * w, 16)
 
 

@@ -175,8 +175,9 @@ def _gather_texels(scene, idx, ro3, rd3, slots_used):
     hand the kernel (4 * n_used, N) finished texel rows in
     hit_attributes_from_cols call order.
 
-    When pack_device_scene built a fat table ("atlas_fat": congruent
-    rects, uv in [0,1]) ALL slots ride ONE gather — the per-row fetch is
+    When pack_device_scene built a fat table ("atlas_fat": divisible
+    map sets — congruent or mixed-resolution with componentwise-dividing
+    dims — and uv in [0,1]) ALL slots ride ONE gather — the per-row fetch is
     latency-bound (~8-11 ns each, measured round 3), so one fetch of a
     64-B fat row costs ~the same as one 16-B texel fetch and the four
     per-slot gathers collapse 4x. Values are produced by the same

@@ -91,26 +91,34 @@ def sample_atlas_fat(fat, h, w, get, uv_u, uv_v):
     (H*W, 16) "fat" table — for every texel of a material's REPRESENTATIVE
     rect (its first mapped slot in SLOT order), the four slots' texels at
     the same relative offset ride one row (unmapped slots hold their
-    SLOT_FALLBACKS constant). Only built when every material's mapped
-    rects are congruent (equal w,h — the production-common case: real glTF
-    map sets share one resolution) and all uvs sit in [0,1]; texel choice
-    then matches the per-slot sample_atlas for every slot except the
-    documented texel-boundary ulp class (floor(rx_k + f) vs floor(rx_rep
-    + f) can round across an integer on boundary-epsilon uvs).
+    SLOT_FALLBACKS constant). Only built when every material's map set is
+    DIVISIBLE — some mapped slot's w,h are componentwise multiples of
+    every other's (congruent sets and mip-style mixed pow2 resolutions
+    both qualify; smaller slots are baked nearest-downsampled onto the
+    rep grid, models/types.py::_build_fat_atlas) — and all uvs sit in
+    [0,1]; texel choice then matches the per-slot sample_atlas for every
+    slot except the documented texel-boundary ulp class (floor(rx_k + f)
+    vs floor(rx_rep + f) can round across an integer on boundary-epsilon
+    uvs).
 
     Returns the four [r, g, b, a] quads in SLOT order.
     """
     rects = [[get(c + i) for i in range(4)] for c in SLOT_RECT_COLS]
     missing = [(r[2] == 0.0) | (r[3] == 0.0) for r in rects]
-    # Representative rect = first mapped slot (fold from the last so the
-    # earliest mapped slot wins).
-    rx, ry, rw, rh = rects[3]
-    for k in (2, 1, 0):
-        sel = ~missing[k]
+    # Representative rect = the EARLIEST mapped slot of MAXIMAL area
+    # (strictly-greater fold), matching _build_fat_atlas's bake-time
+    # tie-break.  On congruent map sets this degrades to "first mapped
+    # slot" — bit-identical to the round-3 congruent-only fold.
+    rx, ry, rw, rh = rects[0]
+    area = jnp.where(missing[0], -1.0, rects[0][2] * rects[0][3])
+    for k in (1, 2, 3):
+        ak = jnp.where(missing[k], -1.0, rects[k][2] * rects[k][3])
+        sel = ak > area
         rx = jnp.where(sel, rects[k][0], rx)
         ry = jnp.where(sel, rects[k][1], ry)
         rw = jnp.where(sel, rects[k][2], rw)
         rh = jnp.where(sel, rects[k][3], rh)
+        area = jnp.maximum(area, ak)
     # Index math identical to sample_atlas (pt.wgsl:112-120) on the
     # representative rect.
     ax = rx + jnp.fmod(uv_u, 1.0) * rw
