@@ -128,23 +128,24 @@ def _load_monkey(center, scale: float, yaw: float = 0.0):
 # golden (tools/replica_fit.py hill-climbs these at fixed compile shapes).
 # Values are the fitted optimum; geometry intent documented inline below.
 REPLICA_PARAMS: dict[str, float] = {
-    # Fitted by tools/replica_fit.py (three coordinate-descent passes
-    # against the golden at 192^2, the later ones with shrinking steps
-    # and more spp): official 512^2/256spp RMSE 0.164 (hand-placed) ->
-    # 0.1040. Geometry intent unchanged; values are the fitted optimum.
-    "ped_cx": -0.444, "ped_cz": -0.214, "ped_w": 0.344, "ped_h": 0.865,
+    # Fitted by tools/replica_fit.py (coordinate-descent passes against
+    # the golden, later ones at higher fidelity with shrinking steps:
+    # three at 192^2, then one at 256^2/48spp): official 512^2/256spp
+    # RMSE 0.164 (hand-placed) -> 0.1040 -> 0.1003. Geometry intent
+    # unchanged; values are the fitted optimum.
+    "ped_cx": -0.4405, "ped_cz": -0.2, "ped_w": 0.3475, "ped_h": 0.8598,
     "ped_d": 0.3, "ped_yaw": 4.0,
-    "glass1_r": 0.18,
-    "cube_cx": 0.528, "cube_cz": -0.338, "cube_s": 0.402, "cube_yaw": 47.0,
+    "glass1_r": 0.201,
+    "cube_cx": 0.528, "cube_cz": -0.38, "cube_s": 0.4335, "cube_yaw": 47.6125,
     "glass2_r": 0.1031,
-    "chrome_cx": -0.06, "chrome_cz": 0.2, "chrome_r": 0.036,
-    "fig_cx": 0.73, "fig_cz": 0.395, "fig_base_w": 0.204, "fig_base_h": 0.108,
-    "fig_base_d": 0.382, "fig_body_r": 0.2225, "fig_head_r": 0.2005,
-    "monkey_cx": -0.6262, "monkey_cz": 0.49, "monkey_s": 0.28,
+    "chrome_cx": -0.0512, "chrome_cz": 0.2, "chrome_r": 0.015,
+    "fig_cx": 0.7388, "fig_cz": 0.36, "fig_base_w": 0.267, "fig_base_h": 0.122,
+    "fig_base_d": 0.445, "fig_body_r": 0.212, "fig_head_r": 0.204,
+    "monkey_cx": -0.6087, "monkey_cz": 0.4856, "monkey_s": 0.28,
     "monkey_yaw": 8.0,
-    "light_strength": 19.44,
-    "brown_r": 0.492, "brown_g": 0.07, "brown_b": 0.054,
-    "base_r": 0.285, "base_g": 0.355, "base_b": 0.315,
+    "light_strength": 20.7,
+    "brown_r": 0.408, "brown_g": 0.0613, "brown_b": 0.054,
+    "base_r": 0.3375, "base_g": 0.4075, "base_b": 0.3675,
 }
 
 
