@@ -1,0 +1,115 @@
+"""Loader round-trip through tools/export_glb.py.
+
+The exporter (tools/export_glb.py) writes SceneArrays as a .glb;
+models/gltf.py::load_model must reconstruct the same scene: positions
+bit-exact (identity node => exact world transform), normals exact up to
+the loader's renormalization, per-triangle material parameters exact, and
+punctual lights (point / directional / spot) recovered through
+KHR_lights_punctual. Covers the exporter used by the round-trip tests,
+load benchmarking, and viewer demos."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from export_glb import scene_to_glb  # noqa: E402
+from wgpu_path_tracing_tpu.models.gltf import load_model  # noqa: E402
+from wgpu_path_tracing_tpu.models.procedural import (  # noqa: E402
+    cornell_box,
+    material_test_box,
+)
+
+
+def _sorted_tris(s):
+    tr = np.concatenate([s.tri_v0, s.tri_v1, s.tri_v2], axis=1)
+    order = np.lexsort(tr.T[::-1])
+    return tr[order], order
+
+
+def _roundtrip(scene, tmp_path, **load_kwargs):
+    path = str(tmp_path / "rt.glb")
+    with open(path, "wb") as f:
+        f.write(scene_to_glb(scene))
+    return load_model(path, **load_kwargs)
+
+
+@pytest.mark.parametrize("make", [cornell_box, material_test_box],
+                         ids=["cornell", "material_box"])
+def test_roundtrip_geometry_and_materials(make, tmp_path):
+    ref = make()
+    got = _roundtrip(ref, tmp_path)
+    assert got.num_triangles == ref.num_triangles
+
+    ka, oa = _sorted_tris(ref)
+    kb, ob = _sorted_tris(got)
+    np.testing.assert_array_equal(ka, kb)  # positions bit-exact
+
+    na = np.concatenate([ref.tri_n0, ref.tri_n1, ref.tri_n2], axis=1)[oa]
+    nb = np.concatenate([got.tri_n0, got.tri_n1, got.tri_n2], axis=1)[ob]
+    np.testing.assert_allclose(na, nb, atol=1e-6)  # loader renormalizes
+
+    ua = np.concatenate([ref.tri_uv0, ref.tri_uv1, ref.tri_uv2], axis=1)[oa]
+    ub = np.concatenate([got.tri_uv0, got.tri_uv1, got.tri_uv2], axis=1)[ob]
+    np.testing.assert_array_equal(ua, ub)
+
+    ma = ref.tri_mat[oa]
+    mb = got.tri_mat[ob]
+    for attr in ("mat_base_color", "mat_roughness", "mat_metallic",
+                 "mat_ior", "mat_transmission"):
+        np.testing.assert_allclose(
+            getattr(ref, attr)[ma], getattr(got, attr)[mb], atol=1e-6,
+            err_msg=attr)
+    np.testing.assert_allclose(
+        ref.mat_emission[ma] * np.asarray(ref.mat_emissive_strength)[ma, None],
+        got.mat_emission[mb] * np.asarray(got.mat_emissive_strength)[mb, None],
+        atol=1e-6)
+
+
+def test_roundtrip_punctual_lights(tmp_path):
+    ref = material_test_box()  # one point + one directional light
+    got = _roundtrip(ref, tmp_path)
+    assert got.num_lights == ref.num_lights
+
+    def rows(s):
+        pos = np.asarray(s.light_position, np.float64).copy()
+        types = np.asarray(s.light_type)
+        # glTF directionals are rotations of (0,0,-1) — inherently unit —
+        # so an unnormalized stored direction round-trips normalized.
+        for i in np.nonzero(types == 1)[0]:
+            pos[i] /= np.linalg.norm(pos[i])
+        r = np.concatenate(
+            [types.astype(np.float64)[:, None], pos,
+             np.asarray(s.light_color, np.float64),
+             np.asarray(s.light_intensity, np.float64)[:, None]], axis=1)
+        return r[np.lexsort(r.T[::-1])]
+
+    np.testing.assert_allclose(rows(ref), rows(got), atol=1e-6)
+
+
+def test_roundtrip_spot_light(tmp_path):
+    ref = material_test_box()
+    ref.light_type = np.array([3], np.int32)
+    ref.light_position = np.array([[0.2, 1.5, 0.3]], np.float32)
+    ref.light_color = np.array([[1.0, 0.9, 0.8]], np.float32)
+    ref.light_intensity = np.array([7.0], np.float32)
+    d = np.array([0.3, -0.9, 0.1])
+    d /= np.linalg.norm(d)
+    cos_i, cos_o = np.cos(0.2), np.cos(0.5)
+    scale = 1.0 / (cos_i - cos_o)
+    ref.light_aux = np.array(
+        [[d[0], d[1], d[2], scale, -cos_o * scale]], np.float32)
+
+    got = _roundtrip(ref, tmp_path, enable_spot_lights=True)
+    # The scene's emissive quad re-derives as area lights on load; pick
+    # the one spot row.
+    spots = np.nonzero(np.asarray(got.light_type) == 3)[0]
+    assert spots.shape == (1,)
+    s = int(spots[0])
+    np.testing.assert_allclose(got.light_position[s], ref.light_position[0],
+                               atol=1e-6)
+    np.testing.assert_allclose(got.light_aux[s], ref.light_aux[0], atol=1e-5)
+    np.testing.assert_allclose(float(got.light_intensity[s]), 7.0)

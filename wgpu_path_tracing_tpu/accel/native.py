@@ -24,6 +24,7 @@ from wgpu_path_tracing_tpu.accel.bvh import BVH, build_bvh as build_bvh_numpy
 _SRCS = [
     os.path.join(os.path.dirname(__file__), "cbvh", "bvh_builder.cpp"),
     os.path.join(os.path.dirname(__file__), "cbvh", "wide_collapse.cpp"),
+    os.path.join(os.path.dirname(__file__), "cbvh", "flatten.cpp"),
 ]
 _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
@@ -69,6 +70,21 @@ def _compile_library() -> ctypes.CDLL | None:
     lib.wpt_wide_counts.argtypes = [
         _I32P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_int32, _I64P, _I64P,
+    ]
+    lib.wpt_flatten.restype = ctypes.c_int64
+    lib.wpt_flatten.argtypes = [
+        _F32P, _F32P, ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), _I64P, ctypes.c_int64,
+        ctypes.c_int32,
+        _F32P, _F32P, _F32P, _F32P, _F32P, _F32P,
+    ]
+    lib.wpt_reorder_tris.restype = ctypes.c_int64
+    lib.wpt_reorder_tris.argtypes = [
+        _I64P, ctypes.c_int64,
+        _F32P, _F32P, _F32P, _F32P, _F32P, _F32P, _F32P, _F32P, _F32P,
+        _I32P,
+        _F32P, _F32P, _F32P, _F32P, _F32P, _F32P, _F32P, _F32P, _F32P,
+        _I32P,
     ]
     lib.wpt_build_wide.restype = ctypes.c_int64
     lib.wpt_build_wide.argtypes = [
@@ -212,3 +228,73 @@ def build_wide_native(
     if rc != 0:
         raise RuntimeError(f"native wide collapse failed (rc={rc})")
     return wmeta, worder, wboxes, wtris
+
+
+def flatten_native(pos, nrm, world, normal_mat, idx):
+    """Native transform + renormalize + corner gather (flatten.cpp).
+
+    pos/nrm: (n_verts, 3) f32; world: (4, 4) f64; normal_mat: (4, 4) or
+    (3, 3) f64 inverse-transpose; idx: (3k,) corner indices. Returns the
+    six (k, 3) f32 corner arrays (v0, v1, v2, n0, n1, n2) — bit-identical
+    to models/gltf.py's NumPy flatten block (tests/test_flatten_native.py).
+    Raises RuntimeError when the native library is unavailable.
+    """
+    if not native_available():
+        raise RuntimeError("native flattener unavailable (g++ failed?)")
+    pos = np.ascontiguousarray(pos, np.float32)
+    nrm = np.ascontiguousarray(nrm, np.float32)
+    world = np.ascontiguousarray(world, np.float64)
+    nmat = np.ascontiguousarray(np.asarray(normal_mat, np.float64)[0:3, 0:3])
+    idx = np.ascontiguousarray(idx, np.int64)
+    k = idx.shape[0] // 3
+    n_verts = pos.shape[0]
+    identity = int(np.array_equal(world, np.eye(4)))
+    outs = [np.empty((k, 3), np.float32) for _ in range(6)]
+    dptr = ctypes.POINTER(ctypes.c_double)
+    rc = _LIB.wpt_flatten(
+        pos.ctypes.data_as(_F32P),
+        nrm.ctypes.data_as(_F32P),
+        n_verts,
+        world.ctypes.data_as(dptr),
+        nmat.ctypes.data_as(dptr),
+        idx.ctypes.data_as(_I64P),
+        k,
+        identity,
+        *[o.ctypes.data_as(_F32P) for o in outs],
+    )
+    if rc != 0:
+        raise RuntimeError(f"native flatten failed (rc={rc})")
+    return tuple(outs)
+
+
+def reorder_tris_native(order, v0, v1, v2, n0, n1, n2, u0, u1, u2, mat):
+    """Fused BVH-order gather of the nine triangle columns (flatten.cpp).
+
+    Pure permutation — bit-identical to the per-array NumPy fancy-index
+    gathers in models/assemble.py::finalize_scene, one pass instead of
+    nine. Raises RuntimeError when the native library is unavailable.
+    """
+    if not native_available():
+        raise RuntimeError("native reorder unavailable (g++ failed?)")
+    order = np.ascontiguousarray(order, np.int64)
+    n = order.shape[0]
+    ins3 = [np.ascontiguousarray(a, np.float32) for a in
+            (v0, v1, v2, n0, n1, n2)]
+    ins2 = [np.ascontiguousarray(a, np.float32) for a in (u0, u1, u2)]
+    mi = np.ascontiguousarray(mat, np.int32)
+    outs3 = [np.empty((n, 3), np.float32) for _ in range(6)]
+    outs2 = [np.empty((n, 2), np.float32) for _ in range(3)]
+    mo = np.empty((n,), np.int32)
+    rc = _LIB.wpt_reorder_tris(
+        order.ctypes.data_as(_I64P),
+        n,
+        *[a.ctypes.data_as(_F32P) for a in ins3],
+        *[a.ctypes.data_as(_F32P) for a in ins2],
+        mi.ctypes.data_as(_I32P),
+        *[a.ctypes.data_as(_F32P) for a in outs3],
+        *[a.ctypes.data_as(_F32P) for a in outs2],
+        mo.ctypes.data_as(_I32P),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native reorder failed (rc={rc})")
+    return (*outs3, *outs2, mo)

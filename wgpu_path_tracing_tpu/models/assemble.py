@@ -63,18 +63,38 @@ def finalize_scene(
         a = np.asarray(a, f32)
         return a[order] if num_tris else a
 
-    tri_v0 = reorder(tri_v0)
-    tri_v1 = reorder(tri_v1)
-    tri_v2 = reorder(tri_v2)
-    tri_n0 = reorder(tri_n0)
-    tri_n1 = reorder(tri_n1)
-    tri_n2 = reorder(tri_n2)
-    tri_uv0 = reorder(tri_uv0)
-    tri_uv1 = reorder(tri_uv1)
-    tri_uv2 = reorder(tri_uv2)
-    tri_mat = np.asarray(tri_mat, np.int32)[order] if num_tris else np.asarray(
-        tri_mat, np.int32
-    )
+    native_done = False
+    if num_tris:
+        # Fused native gather of all nine columns + material ids in one
+        # pass (accel/cbvh/flatten.cpp::wpt_reorder_tris — a pure
+        # permutation, bit-identical to the per-array fancy indexing
+        # below, which remains the fallback and test reference).
+        from wgpu_path_tracing_tpu.accel.native import (
+            native_available,
+            reorder_tris_native,
+        )
+
+        if native_available():
+            try:
+                (tri_v0, tri_v1, tri_v2, tri_n0, tri_n1, tri_n2,
+                 tri_uv0, tri_uv1, tri_uv2, tri_mat) = reorder_tris_native(
+                    order, tri_v0, tri_v1, tri_v2, tri_n0, tri_n1, tri_n2,
+                    tri_uv0, tri_uv1, tri_uv2, tri_mat)
+                native_done = True
+            except RuntimeError:
+                native_done = False
+    if not native_done:
+        tri_v0 = reorder(tri_v0)
+        tri_v1 = reorder(tri_v1)
+        tri_v2 = reorder(tri_v2)
+        tri_n0 = reorder(tri_n0)
+        tri_n1 = reorder(tri_n1)
+        tri_n2 = reorder(tri_n2)
+        tri_uv0 = reorder(tri_uv0)
+        tri_uv1 = reorder(tri_uv1)
+        tri_uv2 = reorder(tri_uv2)
+        tri_mat = np.asarray(tri_mat, np.int32)[order] if num_tris else (
+            np.asarray(tri_mat, np.int32))
 
     # Explicit (KHR punctual) lights collected during node processing.
     lp = [] if light_position is None else list(np.asarray(light_position, f32))

@@ -41,6 +41,7 @@ import warnings
 
 import numpy as np
 
+from wgpu_path_tracing_tpu.accel.native import flatten_native, native_available
 from wgpu_path_tracing_tpu.models.assemble import finalize_scene
 from wgpu_path_tracing_tpu.models.types import SceneArrays
 
@@ -557,28 +558,53 @@ def load_model(
             attrs = prim["attributes"]
             if "indices" not in prim:
                 raise ValueError("No index found")  # gpu.ts:307-309
-            pos = gf.accessor(attrs["POSITION"]).astype(np.float64)
-            nrm = gf.accessor(attrs["NORMAL"]).astype(np.float64)
+            pos32 = gf.accessor(attrs["POSITION"])
+            nrm32 = gf.accessor(attrs["NORMAL"])
             idx = gf.accessor(prim["indices"]).reshape(-1).astype(np.int64)
             if "TEXCOORD_0" in attrs:
                 uv = gf.accessor(attrs["TEXCOORD_0"]).astype(np.float32)
             else:
-                uv = np.zeros((pos.shape[0], 2), np.float32)  # gpu.ts:310
+                uv = np.zeros((pos32.shape[0], 2), np.float32)  # gpu.ts:310
 
-            # World transform (gpu.ts:247-274)
-            wpos = pos @ world[0:3, 0:3].T + world[0:3, 3]
-            wnrm = nrm @ normal_mat[0:3, 0:3].T
-            ln = np.linalg.norm(wnrm, axis=1, keepdims=True)
-            ln[ln == 0] = 1.0
-            wnrm = wnrm / ln
-
+            # World transform (gpu.ts:247-274) in float64, cast back to
+            # f32 BEFORE the corner gathers (cast commutes with gather, so
+            # values are bit-identical to gather-then-cast at half the
+            # gather traffic). Identity nodes (the common case) skip the
+            # f64 round trip outright — exact either way. The native
+            # flattener (accel/cbvh/flatten.cpp) fuses transform +
+            # renormalize + gather into one pass; the NumPy block below is
+            # its fallback and bit-identity reference
+            # (tests/test_flatten_native.py).
             i0, i1, i2 = idx[0::3], idx[1::3], idx[2::3]
-            tri_v0.append(wpos[i0])
-            tri_v1.append(wpos[i1])
-            tri_v2.append(wpos[i2])
-            tri_n0.append(wnrm[i0])
-            tri_n1.append(wnrm[i1])
-            tri_n2.append(wnrm[i2])
+            flat = None
+            if native_available() and idx.size:
+                try:
+                    flat = flatten_native(pos32, nrm32, world, normal_mat,
+                                          idx)
+                except RuntimeError:
+                    flat = None
+            if flat is not None:
+                v0c, v1c, v2c, n0c, n1c, n2c = flat
+            else:
+                if np.array_equal(world, np.eye(4)):
+                    wpos = np.ascontiguousarray(pos32, np.float32)
+                    nrm64 = nrm32.astype(np.float64)
+                else:
+                    pos = pos32.astype(np.float64)
+                    wpos = (pos @ world[0:3, 0:3].T + world[0:3, 3]).astype(
+                        np.float32)
+                    nrm64 = nrm32.astype(np.float64) @ normal_mat[0:3, 0:3].T
+                ln = np.linalg.norm(nrm64, axis=1, keepdims=True)
+                ln[ln == 0] = 1.0
+                wnrm = (nrm64 / ln).astype(np.float32)
+                v0c, v1c, v2c = wpos[i0], wpos[i1], wpos[i2]
+                n0c, n1c, n2c = wnrm[i0], wnrm[i1], wnrm[i2]
+            tri_v0.append(v0c)
+            tri_v1.append(v1c)
+            tri_v2.append(v2c)
+            tri_n0.append(n0c)
+            tri_n1.append(n1c)
+            tri_n2.append(n2c)
             tri_uv0.append(uv[i0])
             tri_uv1.append(uv[i1])
             tri_uv2.append(uv[i2])
