@@ -111,6 +111,22 @@ def test_cli_render_and_info(tmp_path, capsys):
     assert '"triangles": 36' in capsys.readouterr().out
 
 
+def test_cli_export_roundtrip(tmp_path, capsys):
+    """`cli export` writes a .glb that renders back through `cli render`."""
+    from wgpu_path_tracing_tpu.cli import main
+
+    glb = str(tmp_path / "out.glb")
+    rc = main(["export", "material-box", "-o", glb])
+    assert rc == 0 and os.path.exists(glb)
+    capsys.readouterr()
+    png = str(tmp_path / "rt.png")
+    rc = main(["render", glb, "-o", png, "--spp", "2",
+               "--width", "12", "--height", "12", "--chunk", "2"])
+    assert rc == 0 and os.path.exists(png)
+    rc = main(["export", "nope", "-o", glb])
+    assert rc == 2
+
+
 def test_cli_render_with_env_map(tmp_path):
     """--env-map plumbs through the CLI to the renderer (extension)."""
     from wgpu_path_tracing_tpu.cli import main

@@ -314,6 +314,49 @@ def test_fat_atlas_values_match_per_slot(congruent):
                 err_msg=f"slot {k} channel {c}")
 
 
+def test_fat_atlas_rep_is_largest_slot():
+    """When a LATER slot is the largest (pbr 128^2 over albedo 64^2), the
+    bake-time representative (max area, earliest tie) and the runtime
+    lane-wise fold in shade.sample_atlas_fat must agree — values still
+    match the per-slot path exactly."""
+    from wgpu_path_tracing_tpu.models.procedural import textured_cornell
+    from wgpu_path_tracing_tpu.ops import shade as SHADE
+    from wgpu_path_tracing_tpu.ops.gathers import fetch_rows
+
+    sc = textured_cornell(atlas_size=256, congruent=True)
+    sc.mat_albedo_rect[0] = [0, 0, 64, 64]       # smaller FIRST slot
+    sc.mat_pbr_rect[0] = [128, 0, 128, 128]      # larger later slot = rep
+    packed = pack_device_scene(sc)
+    assert "atlas_fat" in packed
+    dev = jax.device_put(packed)
+    h, w = packed["atlas"].shape[0], packed["atlas"].shape[1]
+    n = 256
+    rng = np.random.default_rng(9)
+    nt = packed["tri_full"].shape[0]
+    idx = jnp.asarray(rng.integers(0, nt, n).astype(np.int32))
+    uu = jnp.asarray(((rng.integers(0, 128, n) + 0.5) / 128).astype(np.float32))
+    vv = jnp.asarray(((rng.integers(0, 128, n) + 0.5) / 128).astype(np.float32))
+
+    @jax.jit
+    def go():
+        row = fetch_rows(dev["tri_full"], idx)
+        get = lambda c: row[:, c]
+        quads_fat = SHADE.sample_atlas_fat(dev["atlas_fat"], h, w, get, uu, vv)
+        quads_ref = []
+        for k in range(4):
+            rect = [get(SHADE.SLOT_RECT_COLS[k] + i) for i in range(4)]
+            quads_ref.append(SHADE.sample_atlas(
+                dev["atlas"], rect, uu, vv, SHADE.SLOT_FALLBACKS[k]))
+        return quads_fat, quads_ref
+
+    quads_fat, quads_ref = go()
+    for k in range(4):
+        for c in range(4):
+            np.testing.assert_array_equal(
+                np.asarray(quads_fat[k][c]), np.asarray(quads_ref[k][c]),
+                err_msg=f"slot {k} channel {c}")
+
+
 @pytest.mark.parametrize("congruent", [True, False],
                          ids=["congruent", "mixedres"])
 def test_fat_atlas_trace_parity(congruent):

@@ -83,7 +83,7 @@ def gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
 
 def figurine_mask(height: int, width: int, dilate: int = 6) -> np.ndarray:
     """Boolean (H, W) mask of the replica's figurine stand-in (materials
-    BROWN=8 / BASEGREEN=9, models/replica.py), from a primary-ray
+    BROWN=8 / BASEGREEN=9 / BODY=10, models/replica.py), from a primary-ray
     material-id render with the fitted golden camera, dilated ``dilate``
     pixels. CPU JAX; a few seconds at 512^2."""
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -113,7 +113,7 @@ def figurine_mask(height: int, width: int, dilate: int = 6) -> np.ndarray:
     _, idx = ch(ro.T, rd.T)
     idx = np.asarray(idx)
     mats = np.where(idx >= 0, sc.tri_mat[np.clip(idx, 0, None)], -1)
-    mask = np.isin(mats, (8, 9)).reshape(height, width)[::-1]  # row 0 = bottom
+    mask = np.isin(mats, (8, 9, 10)).reshape(height, width)[::-1]  # row 0 = bottom
     if dilate:
         padded = np.pad(mask, dilate)
         acc = padded.copy()

@@ -76,6 +76,7 @@ FIT_SPEC = [
     ("fig_body_r", 0.03), ("fig_head_r", 0.02),
     ("brown_r", 0.08), ("brown_g", 0.05), ("brown_b", 0.04),
     ("base_r", 0.05), ("base_g", 0.05), ("base_b", 0.05),
+    ("body_r", 0.05), ("body_g", 0.05), ("body_b", 0.05),
     ("monkey_cx", 0.05), ("monkey_cz", 0.05), ("monkey_s", 0.05),
     ("chrome_cx", 0.05), ("chrome_cz", 0.05), ("chrome_r", 0.02),
     ("cube_cx", 0.04), ("cube_cz", 0.04), ("cube_s", 0.03), ("cube_yaw", 7.0),

@@ -208,6 +208,37 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Write a named built-in scene as a binary .glb (models/export.py)."""
+    from wgpu_path_tracing_tpu.models.export import scene_to_glb
+    from wgpu_path_tracing_tpu.models.procedural import (
+        cornell_box,
+        material_test_box,
+        textured_cornell,
+    )
+
+    if args.scene == "cornell":
+        scene = cornell_box(tessellation=args.tessellation)
+    elif args.scene == "cornell-replica":
+        from wgpu_path_tracing_tpu.models.replica import cornell_replica
+
+        scene = cornell_replica()
+    elif args.scene == "textured":
+        scene = textured_cornell()
+    elif args.scene == "material-box":
+        scene = material_test_box()
+    else:
+        print(f"unknown scene: {args.scene!r} (expected cornell | "
+              "cornell-replica | textured | material-box)")
+        return 2
+    blob = scene_to_glb(scene)
+    with open(args.output, "wb") as f:
+        f.write(blob)
+    print(f"wrote {args.output}: {len(blob)} bytes, "
+          f"{scene.num_triangles} tris, {scene.num_lights} lights")
+    return 0
+
+
 def cmd_bench(args) -> int:
     # The bench harness lives at the repo root (the driver runs it there);
     # make it importable regardless of the caller's cwd.
@@ -319,6 +350,17 @@ def main(argv=None) -> int:
 
     pb = sub.add_parser("bench", help="run the headline benchmark")
     pb.set_defaults(func=cmd_bench)
+
+    pe = sub.add_parser(
+        "export",
+        help="write a built-in scene as .glb (models/export.py; the "
+        "reference has no exporter — round-trips through load_model)")
+    pe.add_argument("scene", help="cornell | cornell-replica | textured | "
+                    "material-box")
+    pe.add_argument("-o", "--output", required=True)
+    pe.add_argument("--tessellation", type=int, default=1,
+                    help="subdivide cornell quads (tris scale ~t^2)")
+    pe.set_defaults(func=cmd_export)
 
     args = parser.parse_args(argv)
     return args.func(args)

@@ -146,6 +146,9 @@ REPLICA_PARAMS: dict[str, float] = {
     "light_strength": 20.7,
     "brown_r": 0.408, "brown_g": 0.0613, "brown_b": 0.054,
     "base_r": 0.3375, "base_g": 0.4075, "base_b": 0.3675,
+    # Figurine body (grey-green in the golden, distinct from the brown
+    # barrel head — visible in the side-by-side).
+    "body_r": 0.35, "body_g": 0.42, "body_b": 0.37,
 }
 
 
@@ -170,7 +173,7 @@ def cornell_replica(
             raise KeyError(f"unknown replica params: {sorted(unknown)}")
         p.update(overrides)
     (WHITE, RED, GREEN, LIGHT, GLASS, MIRROR, CHROME, MAGENTA, BROWN,
-     BASEGREEN) = range(10)
+     BASEGREEN, BODY) = range(11)
 
     quads = []
     # Room (cornell2.glb parity): floor, ceiling, back; red +x, green -x.
@@ -238,10 +241,13 @@ def cornell_replica(
     add_sphere(
         (p["chrome_cx"], p["chrome_r"], p["chrome_cz"]), p["chrome_r"], CHROME
     )
-    # Figurine stand-in (brown body + head over the green base).
+    # Figurine stand-in over the green base: the golden shows a grey-green
+    # BODY under a brown wooden barrel HEAD (the head's carved text is
+    # unreproducible — its texture is stripped with the blob), so body and
+    # head carry separate fitted materials.
     add_sphere(
         (p["fig_cx"], p["fig_base_h"] + p["fig_body_r"] * 1.06, p["fig_cz"]),
-        p["fig_body_r"], BROWN, sub=2,
+        p["fig_body_r"], BODY, sub=2,
     )
     add_sphere(
         (
@@ -285,22 +291,23 @@ def cornell_replica(
             [0.9, 0.9, 0.9],       # mirror
             [0.9, 0.9, 0.9],       # chrome
             [0.85, 0.04, 0.35],    # magenta suzanne
-            [p["brown_r"], p["brown_g"], p["brown_b"]],  # figurine wood
+            [p["brown_r"], p["brown_g"], p["brown_b"]],  # figurine head wood
             [p["base_r"], p["base_g"], p["base_b"]],     # figurine base
+            [p["body_r"], p["body_g"], p["body_b"]],     # figurine body
         ],
         f32,
     )
-    metallic = np.array([0, 0, 0, 0, 0, 1, 1, 0, 0, 0], f32)
+    metallic = np.array([0, 0, 0, 0, 0, 1, 1, 0, 0, 0, 0], f32)
     roughness = np.array(
-        [0.5, 0.5, 0.5, 0.5, 0.05, 0.05, 0.08, 0.4, 0.45, 0.4], f32
+        [0.5, 0.5, 0.5, 0.5, 0.05, 0.05, 0.08, 0.4, 0.45, 0.4, 0.45], f32
     )
-    emission = np.zeros((10, 3), f32)
+    emission = np.zeros((11, 3), f32)
     emission[LIGHT] = 1.0
     estrength = np.array(
-        [1, 1, 1, p["light_strength"], 1, 1, 1, 1, 1, 1], f32
+        [1, 1, 1, p["light_strength"], 1, 1, 1, 1, 1, 1, 1], f32
     )
-    ior = np.full(10, 1.5, f32)
-    transmission = np.array([0, 0, 0, 0, 1.0, 0, 0, 0, 0, 0], f32)
+    ior = np.full(11, 1.5, f32)
+    transmission = np.array([0, 0, 0, 0, 1.0, 0, 0, 0, 0, 0, 0], f32)
 
     return finalize_scene(
         np.asarray(v0l, f32), np.asarray(v1l, f32), np.asarray(v2l, f32),
