@@ -130,25 +130,28 @@ def _load_monkey(center, scale: float, yaw: float = 0.0):
 REPLICA_PARAMS: dict[str, float] = {
     # Fitted by tools/replica_fit.py (coordinate-descent passes against
     # the golden, later ones at higher fidelity with shrinking steps:
-    # three at 192^2, then one at 256^2/48spp): official 512^2/256spp
-    # RMSE 0.164 (hand-placed) -> 0.1040 -> 0.1003. Geometry intent
-    # unchanged; values are the fitted optimum.
-    "ped_cx": -0.4405, "ped_cz": -0.2, "ped_w": 0.3475, "ped_h": 0.8598,
+    # three at 192^2, then two at 256^2/48spp, the last after splitting
+    # the figurine body/head materials): official 512^2/256spp RMSE
+    # 0.164 (hand-placed) -> 0.1040 -> 0.0984. Geometry intent unchanged;
+    # values are the fitted optimum, except chrome_r where the fit's
+    # near-zero (0.005 — deleting the ball) was rejected in favor of the
+    # prior 0.015: the golden visibly contains the chrome ball.
+    "ped_cx": -0.4305, "ped_cz": -0.19, "ped_w": 0.3675, "ped_h": 0.8673,
     "ped_d": 0.3, "ped_yaw": 4.0,
-    "glass1_r": 0.201,
-    "cube_cx": 0.528, "cube_cz": -0.38, "cube_s": 0.4335, "cube_yaw": 47.6125,
-    "glass2_r": 0.1031,
-    "chrome_cx": -0.0512, "chrome_cz": 0.2, "chrome_r": 0.015,
-    "fig_cx": 0.7388, "fig_cz": 0.36, "fig_base_w": 0.267, "fig_base_h": 0.122,
-    "fig_base_d": 0.445, "fig_body_r": 0.212, "fig_head_r": 0.204,
+    "glass1_r": 0.211,
+    "cube_cx": 0.538, "cube_cz": -0.42, "cube_s": 0.426, "cube_yaw": 47.6125,
+    "glass2_r": 0.0881,
+    "chrome_cx": -0.0762, "chrome_cz": 0.2, "chrome_r": 0.015,
+    "fig_cx": 0.7388, "fig_cz": 0.36, "fig_base_w": 0.327, "fig_base_h": 0.117,
+    "fig_base_d": 0.505, "fig_body_r": 0.212, "fig_head_r": 0.204,
     "monkey_cx": -0.6087, "monkey_cz": 0.4856, "monkey_s": 0.28,
     "monkey_yaw": 8.0,
-    "light_strength": 20.7,
-    "brown_r": 0.408, "brown_g": 0.0613, "brown_b": 0.054,
-    "base_r": 0.3375, "base_g": 0.4075, "base_b": 0.3675,
+    "light_strength": 21.9,
+    "brown_r": 0.328, "brown_g": 0.0363, "brown_b": 0.014,
+    "base_r": 0.3875, "base_g": 0.4575, "base_b": 0.4175,
     # Figurine body (grey-green in the golden, distinct from the brown
     # barrel head — visible in the side-by-side).
-    "body_r": 0.35, "body_g": 0.42, "body_b": 0.37,
+    "body_r": 0.4, "body_g": 0.37, "body_b": 0.32,
 }
 
 
