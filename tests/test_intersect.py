@@ -244,3 +244,29 @@ def test_bucket_reorder_machinery_exact():
         t_w, i_w = wrapped(ro3, rd3, active=active, reorder=True)
         np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_w))
         np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_w))
+
+
+def test_auto_selection_vmem_gate(monkeypatch):
+    """make_closest_hit's auto mode picks the walk while its VMEM slabs
+    fit WALK_VMEM_BUDGET_BYTES and falls back to the pair dispatch past
+    it (the 765k-tri capability path, BASELINE.md). Exercised by shrinking
+    the budget on a small scene; the .strategy tag records the choice."""
+    import jax
+    from wgpu_path_tracing_tpu.models.procedural import cornell_box
+    from wgpu_path_tracing_tpu.models.types import pack_device_scene
+    from wgpu_path_tracing_tpu.ops import intersect as I
+
+    scene = pack_device_scene(cornell_box(tessellation=8))  # 2k tris
+    assert "walk_tris" in scene
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    ch = I.make_closest_hit(scene, "auto", brute_max_tris=64, leaf_size=4)
+    assert ch.strategy == "walk"
+    monkeypatch.setattr(I, "WALK_VMEM_BUDGET_BYTES", 1024)
+    ch = I.make_closest_hit(scene, "auto", brute_max_tris=64, leaf_size=4)
+    assert ch.strategy == "pairs"
+    # Forced walk ignores the budget; brute threshold wins below it.
+    ch = I.make_closest_hit(scene, "walk", brute_max_tris=64, leaf_size=4)
+    assert ch.strategy == "walk"
+    ch = I.make_closest_hit(scene, "auto", brute_max_tris=4096, leaf_size=4)
+    assert ch.strategy == "brute"

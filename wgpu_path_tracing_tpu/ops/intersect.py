@@ -316,6 +316,12 @@ REORDER_POS_BITS = 2  # bucket-reorder key: direction octant (3 bits) +
 REORDER_MIN_NODES = 128  # wide-node count below which the bucket
 # reorder is a net loss (glass_box: 48 nodes, sort cost > union win)
 
+WALK_VMEM_BUDGET_BYTES = 80 * 1024 * 1024  # auto selects the walk only
+# while its node+triangle slabs fit comfortably in VMEM alongside the ray
+# block; past it (e.g. 765k tris -> 140.7 MB of tables) the entry-sorted
+# pair dispatch takes over (unbounded scene size, measured 0.123 Mrays/s
+# at 765k vs the walk's VMEM-bound production path).
+
 COMPACT_DIVS = (2, 8, 32, 128)  # geometric tier ladder: pack the alive
 # rays into the smallest n/div lane set that holds them. Measured (round
 # 3, 103k Cornell, 262k lanes at 5% occupancy, one process): full walk
@@ -592,7 +598,8 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
         ) if have_walk else 1 << 62
         use_walk = have_walk and (
             intersector == "walk"
-            or (intersector == "auto" and walk_bytes <= 80 * 1024 * 1024)
+            or (intersector == "auto"
+                and walk_bytes <= WALK_VMEM_BUDGET_BYTES)
         )
         if use_walk:
             from wgpu_path_tracing_tpu.accel.bvh8 import pops_for_tree
@@ -645,6 +652,7 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
         closest_hit = _with_tail_compaction(
             _walk_inner, scene["bvh_aabb"][0], use_reorder=big_tree
         )
+        closest_hit.strategy = "walk" if use_walk else "pairs"
 
     else:
         bvh_nodes = jnp.concatenate(
@@ -665,4 +673,11 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
                 any_hit=any_hit,
             )
 
+    if not hasattr(closest_hit, "strategy"):
+        closest_hit.strategy = (
+            "stack" if intersector == "stack"
+            else "brute" if use_brute
+            else intersector if intersector in ("phased", "cluster")
+            and jax.default_backend() not in ("cpu", "gpu")
+            else "bvh")
     return closest_hit
