@@ -83,7 +83,27 @@ FIT_SPEC = [
     ("ped_cx", 0.04), ("ped_cz", 0.04), ("ped_w", 0.04), ("ped_h", 0.03),
     ("glass1_r", 0.02), ("glass2_r", 0.015),
     ("light_strength", 1.2),
+    ("wood_stave_amp", 0.06), ("wood_ring_amp", 0.1),
+    ("wood_band_dark", 0.12), ("wood_band_y", 0.06), ("wood_band_h", 0.05),
+    ("wood_band_g", 0.05),
 ]
+
+# Hard parameter bounds: the coordinate descent must not "improve" RMSE
+# by deleting objects the golden visibly contains (it drove chrome_r
+# toward 0 twice — the few mismatched pixels cost less than a mismatched
+# reflection, but an absent ball is a wrong scene).
+BOUNDS = {
+    "wood_stave_amp": (0.0, 0.8), "wood_ring_amp": (0.0, 0.9),
+    "wood_band_dark": (0.0, 0.9), "wood_band_y": (0.1, 0.9),
+    "wood_band_h": (0.02, 0.5), "wood_band_g": (0.0, 0.4),
+    "chrome_r": (0.015, 0.08),
+    "glass1_r": (0.05, 0.4),
+    "glass2_r": (0.04, 0.3),
+    "fig_body_r": (0.08, 0.4),
+    "fig_head_r": (0.08, 0.4),
+    "monkey_s": (0.1, 0.6),
+    "light_strength": (5.0, 40.0),
+}
 
 
 def make_eval(size: int, spp: int):
@@ -136,6 +156,13 @@ def main():
             for cand_d in (d, -d):
                 cand = dict(best)
                 cand[name] = best[name] + cand_d
+                lo, hi = BOUNDS.get(name, (None, None))
+                if lo is not None and cand[name] < lo:
+                    cand[name] = lo
+                if hi is not None and cand[name] > hi:
+                    cand[name] = hi
+                if cand[name] == best[name]:
+                    continue
                 v = evaluate(cand)
                 if v < cur - 1e-5:
                     best, cur = cand, v

@@ -152,7 +152,43 @@ REPLICA_PARAMS: dict[str, float] = {
     # Figurine body (grey-green in the golden, distinct from the brown
     # barrel head — visible in the side-by-side).
     "body_r": 0.4, "body_g": 0.37, "body_b": 0.32,
+    # Procedural wood texture on the barrel HEAD (the real texture is
+    # stripped with the blob; the golden shows stave grain, dark hoops,
+    # and a dark text band) — parameters are continuous so the fit's
+    # coordinate descent can tune them; all-zero amps = flat brown.
+    "wood_stave_amp": 0.12,   # vertical stave-grain contrast
+    "wood_ring_amp": 0.3,     # dark hoop rings near top/bottom
+    "wood_band_dark": 0.45,   # darkness of the central text band
+    "wood_band_y": 0.45,      # band center in sphere-v
+    "wood_band_h": 0.16,      # band height in sphere-v
+    "wood_band_g": 0.12,      # band green tint (the carved text)
 }
+
+
+def _wood_atlas(p: dict, size: int = 64) -> np.ndarray:
+    """(size, size, 4) linear-RGBA barrel-wood albedo from REPLICA_PARAMS.
+
+    Smooth functions of the fitted parameters only (no randomness), so
+    the golden-fit coordinate descent sees a continuous objective."""
+    f32 = np.float32
+    vv, uu = np.mgrid[0:size, 0:size].astype(np.float64) / size
+    shade = 1.0 - p["wood_stave_amp"] * (0.5 + 0.5 * np.sin(
+        2.0 * np.pi * 8.0 * uu))
+    for ring_v in (0.12, 0.88):
+        shade = shade - p["wood_ring_amp"] * np.exp(
+            -((vv - ring_v) / 0.05) ** 2)
+    band = 1.0 / (1.0 + np.exp(-(vv - (p["wood_band_y"]
+                                       - p["wood_band_h"] / 2)) / 0.02))
+    band = band * (1.0 / (1.0 + np.exp(
+        (vv - (p["wood_band_y"] + p["wood_band_h"] / 2)) / 0.02)))
+    shade = shade * (1.0 - p["wood_band_dark"] * band)
+    base = np.array([p["brown_r"], p["brown_g"], p["brown_b"]], np.float64)
+    rgb = base[None, None, :] * np.clip(shade, 0.03, 1.0)[..., None]
+    rgb[..., 1] = rgb[..., 1] + p["wood_band_g"] * band * shade
+    atlas = np.empty((size, size, 4), f32)
+    atlas[..., 0:3] = np.clip(rgb, 0.0, 1.0)
+    atlas[..., 3] = 1.0
+    return atlas
 
 
 def cornell_replica(
@@ -252,14 +288,14 @@ def cornell_replica(
         (p["fig_cx"], p["fig_base_h"] + p["fig_body_r"] * 1.06, p["fig_cz"]),
         p["fig_body_r"], BODY, sub=2,
     )
-    add_sphere(
-        (
-            p["fig_cx"],
-            p["fig_base_h"] + p["fig_body_r"] * 2.06 + p["fig_head_r"] * 0.46,
-            p["fig_cz"],
-        ),
-        p["fig_head_r"], BROWN, sub=2,
+    head_center = (
+        p["fig_cx"],
+        p["fig_base_h"] + p["fig_body_r"] * 2.06 + p["fig_head_r"] * 0.46,
+        p["fig_cz"],
     )
+    head_start = len(v0l)
+    add_sphere(head_center, p["fig_head_r"], BROWN, sub=2)
+    head_count = len(v0l) - head_start
     if include_monkey and os.path.exists(MONKEY_GLB):
         try:
             vs, ns = _load_monkey(
@@ -283,7 +319,22 @@ def cornell_replica(
         mat.extend([WHITE] * pad)
 
     n = len(v0l)
-    zuv = np.zeros((n, 2), f32)
+    # Spherical uvs on the barrel head only (every other material is
+    # unmapped, so its uvs never sample): u from the azimuth with the
+    # wrap seam on the -z (away-from-camera) side, v from height.
+    uvs = [np.zeros((n, 2), f32) for _ in range(3)]
+    cx, cy, cz = head_center
+    r_head = p["fig_head_r"]
+    for corner, verts in zip(uvs, (v0l, v1l, v2l)):
+        vv = np.asarray(verts[head_start:head_start + head_count],
+                        np.float64)
+        u = np.arctan2(vv[:, 0] - cx, vv[:, 2] - cz) / (2 * np.pi) + 0.5
+        v = np.clip((vv[:, 1] - cy) / (2 * r_head) + 0.5, 0.0, 1.0)
+        corner[head_start:head_start + head_count, 0] = u
+        corner[head_start:head_start + head_count, 1] = v
+    atlas = _wood_atlas(p)
+    albedo_rect = np.zeros((11, 4), np.int32)
+    albedo_rect[BROWN] = [0, 0, atlas.shape[1], atlas.shape[0]]
     base = np.array(
         [
             [0.8, 0.8, 0.8],       # white (cornell2 mat0)
@@ -315,8 +366,10 @@ def cornell_replica(
     return finalize_scene(
         np.asarray(v0l, f32), np.asarray(v1l, f32), np.asarray(v2l, f32),
         np.asarray(n0l, f32), np.asarray(n1l, f32), np.asarray(n2l, f32),
-        zuv, zuv, zuv,
+        uvs[0], uvs[1], uvs[2],
         np.asarray(mat, np.int32),
         base, metallic, roughness, emission, estrength, ior, transmission,
+        mat_albedo_rect=albedo_rect,
+        atlas=atlas,
         max_leaf_size=max_leaf_size, num_bins=num_bins,
     )
