@@ -97,6 +97,9 @@ BOUNDS = {
     "wood_band_dark": (0.0, 0.9), "wood_band_y": (0.1, 0.9),
     "wood_band_h": (0.02, 0.5), "wood_band_g": (0.0, 0.4),
     "chrome_r": (0.015, 0.08),
+    "brown_r": (0.0, 1.0), "brown_g": (0.0, 1.0), "brown_b": (0.0, 1.0),
+    "base_r": (0.0, 1.0), "base_g": (0.0, 1.0), "base_b": (0.0, 1.0),
+    "body_r": (0.0, 1.0), "body_g": (0.0, 1.0), "body_b": (0.0, 1.0),
     "glass1_r": (0.05, 0.4),
     "glass2_r": (0.04, 0.3),
     "fig_body_r": (0.08, 0.4),

@@ -130,28 +130,29 @@ def _load_monkey(center, scale: float, yaw: float = 0.0):
 REPLICA_PARAMS: dict[str, float] = {
     # Fitted by tools/replica_fit.py (coordinate-descent passes against
     # the golden, later ones at higher fidelity with shrinking steps:
-    # three at 192^2, then two at 256^2/48spp, the last after splitting
-    # the figurine body/head materials): official 512^2/256spp RMSE
-    # 0.164 (hand-placed) -> 0.1040 -> 0.0984. Geometry intent unchanged;
-    # values are the fitted optimum, except chrome_r where the fit's
-    # near-zero (0.005 — deleting the ball) was rejected in favor of the
-    # prior 0.015: the golden visibly contains the chrome ball.
-    "ped_cx": -0.4305, "ped_cz": -0.19, "ped_w": 0.3675, "ped_h": 0.8673,
+    # three at 192^2, then bounded passes at 256^2/48spp after splitting
+    # the figurine body/head materials and adding the procedural wood
+    # texture): official 512^2/256spp RMSE 0.164 (hand-placed) ->
+    # 0.1040 -> 0.0953. Geometry intent unchanged; values are the fitted
+    # optimum under the BOUNDS in tools/replica_fit.py (added after the
+    # unbounded fit twice tried to delete the chrome ball).
+    "ped_cx": -0.4305, "ped_cz": -0.174, "ped_w": 0.3675, "ped_h": 0.8673,
     "ped_d": 0.3, "ped_yaw": 4.0,
-    "glass1_r": 0.211,
-    "cube_cx": 0.538, "cube_cz": -0.42, "cube_s": 0.426, "cube_yaw": 47.6125,
+    "glass1_r": 0.224,
+    "cube_cx": 0.538, "cube_cz": -0.456, "cube_s": 0.426, "cube_yaw": 49.8875,
     "glass2_r": 0.0881,
     "chrome_cx": -0.0762, "chrome_cz": 0.2, "chrome_r": 0.015,
-    "fig_cx": 0.7388, "fig_cz": 0.36, "fig_base_w": 0.327, "fig_base_h": 0.117,
-    "fig_base_d": 0.505, "fig_body_r": 0.212, "fig_head_r": 0.204,
+    "fig_cx": 0.7326, "fig_cz": 0.385, "fig_base_w": 0.357,
+    "fig_base_h": 0.112, "fig_base_d": 0.583, "fig_body_r": 0.2082,
+    "fig_head_r": 0.191,
     "monkey_cx": -0.6087, "monkey_cz": 0.4856, "monkey_s": 0.28,
     "monkey_yaw": 8.0,
-    "light_strength": 21.9,
-    "brown_r": 0.328, "brown_g": 0.0363, "brown_b": 0.014,
-    "base_r": 0.3875, "base_g": 0.4575, "base_b": 0.4175,
+    "light_strength": 23.46,
+    "brown_r": 0.352, "brown_g": 0.0638, "brown_b": 0.0,
+    "base_r": 0.3875, "base_g": 0.47, "base_b": 0.4375,
     # Figurine body (grey-green in the golden, distinct from the brown
     # barrel head — visible in the side-by-side).
-    "body_r": 0.4, "body_g": 0.37, "body_b": 0.32,
+    "body_r": 0.4125, "body_g": 0.305, "body_b": 0.255,
     # Procedural wood texture on the barrel HEAD (the real texture is
     # stripped with the blob; the golden shows stave grain, dark hoops,
     # and a dark text band) — parameters are continuous so the fit's

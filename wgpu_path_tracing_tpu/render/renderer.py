@@ -128,6 +128,16 @@ class Renderer:
             self._scene_dev = SH.replicate_scene(packed, self.mesh)
         else:
             self._scene_dev = jax.device_put(packed)
+        # The statically-selected intersection strategy for this scene
+        # (ops/intersect.py::make_closest_hit tags it) — surfaced via
+        # stats() so forced-selection benches and VMEM-gate fallbacks
+        # (walk vs pairs) are observable without reading compile logs.
+        from wgpu_path_tracing_tpu.ops.intersect import make_closest_hit
+
+        self._strategy = make_closest_hit(
+            packed, self.config.intersector,
+            self.config.brute_force_max_tris,
+            self.config.max_leaf_size).strategy
         self.reset()
 
     def set_environment(self, source, intensity: float = 1.0,
@@ -576,6 +586,7 @@ class Renderer:
         secs = max(self._last_render_seconds, 1e-9)
         return {
             "frame_index": self.frame_index,
+            "intersector": getattr(self, "_strategy", None),
             "rays_closest": closest,
             "rays_shadow": shadow,
             "rays_total": closest + shadow,
