@@ -20,6 +20,10 @@ across rounds. The per-config lines cover BASELINE.json's five workloads:
                           EXTERNAL atlas mode (XLA-side HBM texel gather
                           feeding the Pallas bounce) — measures the cliff
                           the old VMEM atlas bound used to hide
+7. large-765k-paged       765k tris — past the resident walk's 80 MB VMEM
+                          gate: the PAGED walk (leaf slabs DMA'd from HBM
+                          per visit, double-buffered + prefetched) replaces
+                          the 12x-slower pair-dispatch fallback
 
 Each line: {"metric": "mrays_per_sec", "value": N, "unit": "Mrays/s",
 "vs_baseline": N, "scene": ..., ...}. Select configs with
@@ -125,7 +129,7 @@ def main():
     )
 
     dev = str(jax.devices()[0])
-    sel = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,headline")
+    sel = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,headline")
     sel = {s.strip() for s in sel.split(",")}
 
     if "1" in sel:
@@ -214,6 +218,24 @@ def main():
                "atlas": "512x512 external HBM texel gather (fat, congruent)",
                "mixedres_mrays": round(mrays2, 3),
                "perslot_mrays": round(mrays3, 3)})
+
+    if "7" in sel:
+        # Past WALK_VMEM_BUDGET_BYTES (walk tables ~133 MB): auto selects
+        # the PAGED walk — triangle slabs stay in HBM, each visited leaf
+        # group's ~16 KB slab is DMA'd into a double-buffered VMEM ring,
+        # prefetched one iteration ahead (ops/walk.py paged=True).
+        # Measured bit-identical to the resident walk at +3% on the 103k
+        # scene; end-to-end here it replaced the 0.123 Mrays/s pair
+        # dispatch. The same canvas/spp as the round-3 pairs smoke keeps
+        # the numbers comparable.
+        r = Renderer(RenderConfig(width=128, height=128,
+                                  frames_per_chunk=4, frames_per_trace=4))
+        r.load_scene(cornell_box(tessellation=150))  # 765,002 tris
+        assert r.stats()["intersector"] == "walk_hbm"
+        mrays, wall, rays = _bench_renderer(r, spp=4, warmup_spp=4)
+        _emit("large-765k-paged", mrays, wall, rays, 4,
+              {"device": dev, "tris": r.scene.num_triangles,
+               "intersector": "walk_hbm (paged leaf-slab DMA)"})
 
     if "headline" in sel:
         r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=128))

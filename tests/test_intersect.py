@@ -247,10 +247,12 @@ def test_bucket_reorder_machinery_exact():
 
 
 def test_auto_selection_vmem_gate(monkeypatch):
-    """make_closest_hit's auto mode picks the walk while its VMEM slabs
-    fit WALK_VMEM_BUDGET_BYTES and falls back to the pair dispatch past
-    it (the 765k-tri capability path, BASELINE.md). Exercised by shrinking
-    the budget on a small scene; the .strategy tag records the choice."""
+    """make_closest_hit's auto mode picks the resident walk while its
+    VMEM slabs fit WALK_VMEM_BUDGET_BYTES, the PAGED walk past it (tri
+    slabs stay in HBM), and the pair dispatch only once even the interior
+    tables outgrow PAGED_VMEM_BUDGET_BYTES (BASELINE.md capability
+    ladder). Exercised by shrinking the budgets on a small scene; the
+    .strategy tag records the choice."""
     import jax
     from wgpu_path_tracing_tpu.models.procedural import cornell_box
     from wgpu_path_tracing_tpu.models.types import pack_device_scene
@@ -263,6 +265,12 @@ def test_auto_selection_vmem_gate(monkeypatch):
     ch = I.make_closest_hit(scene, "auto", brute_max_tris=64, leaf_size=4)
     assert ch.strategy == "walk"
     monkeypatch.setattr(I, "WALK_VMEM_BUDGET_BYTES", 1024)
+    ch = I.make_closest_hit(scene, "auto", brute_max_tris=64, leaf_size=4)
+    assert ch.strategy == "walk_hbm"
+    ch = I.make_closest_hit(scene, "walk_hbm", brute_max_tris=64,
+                            leaf_size=4)
+    assert ch.strategy == "walk_hbm"
+    monkeypatch.setattr(I, "PAGED_VMEM_BUDGET_BYTES", 1024)
     ch = I.make_closest_hit(scene, "auto", brute_max_tris=64, leaf_size=4)
     assert ch.strategy == "pairs"
     # Forced walk ignores the budget; brute threshold wins below it.

@@ -350,3 +350,44 @@ def test_walk_width16_exact(scene):
     wb8 = build_wide_bvh(sc.bvh_aabb_min, sc.bvh_aabb_max, sc.bvh_meta,
                          tri, prefer_native=False)
     assert wb.meta.shape[0] < wb8.meta.shape[0]
+
+
+@pytest.mark.parametrize("bn,ways", [(256, 1), (256, 2)])
+def test_walk_paged_bitmatches_resident(scene, bn, ways):
+    """paged=True (leaf slabs in HBM, DMA'd into the double-buffered VMEM
+    ring with one-iteration prefetch) must be BIT-identical to the
+    resident walk: the traversal math is shared; only residency changes.
+    Multiple grid steps (small bn) exercise ring/semaphore reuse across
+    blocks; ways=2 exercises per-way slot isolation."""
+    ro, rd = _aimed_rays(scene["tri_isect"], 1024)
+    nt = scene["tri_isect"].shape[0]
+    kw = dict(num_tris=nt, interpret=True, bn=bn, ways=ways)
+    t_r, i_r = closest_hit_walk(*_walk_args(scene), ro, rd, **kw)
+    t_p, i_p = closest_hit_walk(*_walk_args(scene), ro, rd, paged=True,
+                                **kw)
+    np.testing.assert_array_equal(np.asarray(t_r), np.asarray(t_p))
+    np.testing.assert_array_equal(np.asarray(i_r), np.asarray(i_p))
+
+
+def test_walk_paged_shadow_and_active(scene):
+    """Paged mode under any_hit early-stop and inactive lanes: occlusion
+    decisions match the resident walk (the culled-but-fetched slot class —
+    a prefetch whose pop is culled by the tightened limit — must still
+    consume its semaphore or later blocks would read stale slabs)."""
+    ro, rd = _aimed_rays(scene["tri_isect"], 512, seed=2)
+    nt = scene["tri_isect"].shape[0]
+    t_max = jnp.full((512,), 12.0)
+    t_r, _ = closest_hit_walk(*_walk_args(scene), ro, rd, t_max=t_max,
+                              any_hit=True, num_tris=nt, interpret=True,
+                              bn=256)
+    t_p, _ = closest_hit_walk(*_walk_args(scene), ro, rd, t_max=t_max,
+                              any_hit=True, num_tris=nt, interpret=True,
+                              bn=256, paged=True)
+    np.testing.assert_array_equal(np.asarray(t_p) < 12.0,
+                                  np.asarray(t_r) < 12.0)
+    active = jnp.asarray(np.arange(512) % 2 == 0)
+    t_p, i_p = closest_hit_walk(*_walk_args(scene), ro, rd, active=active,
+                                num_tris=nt, interpret=True, bn=256,
+                                paged=True)
+    assert np.all(np.asarray(i_p)[~np.asarray(active)] == -1)
+    assert np.asarray(i_p)[np.asarray(active)].max() >= 0

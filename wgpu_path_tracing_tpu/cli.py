@@ -284,7 +284,7 @@ def main(argv=None) -> int:
     pr.add_argument("--rng", choices=("reference", "hash", "stratified"), default="reference")
     pr.add_argument("--intersector",
                     choices=("auto", "brute", "bvh", "cluster", "stack",
-                             "walk", "pairs", "phased"),
+                             "walk", "walk_hbm", "pairs", "phased"),
                     default="auto")
     pr.add_argument("--preview", nargs="?", const="", default=None,
                     metavar="PATH",
@@ -334,7 +334,7 @@ def main(argv=None) -> int:
     pv.add_argument("--env-rotation", type=float, default=0.0)
     pv.add_argument("--intersector",
                     choices=("auto", "brute", "bvh", "cluster", "stack",
-                             "walk", "pairs", "phased"),
+                             "walk", "walk_hbm", "pairs", "phased"),
                     default="auto")
     pv.add_argument("--spot-lights", action="store_true",
                     help="render KHR spot lights (extension; the reference "

@@ -316,11 +316,27 @@ REORDER_POS_BITS = 2  # bucket-reorder key: direction octant (3 bits) +
 REORDER_MIN_NODES = 128  # wide-node count below which the bucket
 # reorder is a net loss (glass_box: 48 nodes, sort cost > union win)
 
-WALK_VMEM_BUDGET_BYTES = 80 * 1024 * 1024  # auto selects the walk only
-# while its node+triangle slabs fit comfortably in VMEM alongside the ray
-# block; past it (e.g. 765k tris -> 140.7 MB of tables) the entry-sorted
-# pair dispatch takes over (unbounded scene size, measured 0.123 Mrays/s
-# at 765k vs the walk's VMEM-bound production path).
+WALK_VMEM_BUDGET_BYTES = 80 * 1024 * 1024  # auto selects the resident
+# walk only while its node+triangle slabs fit comfortably in VMEM
+# alongside the ray block; past it (e.g. 765k tris -> 140.7 MB of
+# tables) the PAGED walk takes over (triangle slabs stay in HBM and are
+# DMA'd per leaf visit, double-buffered and prefetched one iteration
+# ahead — ops/walk.py paged=True). Only scenes whose INTERIOR tables
+# also outgrow VMEM (PAGED_VMEM_BUDGET_BYTES, ~7M tris) or whose trees
+# are too deep for walk tables at all fall back to the entry-sorted
+# pair dispatch (unbounded scene size, measured 0.123 Mrays/s at 765k).
+
+PAGED_VMEM_BUDGET_BYTES = 48 * 1024 * 1024  # paged-walk ceiling on the
+# VMEM-resident share (walk_boxes octant slabs; ~2 KB per wide node at
+# width 8, so this admits ~24k nodes / ~7M triangles).
+
+WALK_SMEM_BUDGET_BYTES = 960 * 1024  # the per-octant ordered-meta table
+# rides SMEM (scalar prefetch; 1 MB per core, minus ~4 KB of stack/mask
+# scratch). Unpacked (resident walk) it costs 256 B/node -> ~3.8k nodes;
+# the paged walk packs two int16 metas per word (128 B/node -> ~7.7k
+# nodes, ~1M triangles). Auto selection checks this bound for BOTH modes
+# (a 765k-tri tree measured 5664 nodes = 1.45 MB unpacked: the compile
+# fails with "prefetched SMEM operand" past 1 MB).
 
 COMPACT_DIVS = (2, 8, 32, 128)  # geometric tier ladder: pack the alive
 # rays into the smallest n/div lane set that holds them. Measured (round
@@ -596,11 +612,40 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
         walk_bytes = (
             _nbytes(scene["walk_tris"]) + _nbytes(scene["walk_boxes"])
         ) if have_walk else 1 << 62
-        use_walk = have_walk and (
-            intersector == "walk"
-            or (intersector == "auto"
-                and walk_bytes <= WALK_VMEM_BUDGET_BYTES)
+        order_bytes = (
+            _nbytes(scene["walk_order"]) if have_walk else 1 << 62
         )
+        # Resident walk: node+tri slabs in VMEM, unpacked order in SMEM.
+        resident_fits = (
+            have_walk
+            and walk_bytes <= WALK_VMEM_BUDGET_BYTES
+            and order_bytes <= WALK_SMEM_BUDGET_BYTES
+        )
+        # Paged walk: tri slabs stay in HBM (per-visit DMA), boxes in
+        # VMEM, 16-bit-packed order in SMEM. Metas must fit int16: nodes
+        # are bounded by the SMEM budget itself; leaf-group ids by shape.
+        if have_walk:
+            from wgpu_path_tracing_tpu.accel.bvh8 import (
+                SUB,
+                group_rows,
+            )
+
+            n_groups = scene["walk_tris"].shape[0] // group_rows(SUB)
+        paged_fits = (
+            have_walk
+            and order_bytes // 2 <= WALK_SMEM_BUDGET_BYTES
+            and scene["walk_order"].shape[0] < 32768
+            and n_groups < 32768
+            and _nbytes(scene["walk_boxes"]) <= PAGED_VMEM_BUDGET_BYTES
+        )
+        use_paged = (
+            intersector == "walk_hbm"
+            or (intersector == "auto" and paged_fits and not resident_fits)
+        ) and have_walk
+        use_walk = use_paged or (have_walk and (
+            intersector == "walk"
+            or (intersector == "auto" and resident_fits)
+        ))
         if use_walk:
             from wgpu_path_tracing_tpu.accel.bvh8 import pops_for_tree
             from wgpu_path_tracing_tpu.ops.walk import closest_hit_walk
@@ -624,6 +669,7 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
                     num_tris=num_tris,
                     any_hit=any_hit,
                     pops=walk_pops,
+                    paged=use_paged,
                 )
 
         else:
@@ -652,7 +698,9 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
         closest_hit = _with_tail_compaction(
             _walk_inner, scene["bvh_aabb"][0], use_reorder=big_tree
         )
-        closest_hit.strategy = "walk" if use_walk else "pairs"
+        closest_hit.strategy = (
+            "walk_hbm" if use_paged else "walk" if use_walk else "pairs"
+        )
 
     else:
         bvh_nodes = jnp.concatenate(

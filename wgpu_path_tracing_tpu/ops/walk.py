@@ -163,12 +163,16 @@ def mt_subcluster(tri_ref, r0, lo, hi, ox, oy, oz, dx, dy, dz):
 def _walk_kernel(bn: int, max_stack: int, stats: bool,
                  leaf_slots: int = LEAF_SLOTS, sub: int = SUB,
                  ways: int = 1, any_hit: bool = False, pops: int = POPS,
-                 width: int = WIDTH):
+                 width: int = WIDTH, paged: bool = False):
     sub_w = leaf_slots // sub
     grows = group_rows(sub)
 
     def kernel(ord_ref, rays_ref, lim_ref, box_ref, tri_ref,
                t_out, i_out, *rest):
+        if paged:
+            *rest, tri_slab, dma_sem = rest
+        else:
+            tri_slab = dma_sem = None
         if stats:
             (stat_out, best_t, best_i, limcur, oct_s, pk, wbq, stack,
              stack_tq) = rest
@@ -176,6 +180,42 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
             (best_t, best_i, limcur, oct_s, pk, wbq, stack,
              stack_tq) = rest
             stat_out = None
+
+        def slot_base(w, parity, k):
+            # Double-buffered slab ring: per way, ``pops`` slots per
+            # parity. The product form keeps the row base provably
+            # grows-aligned for Mosaic's dynamic sublane loads; parity is
+            # a Python int during the warm-up prefetch, traced afterwards.
+            idx = ((w * 2 + parity) * pops + k) * grows
+            return idx if isinstance(idx, int) else pl.multiple_of(
+                idx, grows
+            )
+
+        def slab_dma(w, parity, k, g):
+            # One leaf group's whole slab (grows x lanes, ~16 KB):
+            # HBM -> VMEM ring slot. Started at push-peek time (end of
+            # the PREVIOUS iteration), waited right before the sub-box
+            # gate, so the transfer overlaps an iteration of compute.
+            return pltpu.make_async_copy(
+                tri_ref.at[pl.ds(g * grows, grows), :],
+                tri_slab.at[pl.ds(slot_base(w, parity, k), grows), :],
+                dma_sem.at[w, parity * pops + k],
+            )
+
+        def peek_and_start(w, parity, sp):
+            # Prefetch the slabs the NEXT iteration's pops will need: the
+            # top ``pops`` stack entries are exactly what it pops, and the
+            # stack does not change until its own push phase. The start
+            # predicate (valid slot holding a leaf) is recomputed
+            # bit-identically at wait time so every started DMA is waited
+            # exactly once — pop-time CULLING must not skip the wait.
+            for k in range(pops):
+                pos = sp - 1 - k
+                nd = stack[w, jnp.maximum(pos, 0)]
+
+                @pl.when((pos >= 0) & (nd < 0))
+                def _start(w=w, parity=parity, k=k, nd=nd):
+                    slab_dma(w, parity, k, -nd - 1).start()
 
         # ``ways`` independent ray blocks walk the tree concurrently inside
         # one grid step, each with its own stack/limit/octant state. The
@@ -242,6 +282,13 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
             y.oc = oct_s[w] // width  # octant (hoisted out of the walk)
             y.oc8 = oct_s[w]  # octant * width (ordered-meta row base)
 
+        if paged:
+            # Warm-up prefetch for iteration 0 (parity 0): the stack holds
+            # only the root (interior), so this usually starts nothing,
+            # but the predicate is the same one every iteration uses.
+            for w in range(ways):
+                peek_and_start(w, 0, jnp.int32(1))
+
         def entry_tn(y, slab):
             # slab: (rows, 8) child-major bounds rows [min3|max3]; returns
             # (rows, 1) block-min entry distance (inf = no ray enters).
@@ -260,7 +307,13 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
 
         def one_pass(carry):
             sps = list(carry[:ways])
-            n_int, n_leaf, n_sub = carry[ways:]
+            if paged:
+                it = carry[ways]
+                parity = it & 1
+                n_int, n_leaf, n_sub = carry[ways + 1:]
+            else:
+                parity = None
+                n_int, n_leaf, n_sub = carry[ways:]
 
             # Phase 1 (scalar): pop the top ``pops`` entries per way in one
             # go. All pops read the stack BEFORE any of this iteration's
@@ -279,6 +332,10 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                     e.live = (pos >= 0) & (stack_tq[w, safe_pos] <= wbq[w])
                     e.is_interior = e.live & (e.node >= 0)
                     e.is_leaf = e.live & (e.node < 0)
+                    # Paged mode: a slab DMA was started for this slot iff
+                    # it held a leaf, INDEPENDENT of pop-time culling —
+                    # the wait predicate must match the start predicate.
+                    e.fetched = (pos >= 0) & (e.node < 0)
                     e.safe_nid = jnp.where(e.node >= 0, e.node, 0)
                     y.ent.append(e)
                     n_int = n_int + e.is_interior.astype(jnp.int32)
@@ -323,20 +380,52 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                                 jnp.where(kcol // 2 == wd, val, 0)
                             )
 
-                    @pl.when(e.is_leaf)
-                    def _leaf(w=w, y=y, e=e, om=om):
-                        g = -e.node - 1
-                        r0 = g * grows
-                        # Sub-cluster boxes: rows 16..16+sub (8-aligned),
-                        # lanes 0..5.
-                        sb = tri_ref[pl.ds(r0 + 16, sub), 0:8]  # (sub, 8)
-                        sub_tn = entry_tn(y, sb)  # (sub, 1)
-                        ccol = jax.lax.broadcasted_iota(
-                            jnp.int32, (sub, 1), 0
-                        )
-                        pk[w, om] = jnp.sum(
-                            jnp.where(sub_tn < INF, jnp.int32(1) << ccol, 0)
-                        )
+                    if not paged:
+
+                        @pl.when(e.is_leaf)
+                        def _leaf(w=w, y=y, e=e, om=om):
+                            g = -e.node - 1
+                            r0 = g * grows
+                            # Sub-cluster boxes: rows 16..16+sub
+                            # (8-aligned), lanes 0..5.
+                            sb = tri_ref[pl.ds(r0 + 16, sub), 0:8]
+                            sub_tn = entry_tn(y, sb)  # (sub, 1)
+                            ccol = jax.lax.broadcasted_iota(
+                                jnp.int32, (sub, 1), 0
+                            )
+                            pk[w, om] = jnp.sum(
+                                jnp.where(
+                                    sub_tn < INF, jnp.int32(1) << ccol, 0
+                                )
+                            )
+
+            if paged:
+                # Leaf gates run AFTER every interior gate has issued: the
+                # interior vector work overlaps the tail of the slab DMAs,
+                # and the scalar core blocks on each slot's semaphore only
+                # right before its data is read.
+                for w, y in enumerate(wv):
+                    for k, e in enumerate(y.ent):
+                        om = k * width + width // 2
+
+                        @pl.when(e.fetched)
+                        def _wait(w=w, e=e, k=k, parity=parity):
+                            slab_dma(w, parity, k, -e.node - 1).wait()
+
+                        @pl.when(e.is_leaf)
+                        def _leaf(w=w, y=y, e=e, k=k, om=om,
+                                  parity=parity):
+                            sb0 = slot_base(w, parity, k)
+                            sb = tri_slab[pl.ds(sb0 + 16, sub), 0:8]
+                            sub_tn = entry_tn(y, sb)  # (sub, 1)
+                            ccol = jax.lax.broadcasted_iota(
+                                jnp.int32, (sub, 1), 0
+                            )
+                            pk[w, om] = jnp.sum(
+                                jnp.where(
+                                    sub_tn < INF, jnp.int32(1) << ccol, 0
+                                )
+                            )
 
             # Phase 3: per way, consume the packed words — Moller-Trumbore
             # per entered sub-cluster of each leaf entry (in pop order, so
@@ -355,15 +444,17 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                         n_sub = n_sub + hit_sub.astype(jnp.int32)
 
                         @pl.when(hit_sub)
-                        def _mt(c=c, w=w, y=y, e=e):
+                        def _mt(c=c, w=w, y=y, e=e, k=k, parity=parity):
                             # MT math shared with the phased kernel via
                             # module-level mt_subcluster (exactness
                             # equivalence is load-bearing).
-                            g = -e.node - 1
-                            r0 = g * grows
+                            if paged:
+                                src, r0 = tri_slab, slot_base(w, parity, k)
+                            else:
+                                src, r0 = tri_ref, (-e.node - 1) * grows
                             lo, hi = c * sub_w, (c + 1) * sub_w
                             min_t, min_idx = mt_subcluster(
-                                tri_ref, r0, lo, hi,
+                                src, r0, lo, hi,
                                 y.ox, y.oy, y.oz, y.dx, y.dy, y.dz,
                             )
                             cur = best_t[0:1, y.s]
@@ -414,7 +505,23 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                     for j in range(width):
                         tq_c = (pk[w, k * width + j // 2]
                                 >> (16 * (j % 2))) & 0xFFFF
-                        m = ord_ref[e.safe_nid, y.oc8 + j]
+                        if paged:
+                            # Packed FLAT order table (two int16 metas
+                            # per word, halving the 1 MB SMEM bound's
+                            # node ceiling; flat because SMEM rows pad
+                            # to 256 B — a (Nn, 32) layout measured the
+                            # same allocation as (Nn, 64)): oc8 is even,
+                            # so the half index j % 2 is static.
+                            # Sign-extend two's complement (leaf metas
+                            # are negative).
+                            mw = ord_ref[
+                                e.safe_nid * (width * 4)
+                                + y.oc8 // 2 + j // 2
+                            ]
+                            m_raw = (mw >> (16 * (j % 2))) & 0xFFFF
+                            m = m_raw - ((m_raw & 0x8000) << 1)
+                        else:
+                            m = ord_ref[e.safe_nid, y.oc8 + j]
                         do_push = (
                             e.is_interior
                             & (((msk >> j) & 1) != 0)
@@ -433,7 +540,14 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                             sp + do_push.astype(jnp.int32), max_stack
                         )
                 sps[w] = sp
+                if paged:
+                    # The stack is final for this way: prefetch the slabs
+                    # the NEXT iteration's pops will consume (other
+                    # parity's slots — this iteration's are done).
+                    peek_and_start(w, 1 - parity, sp)
 
+            if paged:
+                return (*sps, it + 1, n_int, n_leaf, n_sub)
             return (*sps, n_int, n_leaf, n_sub)
 
         def body(carry):
@@ -449,9 +563,10 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
             cond,
             body,
             tuple([jnp.int32(1)] * ways)
+            + ((jnp.int32(0),) if paged else ())
             + (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
         )
-        n_int, n_leaf, n_sub = out[ways:]
+        n_int, n_leaf, n_sub = out[ways + 1 if paged else ways:]
 
         t_out[...] = best_t[...]
         i_out[...] = best_i[...]
@@ -468,7 +583,7 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("num_tris", "any_hit", "interpret", "bn", "stats",
-                     "leaf_slots", "sub", "ways", "pops"),
+                     "leaf_slots", "sub", "ways", "pops", "paged"),
 )
 def closest_hit_walk(
     walk_order,
@@ -487,8 +602,19 @@ def closest_hit_walk(
     sub: int = SUB,
     ways: int = WAYS,
     pops: int = POPS,
+    paged: bool = False,
 ):
     """Wide-BVH block walk closest hit. Returns (t, idx); idx == -1 on miss.
+
+    ``paged=True`` leaves walk_tris in HBM and DMAs each visited leaf
+    group's slab into a double-buffered VMEM ring, prefetched one
+    iteration ahead (the top-of-stack entries a pop will consume are
+    known at the previous iteration's push time). Traversal math and
+    results are identical to the resident mode; only the residency of
+    the triangle slabs changes, lifting the VMEM ceiling on scene size
+    (the resident mode needs node+tri slabs <= ~80 MB; paged needs only
+    the interior tables). The per-visit DMA (~16 KB) largely overlaps
+    the interior gate work; see BASELINE.md for measured overhead.
 
     walk_order (Nn, 64) i32 (per-octant ordered child metas — the only
     scalar table the kernel needs), walk_boxes (Nn*64, 8) f32, walk_tris
@@ -537,6 +663,20 @@ def closest_hit_walk(
     )  # (16, np_): o, d, 1/d component rows, rays on lanes
     lim = limit0.reshape(1, np_)
 
+    if paged:
+        # Pack the per-octant ordered metas two-per-word (int16 halves,
+        # low = even push slot): the order table rides SMEM (scalar
+        # prefetch, 1 MB), and at 256 B/node the unpacked form caps the
+        # tree at ~4k wide nodes (~550k tris); packed doubles that. The
+        # selection gate (ops/intersect.py PAGED_MAX_ORDER_NODES)
+        # guarantees every meta fits int16.
+        ord_in = (
+            ((walk_order[:, 1::2] & 0xFFFF) << 16)
+            | (walk_order[:, 0::2] & 0xFFFF)
+        ).reshape(-1)
+    else:
+        ord_in = walk_order
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -547,8 +687,9 @@ def closest_hit_walk(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(walk_boxes.shape, lambda p, o: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(walk_tris.shape, lambda p, o: (0, 0),
-                         memory_space=pltpu.VMEM),
+            (pl.BlockSpec(memory_space=pl.ANY) if paged else
+             pl.BlockSpec(walk_tris.shape, lambda p, o: (0, 0),
+                          memory_space=pltpu.VMEM)),
         ],
         out_specs=[
             pl.BlockSpec((1, step), lambda p, o: (0, p),
@@ -567,11 +708,19 @@ def closest_hit_walk(
             pltpu.SMEM((ways,), jnp.int32),  # worst live limit, 16-bit key
             pltpu.SMEM((ways, MAX_STACK), jnp.int32),  # DFS stacks
             pltpu.SMEM((ways, MAX_STACK), jnp.int32),  # entry keys at push
-        ],
+        ] + ([
+            # Paged mode: double-buffered leaf-slab ring + DMA semaphores
+            # (per way, ``pops`` slots per parity).
+            pltpu.VMEM(
+                (ways * 2 * pops * group_rows(sub), walk_tris.shape[1]),
+                jnp.float32,
+            ),
+            pltpu.SemaphoreType.DMA((ways, 2 * pops)),
+        ] if paged else []),
     )
     outs = pl.pallas_call(
         _walk_kernel(bn, MAX_STACK, stats, leaf_slots, sub, ways, any_hit,
-                     pops, width),
+                     pops, width, paged),
         grid_spec=grid_spec,
         # The scene tables are deliberately VMEM-resident (loaded once,
         # reused every grid step); v5e has 128 MiB of VMEM, well above the
@@ -585,7 +734,7 @@ def closest_hit_walk(
         ] + ([jax.ShapeDtypeStruct((8, nb * 128), jnp.int32)]
              if stats else []),
         interpret=interpret,
-    )(walk_order, rays, lim, walk_boxes, walk_tris)
+    )(ord_in, rays, lim, walk_boxes, walk_tris)
     t_row, i_row = outs[0], outs[1]
 
     t = t_row[0, :n]

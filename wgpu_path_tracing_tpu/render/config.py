@@ -63,7 +63,7 @@ class RenderConfig:
 
     # TPU execution
     rng: str = "reference"  # "reference" | "hash" | "stratified"
-    intersector: str = "auto"  # "auto"|"brute"|"walk"|"phased"|"pairs"|"bvh"|"cluster"|"stack"
+    intersector: str = "auto"  # "auto"|"brute"|"walk"|"walk_hbm"|"phased"|"pairs"|"bvh"|"cluster"|"stack"
     bounce_kernel: str = "auto"  # "auto" | "pallas" | "xla"
     brute_force_max_tris: int = 4096  # "auto" threshold (Pallas dense wins up to here)
     frames_per_chunk: int = 16
@@ -90,8 +90,8 @@ class RenderConfig:
         assert self.width > 0 and self.height > 0
         assert self.rng in ("reference", "hash", "stratified")
         assert self.intersector in (
-            "auto", "brute", "walk", "phased", "pairs", "bvh", "cluster",
-            "stack"
+            "auto", "brute", "walk", "walk_hbm", "phased", "pairs", "bvh",
+            "cluster", "stack"
         )
         assert self.bounce_kernel in ("auto", "pallas", "xla")
         assert self.mode in ("pt", "bvh_depth", "normal")
