@@ -10,6 +10,16 @@ the hierarchy — the in-path culling flat pair lists cannot express
 (TODO.md: per-ray-perfect flat lists still test ~3.3k tris/ray vs a true
 ordered walk's ~108).
 
+``paged=True`` lifts the VMEM ceiling on scene size: the triangle slabs
+stay in HBM and each visited leaf group's slab is DMA'd into a
+double-buffered VMEM ring, prefetched one iteration ahead (the top
+``pops`` stack entries at push time are exactly the next iteration's
+pops). Measured bit-identical at +3.2% on the 103k scene — the DMA hides
+behind the per-visit gate+MT work (BASELINE.md). The interior tables
+still ride VMEM (boxes) and SMEM (order, int16-packed in paged mode:
+SMEM's 1 MB bounds the tree at ~7.7k wide nodes ≈ 1M triangles —
+ops/intersect.py gates selection on both bounds).
+
 Shapes (v5e vreg = 8 sublanes x 128 lanes):
 
 * rays ride SUBLANES: the (bn, 16) block holds [o, d, 1/d] per ray row;
