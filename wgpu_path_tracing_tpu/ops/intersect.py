@@ -332,11 +332,14 @@ PAGED_VMEM_BUDGET_BYTES = 48 * 1024 * 1024  # paged-walk ceiling on the
 
 WALK_SMEM_BUDGET_BYTES = 960 * 1024  # the per-octant ordered-meta table
 # rides SMEM (scalar prefetch; 1 MB per core, minus ~4 KB of stack/mask
-# scratch). Unpacked (resident walk) it costs 256 B/node -> ~3.8k nodes;
-# the paged walk packs two int16 metas per word (128 B/node -> ~7.7k
-# nodes, ~1M triangles). Auto selection checks this bound for BOTH modes
-# (a 765k-tri tree measured 5664 nodes = 1.45 MB unpacked: the compile
-# fails with "prefetched SMEM operand" past 1 MB).
+# scratch), and Mosaic DOUBLE-BUFFERS prefetched operands (measured: the
+# 765k tree's 2825 wide nodes x 256 B unpacked = 0.72 MB allocates
+# 1,449,984 B = 2x and fails "prefetched SMEM operand > 1 MB"; the
+# flat int16-packed table at 0.36 MB allocates 0.72 MB and compiles).
+# 2D operands additionally pad each row to 256 B — which is why the
+# paged walk packs into a FLAT table. Effective ceilings (alloc = 2x
+# table): resident walk 512 B/node -> ~1.9k nodes; paged walk 256 B/node
+# -> ~3.8k nodes (~1M triangles at the measured ~270 tris/node).
 
 COMPACT_DIVS = (2, 8, 32, 128)  # geometric tier ladder: pack the alive
 # rays into the smallest n/div lane set that holds them. Measured (round
@@ -619,7 +622,7 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
         resident_fits = (
             have_walk
             and walk_bytes <= WALK_VMEM_BUDGET_BYTES
-            and order_bytes <= WALK_SMEM_BUDGET_BYTES
+            and order_bytes * 2 <= WALK_SMEM_BUDGET_BYTES
         )
         # Paged walk: tri slabs stay in HBM (per-visit DMA), boxes in
         # VMEM, 16-bit-packed order in SMEM. Metas must fit int16: nodes
@@ -633,7 +636,7 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
             n_groups = scene["walk_tris"].shape[0] // group_rows(SUB)
         paged_fits = (
             have_walk
-            and order_bytes // 2 <= WALK_SMEM_BUDGET_BYTES
+            and order_bytes <= WALK_SMEM_BUDGET_BYTES
             and scene["walk_order"].shape[0] < 32768
             and n_groups < 32768
             and _nbytes(scene["walk_boxes"]) <= PAGED_VMEM_BUDGET_BYTES

@@ -17,7 +17,8 @@ double-buffered VMEM ring, prefetched one iteration ahead (the top
 pops). Measured bit-identical at +3.2% on the 103k scene — the DMA hides
 behind the per-visit gate+MT work (BASELINE.md). The interior tables
 still ride VMEM (boxes) and SMEM (order, int16-packed in paged mode:
-SMEM's 1 MB bounds the tree at ~7.7k wide nodes ≈ 1M triangles —
+SMEM's 1 MB — holding 2x the table, Mosaic double-buffers prefetched
+operands — bounds the tree at ~3.8k wide nodes ≈ 1M triangles;
 ops/intersect.py gates selection on both bounds).
 
 Shapes (v5e vreg = 8 sublanes x 128 lanes):
@@ -517,13 +518,16 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                                 >> (16 * (j % 2))) & 0xFFFF
                         if paged:
                             # Packed FLAT order table (two int16 metas
-                            # per word, halving the 1 MB SMEM bound's
-                            # node ceiling; flat because SMEM rows pad
-                            # to 256 B — a (Nn, 32) layout measured the
-                            # same allocation as (Nn, 64)): oc8 is even,
-                            # so the half index j % 2 is static.
-                            # Sign-extend two's complement (leaf metas
-                            # are negative).
+                            # per word, doubling the 1 MB SMEM bound's
+                            # node ceiling; flat because 2D prefetched
+                            # SMEM operands pad each row to 256 B — a
+                            # (Nn, 32) layout measured the same
+                            # allocation as (Nn, 64); Mosaic also
+                            # DOUBLE-BUFFERS the operand, so alloc = 2x
+                            # table bytes — ops/intersect.py gates on
+                            # that): oc8 is even, so the half index
+                            # j % 2 is static. Sign-extend two's
+                            # complement (leaf metas are negative).
                             mw = ord_ref[
                                 e.safe_nid * (width * 4)
                                 + y.oc8 // 2 + j // 2
