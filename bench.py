@@ -231,11 +231,13 @@ def main():
         r = Renderer(RenderConfig(width=128, height=128,
                                   frames_per_chunk=4, frames_per_trace=4))
         r.load_scene(cornell_box(tessellation=150))  # 765,002 tris
-        assert r.stats()["intersector"] == "walk_hbm"
         mrays, wall, rays = _bench_renderer(r, spp=4, warmup_spp=4)
+        # Record the ACTUAL auto-selected strategy (expected walk_hbm) so
+        # a selection regression shows in the numbers instead of crashing
+        # the bench mid-run.
         _emit("large-765k-paged", mrays, wall, rays, 4,
               {"device": dev, "tris": r.scene.num_triangles,
-               "intersector": "walk_hbm (paged leaf-slab DMA)"})
+               "intersector": r.stats()["intersector"]})
 
     if "headline" in sel:
         r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=128))

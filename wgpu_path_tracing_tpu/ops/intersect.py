@@ -321,14 +321,17 @@ WALK_VMEM_BUDGET_BYTES = 80 * 1024 * 1024  # auto selects the resident
 # alongside the ray block; past it (e.g. 765k tris -> 140.7 MB of
 # tables) the PAGED walk takes over (triangle slabs stay in HBM and are
 # DMA'd per leaf visit, double-buffered and prefetched one iteration
-# ahead — ops/walk.py paged=True). Only scenes whose INTERIOR tables
-# also outgrow VMEM (PAGED_VMEM_BUDGET_BYTES, ~7M tris) or whose trees
-# are too deep for walk tables at all fall back to the entry-sorted
-# pair dispatch (unbounded scene size, measured 0.123 Mrays/s at 765k).
+# ahead — ops/walk.py paged=True). The paged walk's BINDING ceiling is
+# the SMEM order-table bound below (~3.8k nodes = ~1M tris); past it,
+# and for trees too deep for walk tables at all, the entry-sorted pair
+# dispatch takes over (unbounded scene size, measured 0.123 Mrays/s at
+# 765k before paging).
 
 PAGED_VMEM_BUDGET_BYTES = 48 * 1024 * 1024  # paged-walk ceiling on the
-# VMEM-resident share (walk_boxes octant slabs; ~2 KB per wide node at
-# width 8, so this admits ~24k nodes / ~7M triangles).
+# VMEM-resident share (walk_boxes octant slabs, ~2 KB per wide node at
+# width 8). A backstop only: the SMEM order bound (~3.8k nodes) always
+# fires ~6x earlier at production leaf fill; this guards pathological
+# node/leaf ratios.
 
 WALK_SMEM_BUDGET_BYTES = 960 * 1024  # the per-octant ordered-meta table
 # rides SMEM (scalar prefetch; 1 MB per core, minus ~4 KB of stack/mask
@@ -634,6 +637,8 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
             )
 
             n_groups = scene["walk_tris"].shape[0] // group_rows(SUB)
+        else:
+            n_groups = 1 << 30  # no tables: every paged bound fails
         paged_fits = (
             have_walk
             and order_bytes <= WALK_SMEM_BUDGET_BYTES

@@ -313,6 +313,19 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                 jnp.where(enter, tn, INF), axis=1, keepdims=True
             )
 
+        def leaf_gate(w, y, om, src, row0):
+            # The ONE sub-box gate definition for both residencies (the
+            # paged/resident bit-identity contract is load-bearing for
+            # kernel selection): slab rows row0+16..row0+16+sub hold the
+            # sub-cluster boxes on lanes 0..5; writes the entered bitmask
+            # to the entry's packed-word SMEM slot.
+            sb = src[pl.ds(row0 + 16, sub), 0:8]
+            sub_tn = entry_tn(y, sb)  # (sub, 1)
+            ccol = jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0)
+            pk[w, om] = jnp.sum(
+                jnp.where(sub_tn < INF, jnp.int32(1) << ccol, 0)
+            )
+
         class Entry:
             pass
 
@@ -395,20 +408,10 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
 
                         @pl.when(e.is_leaf)
                         def _leaf(w=w, y=y, e=e, om=om):
-                            g = -e.node - 1
-                            r0 = g * grows
                             # Sub-cluster boxes: rows 16..16+sub
                             # (8-aligned), lanes 0..5.
-                            sb = tri_ref[pl.ds(r0 + 16, sub), 0:8]
-                            sub_tn = entry_tn(y, sb)  # (sub, 1)
-                            ccol = jax.lax.broadcasted_iota(
-                                jnp.int32, (sub, 1), 0
-                            )
-                            pk[w, om] = jnp.sum(
-                                jnp.where(
-                                    sub_tn < INF, jnp.int32(1) << ccol, 0
-                                )
-                            )
+                            leaf_gate(w, y, om, tri_ref,
+                                      (-e.node - 1) * grows)
 
             if paged:
                 # Leaf gates run AFTER every interior gate has issued: the
@@ -426,17 +429,8 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                         @pl.when(e.is_leaf)
                         def _leaf(w=w, y=y, e=e, k=k, om=om,
                                   parity=parity):
-                            sb0 = slot_base(w, parity, k)
-                            sb = tri_slab[pl.ds(sb0 + 16, sub), 0:8]
-                            sub_tn = entry_tn(y, sb)  # (sub, 1)
-                            ccol = jax.lax.broadcasted_iota(
-                                jnp.int32, (sub, 1), 0
-                            )
-                            pk[w, om] = jnp.sum(
-                                jnp.where(
-                                    sub_tn < INF, jnp.int32(1) << ccol, 0
-                                )
-                            )
+                            leaf_gate(w, y, om, tri_slab,
+                                      slot_base(w, parity, k))
 
             # Phase 3: per way, consume the packed words — Moller-Trumbore
             # per entered sub-cluster of each leaf entry (in pop order, so
