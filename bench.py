@@ -205,19 +205,35 @@ def main():
         assert "atlas_fat" in r2._scene_dev, "divisible fat did not engage"
         mrays2, _, _ = _bench_renderer(r2, spp=64)
         # NON-divisible map sets (here a 96^2 pbr rect against a 256^2
-        # albedo) fall back to one gather per mapped slot — keep that
-        # cliff measured, not hidden.
+        # albedo) bake onto per-map-set LCM virtual rects since the
+        # round-3+ generalization — the one-fetch path covers them too.
         sc3 = textured_cornell(atlas_size=512)
         sc3.mat_pbr_rect[0] = [256, 0, 96, 96]
         r3 = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=64))
         r3.load_scene(sc3)
-        assert "atlas_fat" not in r3._scene_dev
+        assert "atlas_fat" in r3._scene_dev, "LCM fat did not engage"
         mrays3, _, _ = _bench_renderer(r3, spp=64)
+        # The per-slot gather fallback (now reached only past the LCM
+        # budget / out-of-[0,1] uvs) stays measured, not hidden: force it
+        # by zeroing the bake budget.
+        import wgpu_path_tracing_tpu.models.types as MT
+
+        budget = MT.FAT_ATLAS_MAX_TEXELS
+        try:
+            MT.FAT_ATLAS_MAX_TEXELS = 0
+            r4 = Renderer(RenderConfig(width=512, height=512,
+                                       frames_per_chunk=64))
+            r4.load_scene(textured_cornell(atlas_size=512, congruent=True))
+            assert "atlas_fat" not in r4._scene_dev
+        finally:
+            MT.FAT_ATLAS_MAX_TEXELS = budget
+        mrays4, _, _ = _bench_renderer(r4, spp=64)
         _emit("textured-512atlas", mrays, wall, rays, 64,
               {"device": dev,
                "atlas": "512x512 external HBM texel gather (fat, congruent)",
                "mixedres_mrays": round(mrays2, 3),
-               "perslot_mrays": round(mrays3, 3)})
+               "nondivisible_mrays": round(mrays3, 3),
+               "perslot_mrays": round(mrays4, 3)})
 
     if "7" in sel:
         # Past WALK_VMEM_BUDGET_BYTES (walk tables ~133 MB): auto selects

@@ -99,6 +99,23 @@ def test_render_glb_scene():
     assert np.isfinite(buf).all()
 
 
+@pytest.mark.skipif(not os.path.exists(MODELS), reason="reference models absent")
+@pytest.mark.parametrize(
+    "name", ["cornell2", "monkey", "metal", "glass_box", "untitled"]
+)
+def test_render_every_reference_model(name):
+    """End-to-end render smoke over EVERY reference sample scene (the
+    reference's index.html model picker offers all of them) — finite,
+    non-black output at a thumbnail canvas. transform.glb is covered
+    above; this closes render-level coverage for the other five."""
+    r = Renderer(RenderConfig(width=12, height=12, frames_per_chunk=2,
+                              max_bounces=3))
+    r.load_model(f"{MODELS}/{name}.glb")
+    buf = np.asarray(r.render(spp=2))
+    assert np.isfinite(buf).all()
+    assert buf.max() > 0.0, "render is all-black"
+
+
 def test_cli_render_and_info(tmp_path, capsys):
     from wgpu_path_tracing_tpu.cli import main
 

@@ -238,26 +238,32 @@ def test_slot_gating_hit_exact():
 
 
 def test_fat_atlas_gates():
-    """pack_device_scene bakes the fat-atlas table (models/types.py::
-    _build_fat_atlas) only for big atlases whose textured materials carry
-    DIVISIBLE map sets (congruent, or every slot's dims divide the
-    largest slot's) with in-[0,1] uvs; everything else keeps the per-slot
-    gather path (key absent)."""
+    """pack_device_scene bakes the fat-atlas canvas (models/types.py::
+    _build_fat_atlas) for big atlases with in-[0,1] uvs — ARBITRARY map
+    sets since the LCM virtual-rect generalization — and refuses only on
+    small atlases, out-of-range uvs, and blown LCM budgets (per-slot
+    gather path: keys absent)."""
     from wgpu_path_tracing_tpu.models.procedural import textured_cornell
 
     packed = pack_device_scene(
         textured_cornell(atlas_size=256, congruent=True))
-    assert "atlas_fat" in packed
-    a = packed["atlas"]
-    assert packed["atlas_fat"].shape == (a.shape[0] * a.shape[1], 16)
-    # mixed-resolution map set (albedo a/2, pbr a/4): a/4 divides a/2, so
-    # the divisible bake engages (smaller slots nearest-downsampled)
+    assert "atlas_fat" in packed and "atlas_fat_rects" in packed
+    assert packed["atlas_fat"].ndim == 3
+    assert packed["atlas_fat"].shape[2] == 16
+    assert packed["atlas_fat_rects"].shape[1] == 20
+    # mixed-resolution map set (albedo a/2, pbr a/4): LCM grid = a/2
     assert "atlas_fat" in pack_device_scene(
         textured_cornell(atlas_size=256))
-    # NON-divisible map set (96 does not divide 128): per-slot fallback
+    # NON-divisible map set (96 does not divide 128): LCM grid = 384 —
+    # engages since the virtual-rect generalization
     sc_nd = textured_cornell(atlas_size=256)
     sc_nd.mat_pbr_rect[0] = [128, 0, 96, 96]
-    assert "atlas_fat" not in pack_device_scene(sc_nd)
+    assert "atlas_fat" in pack_device_scene(sc_nd)
+    # coprime slot dims (255 vs 128) blow the LCM canvas budget
+    # (lcm = 32640 per axis): per-slot fallback
+    sc_big = textured_cornell(atlas_size=256, congruent=True)
+    sc_big.mat_pbr_rect[0] = [0, 0, 255, 255]
+    assert "atlas_fat" not in pack_device_scene(sc_big)
     # small atlas: in-VMEM kernel sampler, fat table would be dead weight
     assert "atlas_fat" not in pack_device_scene(
         textured_cornell(atlas_size=32, congruent=True))
@@ -269,109 +275,97 @@ def test_fat_atlas_gates():
     assert "atlas_fat" not in pack_device_scene(sc)
 
 
+def _assert_fat_matches_per_slot(packed, seed=7):
+    """Shared check: on texel-center uvs (away from the fat path's
+    documented texel-boundary ulp class) the fat row fetch must reproduce
+    the per-slot sample_atlas values EXACTLY (same texels, same
+    fallbacks) for all four slots."""
+    from wgpu_path_tracing_tpu.ops import shade as SHADE
+    from wgpu_path_tracing_tpu.ops.gathers import fetch_rows
+
+    assert "atlas_fat" in packed
+    dev = jax.device_put(packed)
+    n = 256
+    rng = np.random.default_rng(seed)
+    nt = packed["tri_full"].shape[0]
+    idx = jnp.asarray(rng.integers(0, nt, n).astype(np.int32))
+    # Texel-center uvs on a grid that is EXACT on every slot resolution
+    # in play (multiples of all slot dims' common denominators is not
+    # required — centers of a fine grid stay away from every boundary).
+    uu = jnp.asarray(((rng.integers(0, 128, n) + 0.5) / 128).astype(np.float32))
+    vv = jnp.asarray(((rng.integers(0, 128, n) + 0.5) / 128).astype(np.float32))
+
+    @jax.jit
+    def go():
+        row = fetch_rows(dev["tri_full"], idx)
+        get = lambda c: row[:, c]
+        quads_fat = SHADE.sample_atlas_fat(
+            dev["atlas_fat"], dev["atlas_fat_rects"], get, uu, vv)
+        quads_ref = []
+        for k in range(4):
+            rect = [get(SHADE.SLOT_RECT_COLS[k] + i) for i in range(4)]
+            quads_ref.append(SHADE.sample_atlas(
+                dev["atlas"], rect, uu, vv, SHADE.SLOT_FALLBACKS[k]))
+        return quads_fat, quads_ref
+
+    quads_fat, quads_ref = go()
+    for k in range(4):
+        for c in range(4):
+            np.testing.assert_array_equal(
+                np.asarray(quads_fat[k][c]), np.asarray(quads_ref[k][c]),
+                err_msg=f"slot {k} channel {c}")
+
+
 @pytest.mark.parametrize("congruent", [True, False],
                          ids=["congruent", "mixedres"])
 def test_fat_atlas_values_match_per_slot(congruent):
-    """On texel-safe uvs the fat row fetch must reproduce the per-slot
-    sample_atlas values EXACTLY (same texels, same fallbacks) for all
-    four slots — including the mixed-resolution (divisible) bake, where
-    smaller slots ride the rep grid nearest-downsampled."""
     from wgpu_path_tracing_tpu.models.procedural import textured_cornell
-    from wgpu_path_tracing_tpu.ops import shade as SHADE
-    from wgpu_path_tracing_tpu.ops.gathers import fetch_rows
 
-    packed = pack_device_scene(
-        textured_cornell(atlas_size=256, congruent=congruent))
-    assert "atlas_fat" in packed
-    dev = jax.device_put(packed)
-    h, w = packed["atlas"].shape[0], packed["atlas"].shape[1]
-    n = 256
-    rng = np.random.default_rng(7)
-    nt = packed["tri_full"].shape[0]
-    idx = jnp.asarray(rng.integers(0, nt, n).astype(np.int32))
-    # Texel-center uvs: stay away from the fat path's documented
-    # texel-boundary ulp class.
-    uu = jnp.asarray(((rng.integers(0, 128, n) + 0.5) / 128).astype(np.float32))
-    vv = jnp.asarray(((rng.integers(0, 128, n) + 0.5) / 128).astype(np.float32))
-
-    @jax.jit
-    def go():
-        row = fetch_rows(dev["tri_full"], idx)
-        get = lambda c: row[:, c]
-        quads_fat = SHADE.sample_atlas_fat(dev["atlas_fat"], h, w, get, uu, vv)
-        quads_ref = []
-        for k in range(4):
-            rect = [get(SHADE.SLOT_RECT_COLS[k] + i) for i in range(4)]
-            quads_ref.append(SHADE.sample_atlas(
-                dev["atlas"], rect, uu, vv, SHADE.SLOT_FALLBACKS[k]))
-        return quads_fat, quads_ref
-
-    quads_fat, quads_ref = go()
-    for k in range(4):
-        for c in range(4):
-            np.testing.assert_array_equal(
-                np.asarray(quads_fat[k][c]), np.asarray(quads_ref[k][c]),
-                err_msg=f"slot {k} channel {c}")
+    _assert_fat_matches_per_slot(pack_device_scene(
+        textured_cornell(atlas_size=256, congruent=congruent)))
 
 
-def test_fat_atlas_rep_is_largest_slot():
-    """When a LATER slot is the largest (pbr 128^2 over albedo 64^2), the
-    bake-time representative (max area, earliest tie) and the runtime
-    lane-wise fold in shade.sample_atlas_fat must agree — values still
-    match the per-slot path exactly."""
+def test_fat_atlas_nondivisible_lcm_grid():
+    """A genuinely NON-divisible map set (96^2 pbr against 128^2 albedo)
+    bakes onto the lcm(96,128)=384 virtual grid — values must still match
+    the per-slot path exactly (the integer floor identity holds for every
+    slot because each slot's dims divide the LCM's)."""
     from wgpu_path_tracing_tpu.models.procedural import textured_cornell
-    from wgpu_path_tracing_tpu.ops import shade as SHADE
-    from wgpu_path_tracing_tpu.ops.gathers import fetch_rows
+
+    sc = textured_cornell(atlas_size=256, congruent=True)
+    sc.mat_pbr_rect[0] = [128, 0, 96, 96]
+    _assert_fat_matches_per_slot(pack_device_scene(sc), seed=11)
+
+
+def test_fat_atlas_larger_later_slot():
+    """Heterogeneous slot sizes where a LATER slot is the largest (pbr
+    128^2 over albedo 64^2) — the LCM grid covers both and values match
+    the per-slot path exactly."""
+    from wgpu_path_tracing_tpu.models.procedural import textured_cornell
 
     sc = textured_cornell(atlas_size=256, congruent=True)
     sc.mat_albedo_rect[0] = [0, 0, 64, 64]       # smaller FIRST slot
-    sc.mat_pbr_rect[0] = [128, 0, 128, 128]      # larger later slot = rep
-    packed = pack_device_scene(sc)
-    assert "atlas_fat" in packed
-    dev = jax.device_put(packed)
-    h, w = packed["atlas"].shape[0], packed["atlas"].shape[1]
-    n = 256
-    rng = np.random.default_rng(9)
-    nt = packed["tri_full"].shape[0]
-    idx = jnp.asarray(rng.integers(0, nt, n).astype(np.int32))
-    uu = jnp.asarray(((rng.integers(0, 128, n) + 0.5) / 128).astype(np.float32))
-    vv = jnp.asarray(((rng.integers(0, 128, n) + 0.5) / 128).astype(np.float32))
-
-    @jax.jit
-    def go():
-        row = fetch_rows(dev["tri_full"], idx)
-        get = lambda c: row[:, c]
-        quads_fat = SHADE.sample_atlas_fat(dev["atlas_fat"], h, w, get, uu, vv)
-        quads_ref = []
-        for k in range(4):
-            rect = [get(SHADE.SLOT_RECT_COLS[k] + i) for i in range(4)]
-            quads_ref.append(SHADE.sample_atlas(
-                dev["atlas"], rect, uu, vv, SHADE.SLOT_FALLBACKS[k]))
-        return quads_fat, quads_ref
-
-    quads_fat, quads_ref = go()
-    for k in range(4):
-        for c in range(4):
-            np.testing.assert_array_equal(
-                np.asarray(quads_fat[k][c]), np.asarray(quads_ref[k][c]),
-                err_msg=f"slot {k} channel {c}")
+    sc.mat_pbr_rect[0] = [128, 0, 128, 128]      # larger later slot
+    _assert_fat_matches_per_slot(pack_device_scene(sc), seed=9)
 
 
-@pytest.mark.parametrize("congruent", [True, False],
-                         ids=["congruent", "mixedres"])
-def test_fat_atlas_trace_parity(congruent):
+@pytest.mark.parametrize("variant",
+                         ["congruent", "mixedres", "nondivisible"])
+def test_fat_atlas_trace_parity(variant):
     """Full-trace parity on the fat path: the XLA trace and the Pallas
     external bounce must agree exactly on RNG streams and to FMA ulps on
     radiance (both consume shade.sample_atlas_fat, so texel choice is
-    identical by construction) — on congruent AND mixed-resolution
-    (divisible) map sets."""
+    identical by construction) — on congruent, mixed-resolution, AND
+    non-divisible (LCM virtual grid) map sets."""
     from wgpu_path_tracing_tpu.models.procedural import textured_cornell
     from wgpu_path_tracing_tpu.ops.pallas_bounce import (
         prepare_tables,
         trace_pallas,
     )
 
-    sc = textured_cornell(atlas_size=256, congruent=congruent)
+    sc = textured_cornell(atlas_size=256, congruent=variant == "congruent")
+    if variant == "nondivisible":
+        sc.mat_pbr_rect[0] = [128, 0, 96, 96]
     scene = jax.device_put(pack_device_scene(sc))
     assert "atlas_fat" in scene
     tables = prepare_tables(scene)
@@ -395,19 +389,20 @@ def test_fat_atlas_trace_parity(congruent):
     )
 
 
-def test_fat_atlas_overlapping_rep_rects_refused():
-    """Two materials whose representative rects OVERLAP (not merely
-    coincide) would bake conflicting slot channels into the shared
-    texels; the gate must refuse."""
+def test_fat_atlas_overlapping_atlas_rects_ok():
+    """Two materials whose ATLAS rects overlap are fine under the virtual
+    -rect bake (each map set owns its own canvas region — the round-3
+    rep-rect-conflict gate is gone): values must match per-slot exactly
+    for both materials."""
     from wgpu_path_tracing_tpu.models.procedural import textured_cornell
 
     sc = textured_cornell(atlas_size=256, congruent=True)
     # mat1 currently maps only a normal rect at (0,128,128,128); give it
-    # an albedo rect overlapping mat0's rep (albedo) rect (0,0,128,128).
+    # an albedo rect overlapping mat0's albedo rect (0,0,128,128).
     sc.mat_albedo_rect[1] = [64, 64, 128, 128]
     sc.mat_pbr_rect[1] = [128, 128, 128, 128]
     sc.mat_normal_rect[1] = [0, 0, 0, 0]
-    assert "atlas_fat" not in pack_device_scene(sc)
+    _assert_fat_matches_per_slot(pack_device_scene(sc), seed=13)
 
 
 def test_pull_counters_empty():

@@ -235,38 +235,60 @@ def texture_slots_used(tri_full) -> tuple[bool, bool, bool, bool]:
     )
 
 
+# Fat-atlas canvas budget: sum of packed LCM grids, in texels (one texel
+# = 16 f32 = 64 B, so 4M texels = 256 MB HBM — generous next to the walk
+# tables, tiny next to v5e's 16 GB). Map sets with wildly coprime slot
+# dims (e.g. 255 vs 256 -> 65280-wide LCM grid) blow this and fall back
+# to the per-slot gathers.
+FAT_ATLAS_MAX_TEXELS = 4 << 20
+# Runtime map-set match bound: shade.sample_atlas_fat resolves each
+# lane's virtual rect by comparing its 16 rect values against every
+# baked set (~20 vector ops per set, measured negligible next to one
+# latency-bound gather row up to hundreds of sets; the bound caps
+# compile-time unrolling).
+FAT_ATLAS_MAX_SETS = 256
+
+
 def _build_fat_atlas(scene: "SceneArrays", atlas: np.ndarray):
-    """Pre-bake the (H*W, 16) fat-atlas table for big-atlas scenes.
+    """Pre-bake the fat-atlas canvas for big-atlas scenes.
 
-    One gather row per texel of each material's REPRESENTATIVE rect (its
-    first mapped slot in (albedo, pbr, emissive, normal) order) carrying
-    all four slots' texels at the same relative offset — so the external
-    bounce gather (ops/pallas_bounce.py::_gather_texels) and the XLA trace
-    path fetch ONE row per lane instead of four (the per-row fetch is
-    latency-bound on TPU; measured ~3.6x, round 3). Unmapped slots hold
-    the slot fallback constant (shade.SLOT_FALLBACKS, imported lazily —
-    ops.shade imports this module at top level).
+    The per-row native gather is latency-bound on TPU (~8-11 ns per
+    fetched row regardless of row width, measured round 3), so the four
+    per-slot texel fetches of the external atlas path cost ~4x one. This
+    bake gives every distinct material MAP SET (its 4-slot rect tuple) a
+    VIRTUAL rect on a standalone canvas whose grid is the componentwise
+    LCM of the mapped slots' dims, each texel row carrying all four
+    slots' texels at the same uv — so the external bounce gather
+    (ops/pallas_bounce.py::_gather_texels) and the XLA trace path fetch
+    ONE row per lane instead of four. Unmapped slots hold the slot
+    fallback constant (shade.SLOT_FALLBACKS, imported lazily — ops.shade
+    imports this module at top level).
 
-    Returns None (fat mode disabled, per-slot gathers used) unless ALL of:
+    The LCM grid reproduces the per-slot texel choice exactly for EVERY
+    slot (not just divisible map sets, the round-3 restriction): slot k
+    with kw | lw bakes nearest-downsampled onto the grid, and for uv
+    fraction f the grid cell i = floor(f*lw) satisfies
+    floor(f*kw) == i // (lw//kw) (integer floor identity). Congruent and
+    mip-style sets degenerate to lw == max slot width (same memory as
+    the round-3 rep-grid bake); genuinely non-divisible sets (a 96^2 pbr
+    rect against a 256^2 albedo) get an LCM grid (768^2 there) — bounded
+    by FAT_ATLAS_MAX_TEXELS over the whole packed canvas.
+
+    Returns (canvas (FH, FW, 16) f32, rects (S, 20) f32) — rects rows are
+    [16 atlas-rect values in SLOT_RECT_COLS order | fx, fy, lw, lh], the
+    runtime match table shade.sample_atlas_fat folds over — or None (fat
+    mode disabled, per-slot gathers used) unless ALL of:
       * atlas area above the in-VMEM sampler bound (the fat table only
         serves the external gather path),
-      * every textured material's mapped rects are DIVISIBLE: some mapped
-        slot (the representative) has w, h that are componentwise integer
-        multiples of every other mapped slot's — the production-common
-        cases: congruent map sets (all one resolution) and mip-style
-        mixed pow2 resolutions (1024 albedo + 512 normal).  Smaller slots
-        bake nearest-DOWNSAMPLED onto the rep grid, which reproduces the
-        per-slot texel choice exactly: for uv fraction f, the rep cell is
-        i = floor(f*rw) and the slot-k texel floor(f*kw) equals
-        i // (rw//kw) whenever kw | rw (integer identity),
       * every textured triangle's uvs sit in [0, 1] (outside, the
         reference's sign-preserving %-wrap indexes backwards across rect
         boundaries, which a relative-offset table cannot reproduce),
-      * no two materials share a representative rect with different slot
-        rects, and all rects are in-bounds.
+      * all rects in-bounds, and canvas/set-count budgets respected.
     Texel choice matches the per-slot path except the documented
     texel-boundary ulp class (see shade.sample_atlas_fat).
     """
+    import math
+
     h, w = int(atlas.shape[0]), int(atlas.shape[1])
     from wgpu_path_tracing_tpu.ops.pallas_bounce import UNTILED_ATLAS_TEXELS
 
@@ -277,59 +299,59 @@ def _build_fat_atlas(scene: "SceneArrays", atlas: np.ndarray):
     rect_tables = (scene.mat_albedo_rect, scene.mat_pbr_rect,
                    scene.mat_emissive_rect, scene.mat_normal_rect)
     mats = np.unique(np.asarray(scene.tri_mat, np.int64))
-    textured_mats = []
-    rep_map: dict = {}
+    # One entry per DISTINCT map set: materials sharing all four rects
+    # share texels, hence one virtual rect.
+    sets: dict = {}
+    textured_mat_ids = []
     for m in mats:
-        rs = [tuple(int(v) for v in tab[m]) for tab in rect_tables]
+        rs = tuple(tuple(int(v) for v in tab[m]) for tab in rect_tables)
         nonempty = [r for r in rs if r[2] > 0 and r[3] > 0]
         if not nonempty:
             continue
-        # Representative = the EARLIEST mapped slot of maximal area, the
-        # same tie-break shade.sample_atlas_fat applies lane-wise at run
-        # time (strictly-greater fold).  Its dims must be componentwise
-        # multiples of every mapped slot's or the bake cannot reproduce
-        # per-slot texel choice.
-        rep = max(nonempty, key=lambda r: r[2] * r[3])
-        if any(rep[2] % r[2] or rep[3] % r[3] for r in nonempty):
-            return None  # non-divisible map set
+        textured_mat_ids.append(int(m))
         for (rx, ry, rw, rh) in nonempty:
             if rx < 0 or ry < 0 or rx + rw > w or ry + rh > h:
                 return None
-        if rep_map.setdefault(rep, tuple(rs)) != tuple(rs):
-            return None  # two materials share a rep rect
-        textured_mats.append((int(m), rs, rep))
-    if not textured_mats:
+        if rs not in sets:
+            lw = math.lcm(*(r[2] for r in nonempty))
+            lh = math.lcm(*(r[3] for r in nonempty))
+            sets[rs] = {"w": lw, "h": lh, "x": 0, "y": 0}
+    if not sets:
         return None
-    # Rep rects must be pairwise DISJOINT (not merely non-identical):
-    # overlapping reps from different materials would bake conflicting
-    # slot channels into the shared texels — later writes silently win.
-    reps = sorted(rep_map)
-    for i, (ax, ay, aw2, ah2) in enumerate(reps):
-        for (bx, by, bw2, bh2) in reps[i + 1:]:
-            if (ax < bx + bw2 and bx < ax + aw2
-                    and ay < by + bh2 and by < ay + ah2):
-                return None  # overlapping rep rects
-    tex_tris = np.isin(np.asarray(scene.tri_mat),
-                       [m for m, _, _ in textured_mats])
+    if len(sets) > FAT_ATLAS_MAX_SETS:
+        return None
+    tex_tris = np.isin(np.asarray(scene.tri_mat), textured_mat_ids)
     for uv in (scene.tri_uv0, scene.tri_uv1, scene.tri_uv2):
         u = np.asarray(uv)[tex_tris]
         if u.size and ((u < 0.0).any() or (u > 1.0).any()):
             return None
+    # Pack the LCM grids onto one canvas (the same potpack the texture
+    # atlas itself uses, gltf.py:283 — mutates x/y in place).
+    from wgpu_path_tracing_tpu.models.gltf import potpack
+
+    boxes = list(sets.values())
+    fw, fh = potpack(boxes)
+    if fw * fh > FAT_ATLAS_MAX_TEXELS:
+        return None
     from wgpu_path_tracing_tpu.ops.shade import SLOT_FALLBACKS
 
-    fat = np.empty((h, w, 16), np.float32)
+    fat = np.empty((fh, fw, 16), np.float32)
     fat[:] = np.array([c for fb in SLOT_FALLBACKS for c in fb], np.float32)
-    for _, rs, (rx, ry, rw, rh) in textured_mats:
+    rect_rows = np.zeros((len(sets), 20), np.float32)
+    for s, (rs, box) in enumerate(sets.items()):
+        fx, fy, lw, lh = box["x"], box["y"], box["w"], box["h"]
+        rect_rows[s, :16] = [v for r in rs for v in r]
+        rect_rows[s, 16:] = (fx, fy, lw, lh)
         for k, (kx, ky, kw, kh) in enumerate(rs):
             if kw > 0 and kh > 0:
-                # Nearest-downsample onto the rep grid: rep cell (j, i)
-                # carries slot texel (j // (rh//kh), i // (rw//kw)) —
+                # Nearest-downsample onto the LCM grid: grid cell (j, i)
+                # carries slot texel (j // (lh//kh), i // (lw//kw)) —
                 # np.repeat by the integer step realizes exactly that.
-                fat[ry:ry + rh, rx:rx + rw, 4 * k:4 * k + 4] = np.repeat(
+                fat[fy:fy + lh, fx:fx + lw, 4 * k:4 * k + 4] = np.repeat(
                     np.repeat(atlas[ky:ky + kh, kx:kx + kw, :],
-                              rh // kh, axis=0),
-                    rw // kw, axis=1)
-    return fat.reshape(h * w, 16)
+                              lh // kh, axis=0),
+                    lw // kw, axis=1)
+    return fat, rect_rows
 
 
 def pack_device_scene(scene: SceneArrays, cluster_k: int = 64):
@@ -486,10 +508,11 @@ def pack_device_scene(scene: SceneArrays, cluster_k: int = 64):
             else {}
         ),
         "atlas": np.asarray(atlas, np.float32),
-        # Big-atlas fat table (one gather serves all four texture slots);
-        # key PRESENT only when the scene qualifies — see _build_fat_atlas.
+        # Big-atlas fat canvas + map-set match table (one gather serves
+        # all four texture slots); keys PRESENT only when the scene
+        # qualifies — see _build_fat_atlas.
         **(
-            {"atlas_fat": fat_atlas}
+            {"atlas_fat": fat_atlas[0], "atlas_fat_rects": fat_atlas[1]}
             if (fat_atlas := _build_fat_atlas(
                 scene, np.asarray(atlas, np.float32))) is not None
             else {}

@@ -175,14 +175,14 @@ def _gather_texels(scene, idx, ro3, rd3, slots_used):
     hand the kernel (4 * n_used, N) finished texel rows in
     hit_attributes_from_cols call order.
 
-    When pack_device_scene built a fat table ("atlas_fat": divisible
-    map sets — congruent or mixed-resolution with componentwise-dividing
-    dims — and uv in [0,1]) ALL slots ride ONE gather — the per-row fetch is
-    latency-bound (~8-11 ns each, measured round 3), so one fetch of a
-    64-B fat row costs ~the same as one 16-B texel fetch and the four
-    per-slot gathers collapse 4x. Values are produced by the same
-    shade.sample_atlas_fat the XLA trace path uses, so the two paths stay
-    bit-identical."""
+    When pack_device_scene built a fat canvas ("atlas_fat": uv in [0,1]
+    and LCM-grid budget respected — arbitrary map sets since round 3's
+    virtual-rect generalization) ALL slots ride ONE gather — the per-row
+    fetch is latency-bound (~8-11 ns each, measured round 3), so one
+    fetch of a 64-B fat row costs ~the same as one 16-B texel fetch and
+    the four per-slot gathers collapse 4x. Values are produced by the
+    same shade.sample_atlas_fat the XLA trace path uses, so the two
+    paths stay bit-identical."""
     from wgpu_path_tracing_tpu.ops import shade as SHADE
     from wgpu_path_tracing_tpu.ops.gathers import fetch_rows
 
@@ -199,8 +199,7 @@ def _gather_texels(scene, idx, ro3, rd3, slots_used):
     rows = []
     if "atlas_fat" in scene:
         quads = SHADE.sample_atlas_fat(
-            scene["atlas_fat"], atlas.shape[0], atlas.shape[1],
-            get, uv_u, uv_v,
+            scene["atlas_fat"], scene["atlas_fat_rects"], get, uv_u, uv_v,
         )
         for k in range(4):
             if slots_used[k]:

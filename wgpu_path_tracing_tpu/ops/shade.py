@@ -82,50 +82,53 @@ SLOT_FALLBACKS = ((1.0, 1.0, 1.0, 1.0), (1.0, 1.0, 1.0, 1.0),
                   (1.0, 1.0, 1.0, 1.0), (0.5, 0.5, 1.0, 1.0))
 
 
-def sample_atlas_fat(fat, h, w, get, uv_u, uv_v):
+def sample_atlas_fat(fat, fat_rects, get, uv_u, uv_v):
     """All four texture slots in ONE native gather (big-atlas fast path).
 
     The per-texel gather is latency-bound on TPU (~8-11 ns per fetched row
     regardless of row width or index coherence, measured round 3), so four
     per-slot gathers cost ~4x one: pack_device_scene pre-bakes a
-    (H*W, 16) "fat" table — for every texel of a material's REPRESENTATIVE
-    rect (its first mapped slot in SLOT order), the four slots' texels at
-    the same relative offset ride one row (unmapped slots hold their
-    SLOT_FALLBACKS constant). Only built when every material's map set is
-    DIVISIBLE — some mapped slot's w,h are componentwise multiples of
-    every other's (congruent sets and mip-style mixed pow2 resolutions
-    both qualify; smaller slots are baked nearest-downsampled onto the
-    rep grid, models/types.py::_build_fat_atlas) — and all uvs sit in
-    [0,1]; texel choice then matches the per-slot sample_atlas for every
-    slot except the documented texel-boundary ulp class (floor(rx_k + f)
-    vs floor(rx_rep + f) can round across an integer on boundary-epsilon
-    uvs).
+    (FH, FW, 16) "fat" canvas — every distinct material MAP SET gets a
+    virtual rect on the componentwise-LCM grid of its mapped slots, each
+    texel row carrying the four slots' texels at the same uv (unmapped
+    slots hold their SLOT_FALLBACKS constant; exact per-slot texel choice
+    by the integer floor identity — models/types.py::_build_fat_atlas).
+
+    Each lane's virtual rect is resolved by MATCHING its 16 atlas-rect
+    values (already on hand from the fetched triangle row) against the
+    static (S, 20) match table ``fat_rects`` — ~20 vector ops per set,
+    negligible next to the gather it replaces, and no extra fetched row.
+    Lanes matching no set (untextured materials) read canvas row 0 and
+    are fully masked by the per-slot ``missing`` fallbacks.
+
+    Texel choice matches the per-slot sample_atlas for every slot except
+    the documented texel-boundary ulp class (floor(kx + f*kw) vs
+    floor(fx + f*lw) // (lw//kw) can round across an integer on
+    boundary-epsilon uvs).
 
     Returns the four [r, g, b, a] quads in SLOT order.
     """
+    fh, fw = fat.shape[0], fat.shape[1]
     rects = [[get(c + i) for i in range(4)] for c in SLOT_RECT_COLS]
     missing = [(r[2] == 0.0) | (r[3] == 0.0) for r in rects]
-    # Representative rect = the EARLIEST mapped slot of MAXIMAL area
-    # (strictly-greater fold), matching _build_fat_atlas's bake-time
-    # tie-break.  On congruent map sets this degrades to "first mapped
-    # slot" — bit-identical to the round-3 congruent-only fold.
-    rx, ry, rw, rh = rects[0]
-    area = jnp.where(missing[0], -1.0, rects[0][2] * rects[0][3])
-    for k in (1, 2, 3):
-        ak = jnp.where(missing[k], -1.0, rects[k][2] * rects[k][3])
-        sel = ak > area
-        rx = jnp.where(sel, rects[k][0], rx)
-        ry = jnp.where(sel, rects[k][1], ry)
-        rw = jnp.where(sel, rects[k][2], rw)
-        rh = jnp.where(sel, rects[k][3], rh)
-        area = jnp.maximum(area, ak)
+    vals = [rects[k][i] for k in range(4) for i in range(4)]
+    fx = fy = vw = vh = jnp.zeros_like(uv_u)
+    for s in range(fat_rects.shape[0]):
+        m = None
+        for j in range(16):
+            eq = vals[j] == fat_rects[s, j]
+            m = eq if m is None else (m & eq)
+        fx = jnp.where(m, fat_rects[s, 16], fx)
+        fy = jnp.where(m, fat_rects[s, 17], fy)
+        vw = jnp.where(m, fat_rects[s, 18], vw)
+        vh = jnp.where(m, fat_rects[s, 19], vh)
     # Index math identical to sample_atlas (pt.wgsl:112-120) on the
-    # representative rect.
-    ax = rx + jnp.fmod(uv_u, 1.0) * rw
-    ay = ry + jnp.fmod(uv_v, 1.0) * rh
-    ix = jnp.clip(ax, 0.0, w - 1).astype(jnp.int32)
-    iy = jnp.clip(ay, 0.0, h - 1).astype(jnp.int32)
-    row = fat[iy * w + ix]  # (N, 16) — the one gather
+    # virtual rect.
+    ax = fx + jnp.fmod(uv_u, 1.0) * vw
+    ay = fy + jnp.fmod(uv_v, 1.0) * vh
+    ix = jnp.clip(ax, 0.0, fw - 1).astype(jnp.int32)
+    iy = jnp.clip(ay, 0.0, fh - 1).astype(jnp.int32)
+    row = fat.reshape(-1, 16)[iy * fw + ix]  # (N, 16) — the one gather
     quads = []
     for k in range(4):
         fb = SLOT_FALLBACKS[k]
@@ -202,8 +205,8 @@ def hit_attributes_from_cols(get, ro: V3, rd: V3, t, found, atlas=None,
         if isinstance(atlas, tuple) and atlas[0] == "fat":
             # Fat-atlas mode: ONE gather covers all four slots (see
             # sample_atlas_fat); quads arrive in SLOT order.
-            _, fat_arr, ah, aw = atlas
-            fat_quads = sample_atlas_fat(fat_arr, ah, aw, get, uv_u, uv_v)
+            _, fat_arr, fat_rects = atlas
+            fat_quads = sample_atlas_fat(fat_arr, fat_rects, get, uv_u, uv_v)
             sample = None
         elif callable(atlas):
             sample = atlas
@@ -303,8 +306,7 @@ def hit_attributes(scene, ro, rd, t, idx, textured: bool | None = None,
         textured = scene["atlas"].shape[0] > 1 or scene["atlas"].shape[1] > 1
     atlas = scene["atlas"] if textured else None
     if textured and "atlas_fat" in scene:
-        atlas = ("fat", scene["atlas_fat"],
-                 scene["atlas"].shape[0], scene["atlas"].shape[1])
+        atlas = ("fat", scene["atlas_fat"], scene["atlas_fat_rects"])
     return hit_attributes_from_cols(
         lambda c: row[:, c],
         vec.from_cols(ro),

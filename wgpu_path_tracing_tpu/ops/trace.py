@@ -198,10 +198,9 @@ def trace(
         textured = scene["atlas"].shape[0] > 1 or scene["atlas"].shape[1] > 1
     atlas = scene["atlas"] if textured else None
     if textured and "atlas_fat" in scene:
-        # Big-atlas fat table (pack_device_scene): one native gather
+        # Big-atlas fat canvas (pack_device_scene): one native gather
         # covers all four texture slots — see shade.sample_atlas_fat.
-        atlas = ("fat", scene["atlas_fat"],
-                 scene["atlas"].shape[0], scene["atlas"].shape[1])
+        atlas = ("fat", scene["atlas_fat"], scene["atlas_fat_rects"])
     env = None
     if "env" in scene:
         from wgpu_path_tracing_tpu.ops.env import make_env_sampler
