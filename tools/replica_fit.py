@@ -86,6 +86,7 @@ FIT_SPEC = [
     ("wood_stave_amp", 0.06), ("wood_ring_amp", 0.1),
     ("wood_band_dark", 0.12), ("wood_band_y", 0.06), ("wood_band_h", 0.05),
     ("wood_band_g", 0.05),
+    ("q_amp", 0.08), ("body_sy", 0.08),
 ]
 
 # Hard parameter bounds: the coordinate descent must not "improve" RMSE
@@ -96,7 +97,11 @@ BOUNDS = {
     "wood_stave_amp": (0.0, 0.8), "wood_ring_amp": (0.0, 0.9),
     "wood_band_dark": (0.0, 0.9), "wood_band_y": (0.1, 0.9),
     "wood_band_h": (0.02, 0.5), "wood_band_g": (0.0, 0.4),
-    "chrome_r": (0.015, 0.08),
+    # The golden's chrome ball is prominent (~0.07 radius measured off
+    # the zoom); keep the fit from deleting it OR ballooning it.
+    "chrome_r": (0.04, 0.12),
+    "q_amp": (0.0, 0.6),
+    "body_sy": (1.0, 1.6),
     "brown_r": (0.0, 1.0), "brown_g": (0.0, 1.0), "brown_b": (0.0, 1.0),
     "base_r": (0.0, 1.0), "base_g": (0.0, 1.0), "base_b": (0.0, 1.0),
     "body_r": (0.0, 1.0), "body_g": (0.0, 1.0), "body_b": (0.0, 1.0),

@@ -141,10 +141,20 @@ REPLICA_PARAMS: dict[str, float] = {
     "glass1_r": 0.224,
     "cube_cx": 0.538, "cube_cz": -0.456, "cube_s": 0.426, "cube_yaw": 49.8875,
     "glass2_r": 0.0881,
-    "chrome_cx": -0.0762, "chrome_cz": 0.2, "chrome_r": 0.015,
+    # The golden's chrome ball is a PROMINENT sharp mirror sphere (~0.07
+    # radius — measured off the zoomed golden against the known cube
+    # size); an early unbounded fit had shrunk it to the bound floor.
+    "chrome_cx": -0.0762, "chrome_cz": 0.2, "chrome_r": 0.07,
     "fig_cx": 0.7326, "fig_cz": 0.385, "fig_base_w": 0.357,
     "fig_base_h": 0.112, "fig_base_d": 0.583, "fig_body_r": 0.2082,
     "fig_head_r": 0.191,
+    # Figurine body vertical stretch (the golden's doll body is an egg,
+    # taller than wide) — legs/arms ride body_r/body_sy with fixed
+    # proportions.
+    "body_sy": 1.15,
+    # Engraved "?" decal on the pedestal's front face (thin outline in
+    # the golden): line darkness (0 = no decal).
+    "q_amp": 0.22,
     "monkey_cx": -0.6087, "monkey_cz": 0.4856, "monkey_s": 0.28,
     "monkey_yaw": 8.0,
     "light_strength": 23.46,
@@ -192,6 +202,133 @@ def _wood_atlas(p: dict, size: int = 64) -> np.ndarray:
     return atlas
 
 
+def _decal_atlas(p: dict, tw: int = 64, th: int = 128) -> np.ndarray:
+    """(th, tw, 4) albedo decal for the pedestal's FRONT face: the golden
+    shows a thin engraved "?" outline (ball-ended hook, short stem with a
+    ball, dot below) spanning most of the face width. Modeled as a thin
+    darkened line (strength p["q_amp"]); geometry follows the golden's
+    glyph, distances computed in world units so the line stays round on
+    the non-square face. Row 0 = face bottom (v = 0), matching
+    sample_atlas's iy = ry + v*rh."""
+    W, H = p["ped_w"], p["ped_h"]
+    # Control points measured off the zoomed golden, as (u, y-from-top)
+    # face fractions -> world (x, y-up).
+    def pt(u, yf):
+        return np.array([u * W, (1.0 - yf) * H], np.float64)
+
+    a = pt(0.24, 0.19)   # hook's ball tip (lower left of the loop)
+    t = pt(0.52, 0.10)   # loop top
+    r = pt(0.76, 0.38)   # loop's right descent
+    b = pt(0.60, 0.60)   # stem end (ball)
+    d = pt(0.615, 0.72)  # the dot
+    # Circumcircle through a, t, r for the main loop.
+    ax, ay = a; tx, ty = t; rx, ry = r
+    den = 2.0 * (ax * (ty - ry) + tx * (ry - ay) + rx * (ay - ty))
+    ux = ((ax**2 + ay**2) * (ty - ry) + (tx**2 + ty**2) * (ry - ay)
+          + (rx**2 + ry**2) * (ay - ty)) / den
+    uy = ((ax**2 + ay**2) * (rx - tx) + (tx**2 + ty**2) * (ax - rx)
+          + (rx**2 + ry**2) * (tx - ax)) / den
+    c = np.array([ux, uy])
+    rad = np.linalg.norm(a - c)
+    ang = lambda q: np.arctan2(q[1] - uy, q[0] - ux)
+    aa, at, ar = ang(a), ang(t), ang(r)
+    # Sweep a -> t -> r in the direction that passes t (counterclockwise
+    # here because a is left, t top, r right: go up-and-over).
+    def unwrap(frm, to, ccw):
+        while ccw and to < frm:
+            to += 2 * np.pi
+        while not ccw and to > frm:
+            to -= 2 * np.pi
+        return to
+
+    ccw = unwrap(aa, at, True) <= unwrap(aa, ar, True)
+    at_u = unwrap(aa, at, ccw)
+    ar_u = unwrap(at_u, ar, ccw)
+    angs = np.linspace(aa, ar_u, 40)
+    loop = np.stack([ux + rad * np.cos(angs), uy + rad * np.sin(angs)], 1)
+    # Tail: quadratic Bezier from r toward b, leaving tangentially.
+    tangent = loop[-1] - loop[-2]
+    tangent = tangent / (np.linalg.norm(tangent) + 1e-12)
+    c1 = r + tangent * 0.45 * np.linalg.norm(b - r)
+    s = np.linspace(0.0, 1.0, 20)[:, None]
+    tail = (1 - s) ** 2 * r + 2 * s * (1 - s) * c1 + s**2 * b
+    path = np.concatenate([loop, tail], 0)
+
+    ix = (np.arange(tw) + 0.5) / tw * W
+    iy = (np.arange(th) + 0.5) / th * H
+    X, Y = np.meshgrid(ix, iy)  # (th, tw)
+    dist = np.full((th, tw), 1e9)
+    for q0, q1 in zip(path[:-1], path[1:]):
+        e = q1 - q0
+        ee = float(e @ e) + 1e-18
+        tt = np.clip(((X - q0[0]) * e[0] + (Y - q0[1]) * e[1]) / ee, 0, 1)
+        dist = np.minimum(
+            dist, np.hypot(X - (q0[0] + tt * e[0]), Y - (q0[1] + tt * e[1]))
+        )
+    lw = 0.0075  # line half-width, world units (thin engraved outline)
+    dark = 1.0 / (1.0 + np.exp((dist - lw) / (0.35 * lw)))
+    # Ball terminals and the dot: discs of ~2.2x / 2.6x the line width.
+    for center, mul in ((a, 2.2), (b, 2.2), (d, 2.6)):
+        dd = np.hypot(X - center[0], Y - center[1])
+        dark = np.maximum(
+            dark, 1.0 / (1.0 + np.exp((dd - mul * lw) / (0.35 * lw)))
+        )
+    atlas = np.empty((th, tw, 4), np.float32)
+    atlas[..., 0:3] = np.clip(1.0 - p["q_amp"] * dark, 0.0, 1.0)[..., None]
+    atlas[..., 3] = 1.0
+    return atlas
+
+
+def _oct_prism(cx, cz, rx, rz, total_h, yaw, tiers=((1.0, 0.42),
+                                                    (0.84, 0.33),
+                                                    (0.68, 0.25))):
+    """Stepped octagonal plinth (the golden figurine's base): ``tiers`` is
+    ((radius_scale, height_frac), ...) bottom-up; each tier is an 8-sided
+    prism with a flat top cap (fan), flat outward side normals, raised by
+    a hair above the tier below to avoid coplanar razor ties. Returns a
+    list of (v0, v1, v2, n) triangles."""
+    c, s = np.cos(yaw), np.sin(yaw)
+    tris = []
+    y0 = 0.0
+    for scale, frac in tiers:
+        h = total_h * frac
+        angs = np.radians(22.5 + 45.0 * np.arange(8))
+        ring = []
+        for th_ in angs:
+            x, z = rx * scale * np.cos(th_), rz * scale * np.sin(th_)
+            ring.append((cx + c * x + s * z, cz - s * x + c * z))
+        lo, hi = y0 + 1e-4, y0 + h
+        for k in range(8):
+            (x0, z0), (x1, z1) = ring[k], ring[(k + 1) % 8]
+            n = np.array([z1 - z0, 0.0, -(x1 - x0)], np.float64)
+            n /= np.linalg.norm(n)
+            mid = np.array([(x0 + x1) / 2 - cx, 0.0, (z0 + z1) / 2 - cz])
+            if float(n @ mid) < 0:
+                n = -n
+            a_, b_ = (x0, lo, z0), (x1, lo, z1)
+            c_, d_ = (x1, hi, z1), (x0, hi, z0)
+            tris.append((a_, b_, c_, n))
+            tris.append((a_, c_, d_, n))
+        top_n = np.array([0.0, 1.0, 0.0])
+        for k in range(1, 7):
+            tris.append((
+                (ring[0][0], hi, ring[0][1]),
+                (ring[k][0], hi, ring[k][1]),
+                (ring[k + 1][0], hi, ring[k + 1][1]),
+                top_n,
+            ))
+        y0 += h
+    # Enforce winding so the geometric normal (cross(e1, e2), what
+    # is_front tests) agrees with the stated flat normal.
+    fixed = []
+    for a_, b_, c_, n in tris:
+        a_, b_, c_ = (np.asarray(q, np.float64) for q in (a_, b_, c_))
+        if float(np.cross(b_ - a_, c_ - a_) @ n) < 0:
+            b_, c_ = c_, b_
+        fixed.append((a_, b_, c_, np.asarray(n, np.float64)))
+    return fixed
+
+
 def cornell_replica(
     include_monkey: bool = True,
     pad_to: int | None = None,
@@ -213,7 +350,7 @@ def cornell_replica(
             raise KeyError(f"unknown replica params: {sorted(unknown)}")
         p.update(overrides)
     (WHITE, RED, GREEN, LIGHT, GLASS, MIRROR, CHROME, MAGENTA, BROWN,
-     BASEGREEN, BODY) = range(11)
+     BASEGREEN, BODY, PEDQ) = range(12)
 
     quads = []
     # Room (cornell2.glb parity): floor, ceiling, back; red +x, green -x.
@@ -227,13 +364,16 @@ def cornell_replica(
         (_quad((-0.25, ly, -0.25), (0.25, ly, -0.25), (0.25, ly, 0.25),
                (-0.25, ly, 0.25)), LIGHT)
     )
-    # Pedestal (tall white box) + glass sphere on top.
-    for face in _box(
+    # Pedestal (tall white box) + glass sphere on top. The FRONT (+Z)
+    # face carries the engraved-"?" decal material (uv-mapped below);
+    # _box face order puts +Z at index 4.
+    ped_faces = _box(
         (p["ped_cx"], p["ped_h"] / 2, p["ped_cz"]),
         (p["ped_w"], p["ped_h"], p["ped_d"]),
         yaw=np.radians(p["ped_yaw"]),
-    ):
-        quads.append((face, WHITE))
+    )
+    for i, face in enumerate(ped_faces):
+        quads.append((face, PEDQ if i == 4 else WHITE))
     # Mirror cube (yawed enough that its visible faces reflect the coloured
     # walls, as in the golden) + white sphere resting on its rear-left top.
     for face in _box(
@@ -242,21 +382,14 @@ def cornell_replica(
         yaw=np.radians(p["cube_yaw"]),
     ):
         quads.append((face, MIRROR))
-    # Stand-in for the golden's textured wooden figurine (its texture is
-    # stripped with the blob): brown body/head on a dark-green base — rough
-    # silhouette only, this region dominates the residual RMSE.
-    for face in _box(
-        (p["fig_cx"], p["fig_base_h"] / 2, p["fig_cz"]),
-        (p["fig_base_w"], p["fig_base_h"], p["fig_base_d"]),
-        yaw=np.radians(-10),
-    ):
-        quads.append((face, BASEGREEN))
-
     v0l, v1l, v2l, n0l, n1l, n2l, mat = [], [], [], [], [], [], []
+    uv_patches = []  # (start_index, per-tri corner uvs) applied below
 
     def add_quads():
-        for (tris, uvs, n), m in quads:
-            for (a, b, c), _ in zip(tris, uvs):
+        for (tris, quv, n), m in quads:
+            if m == PEDQ:
+                uv_patches.append((len(v0l), quv))
+            for (a, b, c), _ in zip(tris, quv):
                 v0l.append(a); v1l.append(b); v2l.append(c)
                 n0l.append(n); n1l.append(n); n2l.append(n)
                 mat.append(m)
@@ -267,7 +400,31 @@ def cornell_replica(
         n0l.extend(b0); n1l.extend(b1); n2l.extend(b2)
         mat.extend([m] * len(a0))
 
+    def add_ellipsoid(center, radius, ysc, m, sub=2):
+        """Unit icosphere scaled (r, r*ysc, r): normals transform by the
+        inverse scale (nx, ny/ysc, nz), renormalized."""
+        a0, a1, a2, b0, b1, b2 = icosphere((0.0, 0.0, 0.0), 1.0, sub)
+        ctr = np.asarray(center, np.float64)
+        sc = np.array([radius, radius * ysc, radius], np.float64)
+        inv = np.array([1.0, 1.0 / ysc, 1.0], np.float64)
+        vlists, nlists = (v0l, v1l, v2l), (n0l, n1l, n2l)
+        for vl, nl, vs, ns in zip(vlists, nlists, (a0, a1, a2), (b0, b1, b2)):
+            vl.extend(vs * sc + ctr)
+            nn = ns * inv
+            nl.extend(nn / np.linalg.norm(nn, axis=1, keepdims=True))
+        mat.extend([m] * len(a0))
+
     add_quads()
+    # Figurine base: the golden shows a stepped dark-green OCTAGONAL
+    # plinth (elongated in z), not a box.
+    for a_, b_, c_, n_ in _oct_prism(
+        p["fig_cx"], p["fig_cz"],
+        p["fig_base_w"] * 0.62, p["fig_base_d"] * 0.62,
+        p["fig_base_h"], np.radians(-10),
+    ):
+        v0l.append(a_); v1l.append(b_); v2l.append(c_)
+        n0l.append(n_); n1l.append(n_); n2l.append(n_)
+        mat.append(BASEGREEN)
     # Glass on pedestal top; glass on the mirror cube's rear-left top
     # corner (offsets relative to the cube keep it seated under fitting).
     add_sphere(
@@ -281,17 +438,31 @@ def cornell_replica(
     add_sphere(
         (p["chrome_cx"], p["chrome_r"], p["chrome_cz"]), p["chrome_r"], CHROME
     )
-    # Figurine stand-in over the green base: the golden shows a grey-green
-    # BODY under a brown wooden barrel HEAD (the head's carved text is
-    # unreproducible — its texture is stripped with the blob), so body and
-    # head carry separate fitted materials.
-    add_sphere(
-        (p["fig_cx"], p["fig_base_h"] + p["fig_body_r"] * 1.06, p["fig_cz"]),
-        p["fig_body_r"], BODY, sub=2,
-    )
+    # Figurine stand-in over the green base: the golden shows a DOLL —
+    # short legs, an egg-shaped body with hanging arms, and a brown
+    # wooden barrel HEAD (its carved text is unreproducible — the texture
+    # is stripped with the blob). Legs/arms ride body_r/body_sy with
+    # fixed proportions; body and head carry separate fitted materials.
+    br, sy = p["fig_body_r"], p["body_sy"]
+    leg_r, leg_sy = 0.33 * br, 1.5
+    leg_cy = p["fig_base_h"] + leg_r * leg_sy * 0.92
+    for sx_ in (-1.0, 1.0):
+        add_ellipsoid(
+            (p["fig_cx"] + sx_ * 0.42 * br, leg_cy, p["fig_cz"]),
+            leg_r, leg_sy, BODY,
+        )
+    leg_top = leg_cy + leg_r * leg_sy
+    body_cy = leg_top + br * sy - 0.35 * br
+    add_ellipsoid((p["fig_cx"], body_cy, p["fig_cz"]), br, sy, BODY)
+    for sx_ in (-1.0, 1.0):
+        add_ellipsoid(
+            (p["fig_cx"] + sx_ * 0.97 * br, body_cy + 0.30 * br * sy,
+             p["fig_cz"]),
+            0.27 * br, 1.5, BODY,
+        )
     head_center = (
         p["fig_cx"],
-        p["fig_base_h"] + p["fig_body_r"] * 2.06 + p["fig_head_r"] * 0.46,
+        body_cy + br * sy + p["fig_head_r"] * 0.46,
         p["fig_cz"],
     )
     head_start = len(v0l)
@@ -320,9 +491,10 @@ def cornell_replica(
         mat.extend([WHITE] * pad)
 
     n = len(v0l)
-    # Spherical uvs on the barrel head only (every other material is
-    # unmapped, so its uvs never sample): u from the azimuth with the
-    # wrap seam on the -z (away-from-camera) side, v from height.
+    # Uvs: spherical on the barrel head, planar on the pedestal's decal
+    # face (every other material is unmapped, so its uvs never sample).
+    # Head u from the azimuth with the wrap seam on the -z
+    # (away-from-camera) side, v from height.
     uvs = [np.zeros((n, 2), f32) for _ in range(3)]
     cx, cy, cz = head_center
     r_head = p["fig_head_r"]
@@ -333,9 +505,18 @@ def cornell_replica(
         v = np.clip((vv[:, 1] - cy) / (2 * r_head) + 0.5, 0.0, 1.0)
         corner[head_start:head_start + head_count, 0] = u
         corner[head_start:head_start + head_count, 1] = v
-    atlas = _wood_atlas(p)
-    albedo_rect = np.zeros((11, 4), np.int32)
-    albedo_rect[BROWN] = [0, 0, atlas.shape[1], atlas.shape[0]]
+    for start, quv in uv_patches:
+        for i, tri_uv in enumerate(quv):
+            for corner, (uu, vv_) in zip(uvs, tri_uv):
+                corner[start + i] = (uu, vv_)
+    wood = _wood_atlas(p)
+    decal = _decal_atlas(p)
+    atlas = np.ones((128, 128, 4), np.float32)
+    atlas[0:64, 0:64] = wood
+    atlas[0:128, 64:128] = decal
+    albedo_rect = np.zeros((12, 4), np.int32)
+    albedo_rect[BROWN] = [0, 0, 64, 64]
+    albedo_rect[PEDQ] = [64, 0, 64, 128]
     base = np.array(
         [
             [0.8, 0.8, 0.8],       # white (cornell2 mat0)
@@ -349,20 +530,23 @@ def cornell_replica(
             [p["brown_r"], p["brown_g"], p["brown_b"]],  # figurine head wood
             [p["base_r"], p["base_g"], p["base_b"]],     # figurine base
             [p["body_r"], p["body_g"], p["body_b"]],     # figurine body
+            [0.8, 0.8, 0.8],       # pedestal decal face (white + "?")
         ],
         f32,
     )
-    metallic = np.array([0, 0, 0, 0, 0, 1, 1, 0, 0, 0, 0], f32)
+    metallic = np.array([0, 0, 0, 0, 0, 1, 1, 0, 0, 0, 0, 0], f32)
+    # Chrome at 0.03: the golden's ball reflects the walls/light SHARP.
     roughness = np.array(
-        [0.5, 0.5, 0.5, 0.5, 0.05, 0.05, 0.08, 0.4, 0.45, 0.4, 0.45], f32
+        [0.5, 0.5, 0.5, 0.5, 0.05, 0.05, 0.03, 0.4, 0.45, 0.4, 0.45, 0.5],
+        f32,
     )
-    emission = np.zeros((11, 3), f32)
+    emission = np.zeros((12, 3), f32)
     emission[LIGHT] = 1.0
     estrength = np.array(
-        [1, 1, 1, p["light_strength"], 1, 1, 1, 1, 1, 1, 1], f32
+        [1, 1, 1, p["light_strength"], 1, 1, 1, 1, 1, 1, 1, 1], f32
     )
-    ior = np.full(11, 1.5, f32)
-    transmission = np.array([0, 0, 0, 0, 1.0, 0, 0, 0, 0, 0, 0], f32)
+    ior = np.full(12, 1.5, f32)
+    transmission = np.array([0, 0, 0, 0, 1.0, 0, 0, 0, 0, 0, 0, 0], f32)
 
     return finalize_scene(
         np.asarray(v0l, f32), np.asarray(v1l, f32), np.asarray(v2l, f32),
