@@ -144,6 +144,41 @@ def test_pallas_bounce_textured_external():
     )
 
 
+@pytest.mark.parametrize("congruent", [True, False])
+def test_pallas_bounce_textured_fat_inkernel(congruent):
+    """Small atlases whose fat bake fits the in-kernel budgets ride the
+    in-VMEM FAT sampler (_make_fat_sampler): ONE one-hot row select
+    serves all four texture slots. Both paths consume the fat canvas
+    (XLA via shade.sample_atlas_fat, the kernel via the fatfn closure)
+    with identical index math, so RNG streams must match exactly —
+    congruent AND mixed-resolution (LCM virtual grid) map sets."""
+    from wgpu_path_tracing_tpu.models.procedural import textured_cornell
+    from wgpu_path_tracing_tpu.ops.pallas_bounce import prepare_tables
+
+    sc = textured_cornell(atlas_size=32, congruent=congruent)
+    scene = jax.device_put(pack_device_scene(sc))
+    assert "atlas_fat" in scene
+    tables = prepare_tables(scene)
+    assert tables is not None and tables[3][2] == "fat", \
+        "in-kernel fat atlas mode not selected"
+    cam = camera_device(Camera(width=W, height=H).as_pytree(), W, H)
+    x, y = CAM.pixel_grid(W, H)
+    ro, rd, state = CAM.generate_rays(cam, x, y, jnp.int32(0), use_dof=True)
+    ch = make_closest_hit(scene, "brute", 4096, 4)
+    rad_x, st_x, _ = TRACE.trace(
+        scene, ch, ro, rd, state,
+        max_bounces=4, do_mis=True, num_lights=sc.num_lights,
+    )
+    rad_p, st_p, _ = trace_pallas(
+        scene, ch, ro, rd, state,
+        max_bounces=4, do_mis=True, num_lights=sc.num_lights, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(st_x), np.asarray(st_p))
+    np.testing.assert_allclose(
+        np.asarray(rad_x), np.asarray(rad_p), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_pallas_bounce_spot_light():
     """Spot-light rows (extension type 3) ride the same light_full table;
     the in-VMEM row select must reproduce the XLA path bit-for-bit."""

@@ -239,10 +239,11 @@ def test_slot_gating_hit_exact():
 
 def test_fat_atlas_gates():
     """pack_device_scene bakes the fat-atlas canvas (models/types.py::
-    _build_fat_atlas) for big atlases with in-[0,1] uvs — ARBITRARY map
+    _build_fat_atlas) for atlases with in-[0,1] uvs — ARBITRARY map
     sets since the LCM virtual-rect generalization — and refuses only on
-    small atlases, out-of-range uvs, and blown LCM budgets (per-slot
-    gather path: keys absent)."""
+    out-of-range uvs, blown LCM budgets, and small atlases whose fat form
+    misses the IN-KERNEL budgets (there the bake would split the XLA/
+    Pallas texel choice; per-slot path: keys absent)."""
     from wgpu_path_tracing_tpu.models.procedural import textured_cornell
 
     packed = pack_device_scene(
@@ -264,9 +265,21 @@ def test_fat_atlas_gates():
     sc_big = textured_cornell(atlas_size=256, congruent=True)
     sc_big.mat_pbr_rect[0] = [0, 0, 255, 255]
     assert "atlas_fat" not in pack_device_scene(sc_big)
-    # small atlas: in-VMEM kernel sampler, fat table would be dead weight
-    assert "atlas_fat" not in pack_device_scene(
+    # small atlas WITH an in-kernel-sized fat form: bakes since round 3's
+    # in-kernel fat sampler (ONE one-hot select serves all four slots)
+    assert "atlas_fat" in pack_device_scene(
         textured_cornell(atlas_size=32, congruent=True))
+    # small atlas whose fat form misses the in-kernel budget: must NOT
+    # bake — the XLA path would go fat while the Pallas kernel stays
+    # per-slot, splitting texel choice (and thus RNG streams)
+    import wgpu_path_tracing_tpu.ops.pallas_bounce as PB
+    saved = PB.FAT_VMEM_TEXELS
+    try:
+        PB.FAT_VMEM_TEXELS = 0
+        assert "atlas_fat" not in pack_device_scene(
+            textured_cornell(atlas_size=32, congruent=True))
+    finally:
+        PB.FAT_VMEM_TEXELS = saved
     # out-of-[0,1] uvs: the reference's sign-preserving %-wrap indexes
     # backwards across rect boundaries, which the fat table cannot
     # reproduce — gate must refuse

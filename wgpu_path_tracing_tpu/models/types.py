@@ -277,23 +277,27 @@ def _build_fat_atlas(scene: "SceneArrays", atlas: np.ndarray):
     Returns (canvas (FH, FW, 16) f32, rects (S, 20) f32) — rects rows are
     [16 atlas-rect values in SLOT_RECT_COLS order | fx, fy, lw, lh], the
     runtime match table shade.sample_atlas_fat folds over — or None (fat
-    mode disabled, per-slot gathers used) unless ALL of:
-      * atlas area above the in-VMEM sampler bound (the fat table only
-        serves the external gather path),
+    mode disabled, per-slot sampling used) unless ALL of:
       * every textured triangle's uvs sit in [0, 1] (outside, the
         reference's sign-preserving %-wrap indexes backwards across rect
         boundaries, which a relative-offset table cannot reproduce),
-      * all rects in-bounds, and canvas/set-count budgets respected.
+      * all rects in-bounds, and canvas/set-count budgets respected,
+      * for SMALL atlases (within the in-VMEM bounce sampler bound) the
+        fat canvas and set count must also fit the IN-KERNEL fat sampler
+        (ops/pallas_bounce.py FAT_VMEM_TEXELS / FAT_KERNEL_MAX_SETS) —
+        otherwise bake nothing, so the XLA and Pallas paths both stay
+        per-slot and keep choosing bit-identical texels (radiance feeds
+        Russian roulette, so a texel-choice divergence would split the
+        RNG streams the parity tests pin).
     Texel choice matches the per-slot path except the documented
-    texel-boundary ulp class (see shade.sample_atlas_fat).
+    texel-boundary ulp class (see shade.sample_atlas_fat). Small-atlas
+    scenes gained the bake in round 3: the bounce ablation measured the
+    per-slot in-kernel samplers at ~27% of the kernel EACH (linear in
+    calls), and the fat table collapses them into ONE one-hot select.
     """
     import math
 
     h, w = int(atlas.shape[0]), int(atlas.shape[1])
-    from wgpu_path_tracing_tpu.ops.pallas_bounce import UNTILED_ATLAS_TEXELS
-
-    if h * w <= UNTILED_ATLAS_TEXELS:
-        return None
     if scene.num_triangles == 0:
         return None
     rect_tables = (scene.mat_albedo_rect, scene.mat_pbr_rect,
@@ -332,6 +336,20 @@ def _build_fat_atlas(scene: "SceneArrays", atlas: np.ndarray):
     boxes = list(sets.values())
     fw, fh = potpack(boxes)
     if fw * fh > FAT_ATLAS_MAX_TEXELS:
+        return None
+    from wgpu_path_tracing_tpu.ops.pallas_bounce import (
+        FAT_KERNEL_MAX_SETS,
+        FAT_VMEM_TEXELS,
+        UNTILED_ATLAS_TEXELS,
+    )
+
+    if h * w <= UNTILED_ATLAS_TEXELS and (
+        fw * fh > FAT_VMEM_TEXELS or len(sets) > FAT_KERNEL_MAX_SETS
+    ):
+        # Small atlas whose fat form cannot ride the in-kernel sampler:
+        # without the bake both paths stay per-slot (and bit-consistent);
+        # with it the XLA path would go fat while the Pallas kernel stays
+        # per-slot — a texel-choice split the parity suite forbids.
         return None
     from wgpu_path_tracing_tpu.ops.shade import SLOT_FALLBACKS
 

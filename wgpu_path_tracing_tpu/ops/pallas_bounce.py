@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from wgpu_path_tracing_tpu.models import types as T
+from wgpu_path_tracing_tpu.ops import shade as SHADE
 from wgpu_path_tracing_tpu.ops import trace as TRACE
 from wgpu_path_tracing_tpu.ops import vec
 from wgpu_path_tracing_tpu.ops.vec import V3
@@ -54,6 +55,16 @@ UNTILED_ATLAS_TEXELS = 128 * 128  # below this the in-kernel row-select
 # EXTERNAL mode (XLA-side HBM texel gather) takes over — an in-kernel
 # tiled sampler was built and REJECTED by measurement (12.9 Mrays/s at
 # 512^2 vs ~untextured rates external; see TODO.md 4b)
+FAT_VMEM_TEXELS = 64 * 64  # in-kernel FAT sampler bound: the fat canvas
+# is 64 B/texel (16 f32 channels), so this matches the 256 KB VMEM budget
+# of the per-slot sampler's 128^2 x 16 B cap; within it ONE one-hot row
+# select serves all four texture slots (the round-3 ablation measured the
+# per-slot sampler calls at ~27% of the bounce kernel EACH, linear in
+# calls — the select construction, not the MACs, is the cost)
+FAT_KERNEL_MAX_SETS = 8  # in-kernel map-set match cost is ~20 vreg ops
+# per set per bounce (16 compares + 4 selects on (8, 128) blocks); past a
+# handful of sets that rivals the shading chain itself — bigger set
+# counts use EXTERNAL mode, whose XLA-side match is amortized differently
 
 
 def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK):
@@ -160,6 +171,75 @@ def _make_atlas_sampler(atlas_ref, width: int, height: int):
     return sample
 
 
+def _make_fat_sampler(atlas_ref, rects_ref, fh: int, fw: int, slots_used):
+    """In-VMEM fat-atlas sampling: ONE one-hot row select serves all four
+    texture slots (shade.sample_atlas_fat semantics, in-kernel).
+
+    The round-3 bounce ablation measured the per-slot in-kernel samplers
+    at ~27% of the kernel EACH and LINEAR in call count — the per-call
+    one-hot select construction dominates, not the MXU MACs (which are
+    payload-equal either way: 4 selects x 4 channels == 1 select x 16).
+    The fat canvas rides VMEM as (FHp, FW*16); each lane's virtual rect is
+    resolved by matching its 16 atlas-rect values (already on hand from
+    the selected triangle row) against the (S, 20) match table riding
+    scalar prefetch — S scalar-broadcast compare chains, cheap for the
+    small set counts the FAT_KERNEL_MAX_SETS bake gate admits.
+
+    Index math and texel choice are bit-identical to sample_atlas_fat
+    (u - trunc(u) == fmod(u, 1.0) exactly; one-hot 0/1 f32 select
+    reproduces the gathered row bit-exactly), so the XLA trace path and
+    this kernel keep identical RNG streams.
+
+    Returns ``fat_quads(get, u, v) -> [4 x [r, g, b, a]]`` in SLOT order;
+    unused slots (slots_used mask) return their fallbacks sweep-free.
+    """
+    n_sets = rects_ref.shape[0]
+
+    def fat_quads(get, u, v):
+        rects = [[get(c + i) for i in range(4)]
+                 for c in SHADE.SLOT_RECT_COLS]
+        missing = [(r[2] == 0.0) | (r[3] == 0.0) for r in rects]
+        vals = [rects[k][i] for k in range(4) for i in range(4)]
+        zero = jnp.zeros_like(u)
+        fx = fy = vw = vh = zero
+        for s in range(n_sets):
+            m = None
+            for j in range(16):
+                eq = vals[j] == rects_ref[s, j].astype(jnp.float32)
+                m = eq if m is None else m & eq
+            fx = jnp.where(m, rects_ref[s, 16].astype(jnp.float32), fx)
+            fy = jnp.where(m, rects_ref[s, 17].astype(jnp.float32), fy)
+            vw = jnp.where(m, rects_ref[s, 18].astype(jnp.float32), vw)
+            vh = jnp.where(m, rects_ref[s, 19].astype(jnp.float32), vh)
+        # Same index math as sample_atlas_fat on the virtual rect
+        # (pt.wgsl:112-120; u - trunc(u) is bit-identical to fmod(u, 1)).
+        ax = fx + (u - _trunc(u)) * vw
+        ay = fy + (v - _trunc(v)) * vh
+        ix = jnp.clip(ax, 0.0, fw - 1.0).astype(jnp.int32)
+        iy = jnp.clip(ay, 0.0, fh - 1.0).astype(jnp.int32)
+        rows = _select_rows(
+            atlas_ref, iy, chunk=min(SELECT_CHUNK, atlas_ref.shape[0])
+        )  # (FW*16, 8, 128) — each lane's fat texel row
+        quads = []
+        for k in range(4):
+            fb = SHADE.SLOT_FALLBACKS[k]
+            if not slots_used[k]:
+                # hit_attributes never consumes unused slots; skip their
+                # column sweeps entirely (values here are never read).
+                quads.append([zero + fb[c] for c in range(4)])
+                continue
+            quad = []
+            for c in range(4):
+                acc = zero
+                for w in range(fw):
+                    acc = jnp.where(ix == w, rows[w * 16 + 4 * k + c], acc)
+                quad.append(jnp.where(missing[k], fb[c], acc))
+            quads.append(quad)
+        return quads
+
+    return fat_quads
+
+
 def _gather_texels(scene, idx, ro3, rd3, slots_used):
     """XLA-side texel pre-gather for EXTERNAL atlas mode (big atlases).
 
@@ -221,6 +301,10 @@ def _bounce_kernel(do_mis, num_lights, atlas_hw=None,
         *refs,
     ):
         if atlas_hw is not None:
+            if atlas_hw[2] == "fat":
+                # Second scalar-prefetch operand: the (S, 20) map-set
+                # match table (SMEM scalar reads, see _make_fat_sampler).
+                rects_ref, *refs = refs
             (ray_ref, state_ref, thr_ref, res_ref, alive_ref, t_ref,
              idx_ref, tri_ref, light_ref, atlas_ref,
              oray_ref, ostate_ref, othr_ref, ores_ref, oalive_ref,
@@ -228,6 +312,10 @@ def _bounce_kernel(do_mis, num_lights, atlas_hw=None,
              spdf_ref) = refs
             if atlas_hw[2] == "ext":
                 atlas = "ext"  # closure built after ``row`` below
+            elif atlas_hw[2] == "fat":
+                atlas = ("fatfn", _make_fat_sampler(
+                    atlas_ref, rects_ref, atlas_hw[0], atlas_hw[1],
+                    slots_used))
             else:
                 atlas = _make_atlas_sampler(atlas_ref, atlas_hw[1],
                                             atlas_hw[0])
@@ -338,6 +426,7 @@ def bounce_stage_pallas(
     tri_table,  # (Tp, TF_COLS), Tp multiple of SELECT_CHUNK
     light_table,  # (Lp, LF_COLS)
     atlas_table=None,  # (Hp, W*4) or None; (H, W) passed via atlas_hw
+    fat_rects=None,  # (S, 20) int32 map-set match table (fat mode only)
     *,
     do_mis: bool,
     num_lights: int,
@@ -351,13 +440,14 @@ def bounce_stage_pallas(
 
     # 2D lane blocks (rows, BN): bitcast-compatible with the (rows, N)
     # layouts of the intersection kernels on both sides of this stage, so
-    # XLA inserts no relayout copies at the boundaries.
+    # XLA inserts no relayout copies at the boundaries. (Variadic index
+    # maps: fat mode adds a second scalar-prefetch ref to the signature.)
     def row_spec(rows):
-        return pl.BlockSpec((rows, BN), lambda i, b: (0, i),
+        return pl.BlockSpec((rows, BN), lambda i, *_: (0, i),
                             memory_space=pltpu.VMEM)
 
     def table_spec(shape):
-        return pl.BlockSpec(shape, lambda i, b: (0, 0),
+        return pl.BlockSpec(shape, lambda i, *_: (0, 0),
                             memory_space=pltpu.VMEM)
 
     in_specs = [
@@ -375,10 +465,17 @@ def bounce_stage_pallas(
             # other per-lane operand.
             in_specs.append(row_spec(atlas_table.shape[0]))
         else:
+            # Whole-table VMEM residency ("fat" canvas or per-slot atlas).
             in_specs.append(table_spec(atlas_table.shape))
         operands.append(atlas_table)
+    num_prefetch = 1
+    if atlas_hw is not None and atlas_hw[2] == "fat":
+        # The (S, 20) map-set match table rides scalar prefetch (SMEM);
+        # prefetch operands precede the regular ones.
+        operands.insert(1, fat_rects)
+        num_prefetch = 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=num_prefetch,
         grid=(nb,),
         in_specs=in_specs,
         out_specs=[
@@ -410,8 +507,11 @@ def bounce_stage_pallas(
 def prepare_tables(scene):
     """Pad the denormalized tables for in-VMEM residency. Returns
     (tri_table (Tp, TF_COLS), light_table (Lp, LF_COLS),
-    atlas_table (Hp, W*4) | None, atlas_hw | None), or None if the scene is
-    too large for the megakernel."""
+    atlas_table (Hp, W*4 | FW*16) | None, atlas_hw | None,
+    fat_rects (S, 20) int32 | None), or None if the scene is too large for
+    the megakernel. atlas_hw[2] selects the sampling mode: "fat" (ONE
+    in-VMEM one-hot select serves all four slots), "ext" (XLA-side HBM
+    texel pre-gather), or False (per-slot in-VMEM one-hot selects)."""
     tri = scene["tri_full"]
     if tri.shape[0] > MAX_VMEM_TRIS:
         return None
@@ -429,15 +529,39 @@ def prepare_tables(scene):
 
     atlas = scene["atlas"]
     textured = atlas.shape[0] > 1 or atlas.shape[1] > 1
-    atlas_p = atlas_hw = None
+    atlas_p = atlas_hw = fat_rects = None
     if textured:
         h, w = atlas.shape[0], atlas.shape[1]
-        if h * w > UNTILED_ATLAS_TEXELS:
-            # Big atlases: EXTERNAL mode — texels come from an XLA-side
-            # native HBM gather per bounce (_gather_texels); the atlas
-            # never enters VMEM, so there is NO size cap. Supersedes the
-            # in-kernel tiled sampler, whose MXU one-hot cost scales with
-            # atlas area x rays (12.9 vs 174.5 Mrays/s at 512^2 vs 32^2).
+        fat = scene.get("atlas_fat")
+        if (fat is not None
+                and fat.shape[0] * fat.shape[1] <= FAT_VMEM_TEXELS
+                and scene["atlas_fat_rects"].shape[0]
+                <= FAT_KERNEL_MAX_SETS):
+            # In-kernel FAT mode: the canvas rides VMEM as (FHp, FW*16)
+            # and ONE one-hot select serves all four slots
+            # (_make_fat_sampler). Chosen whenever the bake fits the
+            # kernel budgets, regardless of the base atlas size — the
+            # per-slot sampler pays its select construction per CALL.
+            fh, fw = fat.shape[0], fat.shape[1]
+            flat = jnp.asarray(fat, jnp.float32).reshape(fh, fw * 16)
+            hp = max(8, -(-fh // 8) * 8)
+            if hp > SELECT_CHUNK:
+                hp = -(-hp // SELECT_CHUNK) * SELECT_CHUNK
+            atlas_p = jnp.pad(flat, ((0, hp - fh), (0, 0)))
+            # Match-table values are integer pixel coords; int32 for the
+            # scalar-prefetch (SMEM) operand.
+            fat_rects = jnp.asarray(
+                scene["atlas_fat_rects"], jnp.int32
+            )
+            atlas_hw = (fh, fw, "fat")
+        elif fat is not None or h * w > UNTILED_ATLAS_TEXELS:
+            # Big atlases (or fat canvases past the in-kernel budget):
+            # EXTERNAL mode — texels come from an XLA-side native HBM
+            # gather per bounce (_gather_texels, one fat row per lane
+            # when the bake exists); the atlas never enters VMEM, so
+            # there is NO size cap. Supersedes the in-kernel tiled
+            # sampler, whose MXU one-hot cost scales with atlas area x
+            # rays (12.9 vs 174.5 Mrays/s at 512^2 vs 32^2).
             atlas_hw = (h, w, "ext")
         else:
             flat = jnp.asarray(atlas, jnp.float32).reshape(h, w * 4)
@@ -449,7 +573,7 @@ def prepare_tables(scene):
                 hp = -(-hp // SELECT_CHUNK) * SELECT_CHUNK
             atlas_p = jnp.pad(flat, ((0, hp - h), (0, 0)))
             atlas_hw = (h, w, False)
-    return tri_p, light_p, atlas_p, atlas_hw
+    return tri_p, light_p, atlas_p, atlas_hw, fat_rects
 
 
 def trace_pallas(
@@ -470,7 +594,7 @@ def trace_pallas(
     semantics, same RNG streams."""
     tables = prepare_tables(scene)
     assert tables is not None, "scene too large for the bounce megakernel"
-    tri_table, light_table, atlas_table, atlas_hw = tables
+    tri_table, light_table, atlas_table, atlas_hw, fat_rects = tables
     if (atlas_hw is not None and atlas_hw[2] == "ext"
             and not any(slots_used)):
         atlas_hw = None  # textured flag set but no slot mapped anywhere
@@ -515,6 +639,7 @@ def trace_pallas(
         outs = bounce_stage_pallas(
             bounce_idx, rays, state_r, thr, res, alive,
             t[None, :], idx[None, :], tri_table, light_table, atlas_op,
+            fat_rects,
             do_mis=do_mis, num_lights=num_lights, atlas_hw=atlas_hw,
             slots_used=slots_used, interpret=interpret,
         )

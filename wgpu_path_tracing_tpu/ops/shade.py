@@ -208,6 +208,11 @@ def hit_attributes_from_cols(get, ro: V3, rd: V3, t, found, atlas=None,
             _, fat_arr, fat_rects = atlas
             fat_quads = sample_atlas_fat(fat_arr, fat_rects, get, uv_u, uv_v)
             sample = None
+        elif isinstance(atlas, tuple) and atlas[0] == "fatfn":
+            # In-kernel fat mode (ops/pallas_bounce.py::_make_fat_sampler):
+            # ONE one-hot select covers all four slots; same SLOT order.
+            fat_quads = atlas[1](get, uv_u, uv_v)
+            sample = None
         elif callable(atlas):
             sample = atlas
         else:
