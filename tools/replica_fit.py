@@ -13,13 +13,19 @@ compiles once: the scene is padded to a fixed triangle count
 fixed dummy arrays. The RNG is deterministic per frame index, so RMSE
 comparisons between candidates are noise-consistent.
 
-Usage:  python tools/replica_fit.py [rounds] [size] [spp] [step_scale]
+Usage:  python tools/replica_fit.py [rounds] [size] [spp] [step_scale] \
+            [seed.json]
 Prints the improved REPLICA_PARAMS dict to paste back into replica.py.
-``step_scale`` shrinks the initial steps for refinement passes.
+``step_scale`` shrinks the initial steps for refinement passes. If a
+``seed.json`` path is given, its params override REPLICA_PARAMS as the
+starting point, and the best-so-far params are checkpointed back to that
+file after every improvement (crash-safe: a killed fit loses at most one
+evaluation).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -148,9 +154,15 @@ def main():
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 192
     spp = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     scale = float(sys.argv[4]) if len(sys.argv) > 4 else 1.0
+    ckpt = sys.argv[5] if len(sys.argv) > 5 else None
     evaluate = make_eval(size, spp)
 
     best = dict(REPLICA_PARAMS)
+    if ckpt and os.path.exists(ckpt):
+        with open(ckpt) as f:
+            best.update({k: v for k, v in json.load(f).items()
+                         if not k.startswith("_")})
+        print(f"seeded {ckpt}", flush=True)
     t0 = time.time()
     cur = evaluate(best)
     print(f"start rmse={cur:.4f} ({time.time() - t0:.1f}s first eval)",
@@ -175,8 +187,11 @@ def main():
                 if v < cur - 1e-5:
                     best, cur = cand, v
                     improved = True
-                    print(f"  [{rnd}] {name} {cand[name]:+.3f} -> "
+                    print(f"  [{rnd}] {name} {cand[name]:+.4f} -> "
                           f"rmse={cur:.4f}", flush=True)
+                    if ckpt:
+                        with open(ckpt, "w") as f:
+                            json.dump({**best, "_rmse": cur}, f, indent=1)
                     break
             else:
                 steps[name] = d * 0.5
