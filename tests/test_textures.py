@@ -269,6 +269,11 @@ def test_fat_atlas_gates():
     # in-kernel fat sampler (ONE one-hot select serves all four slots)
     assert "atlas_fat" in pack_device_scene(
         textured_cornell(atlas_size=32, congruent=True))
+    # 128^2 atlas: fat canvas (128, 64) = 8192 texels sits exactly at the
+    # FAT_VMEM_TEXELS bound (on-chip sweep: fat 145.5 vs per-slot 114.6
+    # Mrays/s) — must bake
+    assert "atlas_fat" in pack_device_scene(
+        textured_cornell(atlas_size=128, congruent=True))
     # small atlas whose fat form misses the in-kernel budget: must NOT
     # bake — the XLA path would go fat while the Pallas kernel stays
     # per-slot, splitting texel choice (and thus RNG streams)

@@ -55,12 +55,17 @@ UNTILED_ATLAS_TEXELS = 128 * 128  # below this the in-kernel row-select
 # EXTERNAL mode (XLA-side HBM texel gather) takes over — an in-kernel
 # tiled sampler was built and REJECTED by measurement (12.9 Mrays/s at
 # 512^2 vs ~untextured rates external; see TODO.md 4b)
-FAT_VMEM_TEXELS = 64 * 64  # in-kernel FAT sampler bound: the fat canvas
-# is 64 B/texel (16 f32 channels), so this matches the 256 KB VMEM budget
-# of the per-slot sampler's 128^2 x 16 B cap; within it ONE one-hot row
-# select serves all four texture slots (the round-3 ablation measured the
-# per-slot sampler calls at ~27% of the bounce kernel EACH, linear in
-# calls — the select construction, not the MACs, is the cost)
+FAT_VMEM_TEXELS = 128 * 64  # in-kernel FAT sampler bound: within it ONE
+# one-hot row select serves all four texture slots (the round-3 ablation
+# measured the per-slot sampler calls at ~27% of the bounce kernel EACH,
+# linear in calls — the select construction, not the MACs, is the cost).
+# Bound set by the round-3 on-chip sweep (same-process, 512^2x64spp):
+# 32^2 atlas fat 192.5 vs per-slot 178.8; 128^2 atlas (fat canvas
+# (128,64) = 8192 texels, 512 KB) fat 145.5 vs per-slot 114.6 (+27%);
+# 256^2 atlas (fat canvas (256,128) = 32768 texels) fat 75.6 vs
+# EXTERNAL 89.3 — the one-hot dot cost scales with canvas rows x cols,
+# so past ~8k texels the HBM-gather external mode wins and stays the
+# production path.
 FAT_KERNEL_MAX_SETS = 8  # in-kernel map-set match cost is ~20 vreg ops
 # per set per bounce (16 compares + 4 selects on (8, 128) blocks); past a
 # handful of sets that rivals the shading chain itself — bigger set
