@@ -304,3 +304,36 @@ def test_spot_light_render_cone(tmp_path):
     # The corner pixel views the floor at ~0.9 units out, angle atan(0.9/2)
     # ≈ 0.42 rad — inside the outer cone but dimmer than the axis.
     assert c > corner, (c, corner)
+
+
+def test_external_sidecar_uris(tmp_path):
+    """.gltf sidecar layout: external .bin buffers AND external image
+    files resolve relative to the document, with percent-decoded uris —
+    the layouts loaders.gl accepts (loader.ts:13-17). Images referenced
+    by missing files degrade to None (untextured), not a crash."""
+    import json
+    import struct
+
+    buf = struct.pack("<3f", 1.0, 2.0, 3.0)
+    (tmp_path / "mesh data.bin").write_bytes(buf)
+    png = bytes.fromhex("89504e470d0a1a0a") + b"not-a-real-png-body"
+    (tmp_path / "tex image.png").write_bytes(png)
+    gltf = {
+        "asset": {"version": "2.0"},
+        "accessors": [{
+            "bufferView": 0, "componentType": 5126, "count": 1,
+            "type": "VEC3",
+        }],
+        "bufferViews": [{"buffer": 0, "byteOffset": 0,
+                         "byteLength": len(buf)}],
+        "buffers": [{"byteLength": len(buf), "uri": "mesh%20data.bin"}],
+        "images": [{"uri": "tex%20image.png"},
+                   {"uri": "missing.png"}],
+    }
+    p = tmp_path / "sidecar.gltf"
+    p.write_text(json.dumps(gltf))
+    f = GLTFFile.load(str(p))
+    np.testing.assert_array_equal(
+        f.accessor(0), np.asarray([[1.0, 2.0, 3.0]], np.float32))
+    assert f.image_bytes(0) == png
+    assert f.image_bytes(1) is None

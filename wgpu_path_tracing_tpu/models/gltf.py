@@ -71,9 +71,14 @@ _NUM_COMPONENTS = {
 class GLTFFile:
     """Parsed glTF document with binary buffers resolved."""
 
-    def __init__(self, gltf: dict, buffers: list[bytes]):
+    def __init__(self, gltf: dict, buffers: list[bytes],
+                 base_dir: str = ""):
         self.gltf = gltf
         self.buffers = buffers
+        # Directory of the source file — external image uris (.gltf
+        # sidecar textures) resolve against it, like loaders.gl's
+        # baseUri (the reference parses any gltf layout, loader.ts:13-17).
+        self.base_dir = base_dir
 
     @classmethod
     def load(cls, path: str) -> "GLTFFile":
@@ -82,7 +87,8 @@ class GLTFFile:
         if len(data) >= 12 and struct.unpack_from("<I", data, 0)[0] == GLB_MAGIC:
             return cls._parse_glb(data, os.path.dirname(path))
         gltf = json.loads(data)
-        return cls(gltf, cls._load_buffers(gltf, None, os.path.dirname(path)))
+        base_dir = os.path.dirname(path)
+        return cls(gltf, cls._load_buffers(gltf, None, base_dir), base_dir)
 
     @classmethod
     def _parse_glb(cls, data: bytes, base_dir: str) -> "GLTFFile":
@@ -104,7 +110,8 @@ class GLTFFile:
                 bin_chunk = chunk
         if gltf is None:
             raise ValueError("GLB has no JSON chunk")
-        return cls(gltf, cls._load_buffers(gltf, bin_chunk, base_dir))
+        return cls(gltf, cls._load_buffers(gltf, bin_chunk, base_dir),
+                   base_dir)
 
     @staticmethod
     def _load_buffers(gltf: dict, glb_bin: bytes | None, base_dir: str):
@@ -116,7 +123,9 @@ class GLTFFile:
             elif uri.startswith("data:"):
                 buffers.append(base64.b64decode(uri.split(",", 1)[1]))
             else:
-                with open(os.path.join(base_dir, uri), "rb") as f:
+                from urllib.parse import unquote
+
+                with open(os.path.join(base_dir, unquote(uri)), "rb") as f:
                     buffers.append(f.read())
         return buffers
 
@@ -188,6 +197,15 @@ class GLTFFile:
         uri = img.get("uri")
         if uri and uri.startswith("data:"):
             return base64.b64decode(uri.split(",", 1)[1])
+        if uri:
+            # External sidecar image (.gltf + .png/.jpg layout); uris are
+            # percent-encoded per the glTF spec (loaders.gl decodes them).
+            from urllib.parse import unquote
+
+            path = os.path.join(self.base_dir, unquote(uri))
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    return f.read()
         return None
 
 
