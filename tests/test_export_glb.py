@@ -113,3 +113,23 @@ def test_roundtrip_spot_light(tmp_path):
                                atol=1e-6)
     np.testing.assert_allclose(got.light_aux[s], ref.light_aux[0], atol=1e-5)
     np.testing.assert_allclose(float(got.light_intensity[s]), 7.0)
+
+
+def test_roundtrip_hdr_emission_folds_into_strength(tmp_path):
+    """emission components > 1 cannot ride the spec-clamped
+    emissiveFactor; the exporter folds the peak into
+    KHR_materials_emissive_strength so radiance survives the round trip
+    (a bare clip would dim a (5,5,5)x1.0 emitter 5x on reload)."""
+    ref = cornell_box()
+    em = np.asarray(ref.mat_emission)
+    lit = int(np.nonzero(em.max(axis=1) > 0)[0][0])
+    em[lit] = (5.0, 4.0, 3.0)
+    np.asarray(ref.mat_emissive_strength)[lit] = 1.0
+    got = _roundtrip(ref, tmp_path)
+    ma = ref.tri_mat[_sorted_tris(ref)[1]]
+    mb = got.tri_mat[_sorted_tris(got)[1]]
+    np.testing.assert_allclose(
+        ref.mat_emission[ma] * np.asarray(ref.mat_emissive_strength)[ma, None],
+        got.mat_emission[mb] * np.asarray(got.mat_emissive_strength)[mb, None],
+        rtol=1e-6)
+    assert (np.asarray(got.mat_emission) <= 1.0 + 1e-9).all()

@@ -1,5 +1,6 @@
 """Möller-Trumbore and slab-test unit tests (pt.wgsl:123-245 semantics)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -273,6 +274,11 @@ def test_auto_selection_vmem_gate(monkeypatch):
     monkeypatch.setattr(I, "PAGED_VMEM_BUDGET_BYTES", 1024)
     ch = I.make_closest_hit(scene, "auto", brute_max_tris=64, leaf_size=4)
     assert ch.strategy == "pairs"
+    # FORCING paged mode past its bounds must fail loudly (the int16
+    # meta packing would silently wrap on wrong-geometry otherwise).
+    with pytest.raises(ValueError, match="walk_hbm"):
+        I.make_closest_hit(scene, "walk_hbm", brute_max_tris=64,
+                           leaf_size=4)
     # Forced walk ignores the budget; brute threshold wins below it.
     ch = I.make_closest_hit(scene, "walk", brute_max_tris=64, leaf_size=4)
     assert ch.strategy == "walk"

@@ -54,26 +54,33 @@ def test_phased_matches_brute(scene, bn, k_groups):
 
 
 def test_phased_shadow_limit(scene):
-    """t_max semantics: lanes whose limit excludes every triangle must
-    return miss; a generous limit must reproduce the closest hit."""
+    """t_max semantics: the limit gates sub-box ENTRY only (phased.py:29
+    — hits beyond t_max inside an admitted box may still be reported;
+    any-hit callers compare t < t_max themselves), so the testable
+    direction is the generous one: a limit that covers brute's closest
+    hit must reproduce it, and brute-miss lanes must stay misses under
+    a tiny limit."""
     ro, rd = _aimed_rays(scene["tri_isect"], 512, seed=7)
     nt = scene["tri_isect"].shape[0]
     t_b, i_b = closest_hit_brute(jnp.asarray(scene["tri_isect"]), ro, rd)
     t_b, i_b = np.asarray(t_b), np.asarray(i_b)
     hb = i_b >= 0
-    t_max = jnp.asarray(np.where(hb, t_b * 0.5, 1e-3), jnp.float32)
+    t_max = jnp.asarray(np.where(hb, t_b * 1.5, 1e-3), jnp.float32)
     t_p, i_p = closest_hit_phased(
         jnp.asarray(scene["walk_tris"]), ro, rd,
         active=jnp.ones((512,), bool), t_max=t_max,
         num_tris=nt, interpret=True, bn=256,
     )
-    # The gate may admit triangles between t_max and the box exit, but a
-    # hit strictly beyond every admitted box cannot be created: any
-    # reported hit must match brute where brute's hit is within limit.
     i_p = np.asarray(i_p)
     t_p = np.asarray(t_p)
     within = hb & (t_b <= np.asarray(t_max))
-    np.testing.assert_array_equal(i_p[within], i_b[within])
+    assert within.any(), "fixture produced no hits — assertion vacuous"
+    # Exact-t razor ties are group-order-dependent, as in the main test.
+    diff = (i_p != i_b) & within
+    np.testing.assert_array_equal(t_b[diff], t_p[diff])
+    np.testing.assert_allclose(t_b[within], t_p[within],
+                               rtol=1e-4, atol=1e-5)
+    assert (i_p[~hb] == -1).all()
 
 
 def test_phased_respects_active(scene):

@@ -278,6 +278,31 @@ def test_render_sync_false_defers_counters():
     np.testing.assert_array_equal(img_a, r2.image())
 
 
+def test_render_sync_false_cap_drains_to_partial(monkeypatch):
+    """An interactive loop that never syncs must not grow the deferred
+    device-buffer list without bound: past DEFERRED_COUNTER_CAP chunks the
+    list drains into a host-side int64 partial, and the next sync point
+    folds BOTH sources so no rays are lost."""
+    from wgpu_path_tracing_tpu.render import renderer as R
+
+    monkeypatch.setattr(R, "DEFERRED_COUNTER_CAP", 4)
+    r = Renderer(RenderConfig(width=16, height=16, frames_per_chunk=1))
+    r.load_scene(cornell_box())
+    for _ in range(6):
+        r.render(spp=1, sync=False)
+    assert r._deferred_partial.any()  # cap actually tripped
+    assert len(r._deferred_counters) < 4
+    total = r.stats()["rays_total"]
+    assert not r._deferred_partial.any()
+    assert total >= 6 * 16 * 16  # at least every primary ray accounted
+
+    r2 = Renderer(RenderConfig(width=16, height=16, frames_per_chunk=1))
+    r2.load_scene(cornell_box())
+    for _ in range(6):
+        r2.render(spp=1, fetch=False)
+    assert r2.stats()["rays_total"] == total
+
+
 def test_frames_per_trace_batched_equals_sequential():
     """frames_per_trace > 1 batches F frames' rays into one trace call but
     keeps the RNG draw schedule and per-frame accumulation order — the

@@ -69,6 +69,16 @@ def scene_to_glb(scene) -> bytes:
         rough = float(scene.mat_roughness[m])
         metal = float(scene.mat_metallic[m])
         emis = np.asarray(scene.mat_emission[m], np.float64)
+        es = float(scene.mat_emissive_strength[m])
+        peak = float(emis.max()) if emis.size else 0.0
+        if peak > 1.0:
+            # emissiveFactor is spec-clamped to [0,1]; fold the overflow
+            # into KHR_materials_emissive_strength so the round trip
+            # preserves radiance (the loader reconstructs
+            # emission x strength, gltf.py::_build_material) instead of
+            # silently dimming >1 factors to the clip.
+            emis = emis / peak
+            es = es * peak
         mat_json = {
             "name": f"mat{m}",
             "pbrMetallicRoughness": {
@@ -79,7 +89,6 @@ def scene_to_glb(scene) -> bytes:
             "emissiveFactor": [*map(float, np.clip(emis, 0.0, 1.0))],
         }
         ext = {}
-        es = float(scene.mat_emissive_strength[m])
         if es != 1.0:
             ext["KHR_materials_emissive_strength"] = {"emissiveStrength": es}
         ior = float(scene.mat_ior[m])

@@ -646,6 +646,20 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
             and n_groups < 32768
             and _nbytes(scene["walk_boxes"]) <= PAGED_VMEM_BUDGET_BYTES
         )
+        if intersector == "walk_hbm" and not paged_fits:
+            # Forcing paged mode past its bounds must fail LOUDLY: the
+            # int16 meta packing in ops/walk.py would silently wrap at
+            # >=32768 wide nodes / leaf groups and traverse wrong
+            # geometry (the SMEM alloc failure only catches the order-
+            # table bound, not the shape bounds).
+            raise ValueError(
+                "intersector='walk_hbm' forced but the scene exceeds the "
+                "paged walk's capacity bounds (needs walk tables, <32768 "
+                "wide nodes and <32768 leaf groups for the int16 meta "
+                "packing, the order table inside WALK_SMEM_BUDGET_BYTES, "
+                "and boxes inside PAGED_VMEM_BUDGET_BYTES) — use "
+                "intersector='pairs' for unbounded scenes"
+            )
         use_paged = (
             intersector == "walk_hbm"
             or (intersector == "auto" and paged_fits and not resident_fits)
@@ -711,12 +725,16 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
         )
 
     else:
-        bvh_nodes = jnp.concatenate(
-            [scene["bvh_links"], scene["bvh_meta"][:, 2:4]], axis=1
-        )
 
         def closest_hit(ro3, rd3, active=None, t_max=None, any_hit=False,
                         reorder=False):
+            # Concatenated lazily (inside the traced call, where XLA
+            # fuses it) — renderer.load_scene builds this closure just to
+            # read .strategy, and an eager concat would materialize the
+            # full link table per scene load for nothing.
+            bvh_nodes = jnp.concatenate(
+                [scene["bvh_links"], scene["bvh_meta"][:, 2:4]], axis=1
+            )
             return closest_hit_bvh_linked(
                 scene["bvh_aabb"],
                 bvh_nodes,

@@ -676,8 +676,10 @@ def closest_hit_walk(
         # low = even push slot): the order table rides SMEM (scalar
         # prefetch, 1 MB), and at 256 B/node the unpacked form caps the
         # tree at ~4k wide nodes (~550k tris); packed doubles that. The
-        # selection gate (ops/intersect.py PAGED_MAX_ORDER_NODES)
-        # guarantees every meta fits int16.
+        # selection gate (ops/intersect.py ``paged_fits``: <32768 wide
+        # nodes and leaf groups, order table inside the SMEM budget)
+        # guarantees every meta fits int16 — forced walk_hbm is rejected
+        # there with a ValueError when the scene exceeds those bounds.
         ord_in = (
             ((walk_order[:, 1::2] & 0xFFFF) << 16)
             | (walk_order[:, 0::2] & 0xFFFF)

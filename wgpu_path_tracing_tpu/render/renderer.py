@@ -46,6 +46,12 @@ from wgpu_path_tracing_tpu.render.config import RenderConfig
 from wgpu_path_tracing_tpu.render import pipeline
 from wgpu_path_tracing_tpu.utils import image as imageio
 
+# How many unsynced chunks' device counters may accumulate before a
+# blocking drain into the host-side partial sum: bounds device-buffer
+# growth for interactive loops that never hit a sync point. One ~25 ms
+# tunnel pull per 512 chunks is noise next to the chunks' render time.
+DEFERRED_COUNTER_CAP = 512
+
 
 class Renderer:
     def __init__(
@@ -94,6 +100,12 @@ class Renderer:
         # lets an interactive loop pipeline chunks with NO per-call host
         # round trip (the measured small-canvas dispatch floor).
         self._deferred_counters: list = []
+        # Already-pulled overflow from very long unsynced runs (the list
+        # is drained every DEFERRED_COUNTER_CAP chunks so an interactive
+        # loop that never reaches a sync point cannot grow device
+        # buffers without bound); int64 host sum, folded into
+        # _last_counters at the next sync point with the list.
+        self._deferred_partial = np.zeros(2, np.int64)
         self._deferred_t0: float | None = None
         self._on_update = []
         self._last_render_seconds = 0.0
@@ -273,10 +285,12 @@ class Renderer:
         honest — never real rays over dispatch-only seconds. Idle time
         between completion and the stats() call counts against it, the
         conservative direction."""
-        if not self._deferred_counters:
+        if not self._deferred_counters and not self._deferred_partial.any():
             return
-        add = self._pull_counters(self._deferred_counters)
+        add = self._deferred_partial + self._pull_counters(
+            self._deferred_counters)
         self._deferred_counters = []
+        self._deferred_partial = np.zeros(2, np.int64)
         self._last_counters = add
         self._counters = self._counters + add
         if self._deferred_t0 is not None:
@@ -288,6 +302,7 @@ class Renderer:
         self.frame_index = 0
         self._counters = np.zeros(2, np.int64)
         self._deferred_counters = []
+        self._deferred_partial = np.zeros(2, np.int64)
         self._deferred_t0 = None
 
     # --- rendering ----------------------------------------------------------
@@ -458,6 +473,11 @@ class Renderer:
             if self._deferred_t0 is None:
                 self._deferred_t0 = t0
             self._deferred_counters.extend(counters_dev)
+            if len(self._deferred_counters) >= DEFERRED_COUNTER_CAP:
+                self._deferred_partial = (
+                    self._deferred_partial
+                    + self._pull_counters(self._deferred_counters))
+                self._deferred_counters = []
             # Dispatch-only time; provisional. The next sync point
             # (stats(), a sync render) replaces it with the full
             # dispatch-to-completion wall of the unsynced run, so
@@ -466,13 +486,17 @@ class Renderer:
         else:
             # A sync render folds any earlier unsynced chunks in: the
             # 'last render' then spans from the first unsynced dispatch.
+            had_deferred = (bool(self._deferred_counters)
+                            or self._deferred_partial.any())
             start = (self._deferred_t0
-                     if self._deferred_counters and self._deferred_t0
-                     is not None else t0)
+                     if had_deferred and self._deferred_t0 is not None
+                     else t0)
             pending = self._deferred_counters + counters_dev
             self._deferred_counters = []
             self._deferred_t0 = None
-            render_counters = self._pull_counters(pending)
+            render_counters = (self._deferred_partial
+                               + self._pull_counters(pending))
+            self._deferred_partial = np.zeros(2, np.int64)
             self._last_counters = render_counters
             self._counters = self._counters + render_counters
             self._last_render_seconds = time.perf_counter() - start
