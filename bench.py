@@ -24,6 +24,11 @@ across rounds. The per-config lines cover BASELINE.json's five workloads:
                           gate: the PAGED walk (leaf slabs DMA'd from HBM
                           per visit, double-buffered + prefetched) replaces
                           the 12x-slower pair-dispatch fallback
+8. quality-dof-denoise    equal-QUALITY basis (the per-chip Mrays floors
+                          are measured; quality-per-ray is the remaining
+                          lever): display-space RMSE at 16 spp raw vs
+                          denoised (ops/denoise.py) vs adaptive
+                          (render/adaptive.py) on DoF-noise Cornell
 
 Each line: {"metric": "mrays_per_sec", "value": N, "unit": "Mrays/s",
 "vs_baseline": N, "scene": ..., ...}. Select configs with
@@ -129,7 +134,7 @@ def main():
     )
 
     dev = str(jax.devices()[0])
-    sel = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,headline")
+    sel = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8,headline")
     sel = {s.strip() for s in sel.split(",")}
 
     if "1" in sel:
@@ -254,6 +259,69 @@ def main():
         _emit("large-765k-paged", mrays, wall, rays, 4,
               {"device": dev, "tris": r.scene.num_triangles,
                "intersector": r.stats()["intersector"]})
+
+    if "8" in sel:
+        # Equal-QUALITY basis (extension: ops/denoise.py +
+        # render/adaptive.py). Every kernel sits at its measured
+        # hardware floor (BASELINE.md roofline), so wall-clock-to-quality
+        # on one chip now improves only by needing fewer rays. DoF-noise
+        # Cornell (aperture 0.25, same compile shapes as config 2);
+        # display-space RMSE vs a 768-spp self-golden.
+        import numpy as np_
+        from wgpu_path_tracing_tpu.utils.image import buffer_to_srgb
+
+        def _srgb(hdr):
+            return buffer_to_srgb(hdr.reshape(-1, 3), 512, 512, 1.0)
+
+        def _rmse(a, b):
+            return float(np_.sqrt(np_.mean((a - b) ** 2)))
+
+        def _mk():
+            rq = Renderer(RenderConfig(width=512, height=512,
+                                       frames_per_chunk=64))
+            rq.load_scene(cornell_box())
+            rq.camera.aperture = 0.25
+            return rq
+
+        rg = _mk()
+        rg.render(spp=768, fetch=False)
+        golden = _srgb(rg._row_major(rg._accum))
+
+        ru = _mk()
+        ru.render(spp=16, fetch=False)
+        raw_hdr = ru._row_major(ru._accum).reshape(512, 512, 3)
+        rmse_raw = _rmse(_srgb(raw_hdr), golden)
+        rmse_dn = _rmse(_srgb(ru.denoise()), golden)
+
+        ra = _mk()
+        ada_hdr = ra.render_adaptive(16)
+        rmse_ada = _rmse(_srgb(ada_hdr), golden)
+        rmse_ada_dn = _rmse(_srgb(ra.denoise(hdr=ada_hdr)), golden)
+
+        # raw RMSE scales ~a/sqrt(spp) until convergence; fit a from two
+        # more raw points to estimate the uniform spp that matches the
+        # best extension pipeline (floor-capped claims only).
+        r64 = _mk()
+        r64.render(spp=64, fetch=False)
+        rmse_raw64 = _rmse(_srgb(r64._row_major(r64._accum)), golden)
+        a_fit = float(np_.sqrt(16.0) * rmse_raw
+                      + np_.sqrt(64.0) * rmse_raw64) / 2.0
+        best = min(rmse_dn, rmse_ada_dn)
+        equal_spp = (a_fit / best) ** 2
+        line = {
+            "metric": "display_rmse_16spp_denoised",
+            "value": round(rmse_dn, 5),
+            "unit": "rmse (sRGB, vs 768spp self-golden)",
+            "vs_baseline": round(rmse_raw / rmse_dn, 3),
+            "scene": "quality-dof-denoise",
+            "rmse_raw_16spp": round(rmse_raw, 5),
+            "rmse_adaptive_16spp": round(rmse_ada, 5),
+            "rmse_adaptive_denoised_16spp": round(rmse_ada_dn, 5),
+            "rmse_raw_64spp": round(rmse_raw64, 5),
+            "equal_quality_uniform_spp_estimate": round(equal_spp, 1),
+            "device": dev,
+        }
+        print(json.dumps(line), flush=True)
 
     if "headline" in sel:
         r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=128))

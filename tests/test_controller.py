@@ -144,6 +144,18 @@ def test_http_viewer_drives_controller():
         urllib.request.urlopen(f"{base}/pinch?d=500", timeout=10).read()
         server.step(1 / 60)  # wheel/pinch dolly
         assert not np.allclose(r.camera.position, pos1)
+
+        # Denoised-preview toggle: filters the snapshot copy only —
+        # accumulation (and therefore stats/convergence) stays raw.
+        urllib.request.urlopen(f"{base}/denoise?on=1", timeout=10).read()
+        assert server.denoise
+        fi = r.frame_index
+        server.step(1 / 60)
+        png = urllib.request.urlopen(f"{base}/frame.png", timeout=10).read()
+        assert png[:4] == b"\x89PNG"
+        assert r.frame_index == fi + 2  # accumulation advanced normally
+        urllib.request.urlopen(f"{base}/denoise?on=0", timeout=10).read()
+        assert not server.denoise
     finally:
         server.stop()
 

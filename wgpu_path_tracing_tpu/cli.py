@@ -138,13 +138,25 @@ def cmd_render(args) -> int:
             r.save_png(preview_path)
 
     remaining = args.spp - (r.frame_index if args.resume else 0)
-    if remaining > 0:
+    adaptive_hdr = None
+    if getattr(args, "adaptive", False) and remaining > 0:
+        adaptive_hdr = r.render_adaptive(remaining)
+    elif remaining > 0:
         r.render(
             remaining,
             on_chunk=on_chunk if (args.verbose or preview_path) else None,
             fetch=False,  # save_png below pulls the buffer once
         )
-    r.save_png(args.output)
+    if adaptive_hdr is not None:
+        from wgpu_path_tracing_tpu.utils.image import buffer_to_srgb, write_png
+
+        if getattr(args, "denoise", False):
+            adaptive_hdr = r.denoise(hdr=adaptive_hdr)
+        write_png(args.output, buffer_to_srgb(
+            adaptive_hdr.reshape(-1, 3), r.config.width, r.config.height,
+            r.config.exposure))
+    else:
+        r.save_png(args.output, denoise=getattr(args, "denoise", False))
     if args.hdr:
         r.save_hdr(args.hdr)
     if args.exr:
@@ -291,6 +303,14 @@ def main(argv=None) -> int:
                     help="write the tonemapped PNG after every chunk "
                          "(default: the output path) so convergence is "
                          "watchable, like the reference's per-frame blit")
+    pr.add_argument("--adaptive", action="store_true",
+                    help="adaptive sampling (opt-in extension, "
+                         "render/adaptive.py): uniform warmup, then the "
+                         "ray budget concentrates on the noisiest pixels")
+    pr.add_argument("--denoise", action="store_true",
+                    help="edge-avoiding a-trous denoise of the final PNG "
+                         "(opt-in extension, ops/denoise.py; --hdr/--exr "
+                         "and checkpoints stay raw)")
     pr.add_argument("--hdr", metavar="PATH",
                     help="also write the linear radiance as Radiance RGBE .hdr")
     pr.add_argument("--exr", metavar="PATH",

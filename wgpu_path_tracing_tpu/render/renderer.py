@@ -565,12 +565,76 @@ class Renderer:
         self._accum = self._tile_order(data["accum"])
         self.frame_index = int(data["frame_index"])
 
+    # --- denoising (opt-in extension; ops/denoise.py) -------------------------
+    def aovs(self) -> dict:
+        """Primary-hit guide buffers (albedo/normal/depth/found) for the
+        denoiser — one extra closest-hit pass from pinhole center rays,
+        using the production intersector selection. Row-major (N,) /
+        (N, 3) arrays; cheap next to any real render (one camera-coherent
+        traversal, no bounces)."""
+        if self._scene_dev is None:
+            raise RuntimeError("No scene loaded")
+        from wgpu_path_tracing_tpu.ops import denoise as DN
+
+        cfg = self.config
+        cam = pipeline.camera_device(self.camera.as_pytree(), cfg.width,
+                                     cfg.height)
+        scene = self._scene_dev
+        if self.mesh is not None:
+            # The AOV pass is a single cheap camera-coherent call; run it
+            # on one device from the replicated scene copy.
+            scene = jax.tree_util.tree_map(
+                lambda a: np.asarray(a)
+                if hasattr(a, "addressable_shards") else a, scene)
+        return DN.primary_aovs(
+            scene, cam, cfg.width, cfg.height,
+            intersector=cfg.intersector,
+            brute_max_tris=cfg.brute_force_max_tris,
+            leaf_size=cfg.max_leaf_size,
+            slots_used=getattr(self, "_slots_used", (True, True, True, True)),
+        )
+
+    def denoise(self, hdr: np.ndarray | None = None, **params) -> np.ndarray:
+        """Edge-avoiding à-trous denoise of the current LINEAR accumulation
+        (ops/denoise.py; guided by ``aovs()``). Returns a new (H, W, 3)
+        HDR array — accumulation itself is untouched (parity), so
+        progressive rendering continues unaffected afterwards. ``params``
+        forward to ops/denoise.denoise_image (levels, sigma_*). Pass
+        ``hdr`` to filter an external buffer instead (e.g. the
+        render_adaptive result) using this renderer's guides."""
+        if hdr is None:
+            if self._accum is None:
+                raise RuntimeError("Nothing rendered yet")
+            hdr = self._row_major(self._accum).reshape(
+                self.config.height, self.config.width, 3)
+        from wgpu_path_tracing_tpu.ops import denoise as DN
+
+        return DN.denoise_image(hdr, self.aovs(), **params)
+
+    def render_adaptive(self, spp: int, **kw) -> np.ndarray:
+        """Adaptive sampling (opt-in extension, render/adaptive.py):
+        ~``spp`` frames of ray budget, concentrated on the noisiest
+        pixels after a uniform warmup. Returns the combined (H, W, 3)
+        HDR image; the renderer's own accumulation keeps only the
+        uniform warmup part (see the module docstring for semantics)."""
+        from wgpu_path_tracing_tpu.render import adaptive
+
+        return adaptive.render_adaptive(self, spp, **kw)
+
     # --- output --------------------------------------------------------------
-    def image(self) -> np.ndarray:
-        """Tonemapped display image (H, W, 3) in [0,1], top row first."""
+    def image(self, denoise: bool = False) -> np.ndarray:
+        """Tonemapped display image (H, W, 3) in [0,1], top row first.
+        ``denoise=True`` runs the opt-in à-trous filter on a copy of the
+        HDR buffer first (default path bit-identical)."""
         if self._accum is None:
             raise RuntimeError("Nothing rendered yet")
         with self.profiler.section("blit-pass"):
+            if denoise:
+                hdr = self.denoise().reshape(-1, 3)
+                return imageio.buffer_to_srgb(
+                    hdr, self.config.width, self.config.height,
+                    self.config.exposure,
+                )
             return imageio.buffer_to_srgb(
                 self._row_major(self._accum),
                 self.config.width,
@@ -578,8 +642,8 @@ class Renderer:
                 self.config.exposure,
             )
 
-    def save_png(self, path: str) -> None:
-        imageio.write_png(path, self.image())
+    def save_png(self, path: str, denoise: bool = False) -> None:
+        imageio.write_png(path, self.image(denoise=denoise))
 
     def save_hdr(self, path: str) -> None:
         """Write the LINEAR accumulation as a Radiance RGBE .hdr (no

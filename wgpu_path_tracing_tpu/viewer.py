@@ -36,8 +36,11 @@ img{image-rendering:pixelated;width:70vmin;height:70vmin;margin-top:2vmin}
 <div id=s>connecting...</div>
 <img id=v src="/frame.png" draggable=false>
 <div>WASD/space/shift to fly &middot; drag to look &middot; wheel to dolly
- &middot; drop a .glb to swap scenes</div>
+ &middot; drop a .glb to swap scenes &middot;
+ <label><input id=dn type=checkbox> denoise</label></div>
 <script>
+document.getElementById('dn').addEventListener('change',
+ e=>fetch(`/denoise?on=${e.target.checked?1:0}`));
 const v=document.getElementById('v'),s=document.getElementById('s');
 setInterval(()=>{v.src='/frame.png?'+Date.now();
  fetch('/stats').then(r=>r.json()).then(j=>{
@@ -71,6 +74,7 @@ class ViewerServer:
         self.renderer = renderer
         self.controller = Controller(renderer)
         self.frames_per_update = frames_per_update
+        self.denoise = False  # live-toggled via GET /denoise?on=1
         self._lock = threading.Lock()
         self._png: bytes = b""
         self._events: list[tuple] = []
@@ -116,6 +120,12 @@ class ViewerServer:
                     d = float(q.get("d", ["0"])[0])
                     with viewer._lock:
                         viewer._events.append(("pinch", d))
+                    self._send(200, "text/plain", b"ok")
+                elif url.path == "/denoise":
+                    # Denoised PREVIEW (ops/denoise.py) — filters a copy
+                    # at snapshot time; accumulation stays raw, so
+                    # convergence and parity are unaffected.
+                    viewer.denoise = q.get("on", ["1"])[0] == "1"
                     self._send(200, "text/plain", b"ok")
                 elif url.path == "/stats":
                     st = viewer.renderer.stats()
@@ -204,7 +214,7 @@ class ViewerServer:
         from PIL import Image
         import numpy as np
 
-        img = self.renderer.image()
+        img = self.renderer.image(denoise=self.denoise)
         buf = io.BytesIO()
         Image.fromarray(
             (np.clip(img, 0, 1) * 255.0 + 0.5).astype("uint8"), "RGB"
