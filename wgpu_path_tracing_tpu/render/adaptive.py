@@ -24,9 +24,17 @@ Scheme (all measured claims in BASELINE.md):
    ``render_chunk_subset`` — the same trace machinery over K lanes with
    scatter-add into (sum, count) side buffers. A round costs
    ~select_frac of a uniform frame.
-4. **Reselection** every ``reselect_every`` rounds by predicted residual
-   error score/sqrt(n_i) — pixels that received samples sink, starved
-   ones keep their rank (the warmup σ estimate stays; only n_i changes).
+4. **Reselection every round** (host-side: counts are tracked locally,
+   so a reselect costs an argpartition over N floats plus three small
+   device_puts — no extra pulls) by MARGINAL MSE gain: one more sample
+   at pixel i reduces its MSE by σᵢ²(1/nᵢ − 1/(nᵢ+1)) ≈ (σᵢ/nᵢ)², so
+   greedy-optimal selection ranks by score/nᵢ. (Ranking by
+   score/sqrt(nᵢ) instead — equalizing per-pixel ERROR — was measured
+   0.179 vs 0.158 uniform on glass-dof@16spp: it over-concentrates; the
+   marginal-gain rule is what the equal-budget win below uses.) The
+   warmup score is itself a noisy estimate (one |B−A| draw), so it is
+   smoothed 3×3 (zero-score pixels — converged or miss — stay zero and
+   are never sampled).
 5. Final image: (warmup_mean·n0 + extra_sum) / (n0 + extra_count).
 
 Parity: the default render path is untouched — warmup frames are
@@ -53,6 +61,15 @@ from wgpu_path_tracing_tpu.render.pipeline import make_trace_fn
 # Subset lane counts are rounded up to a multiple of this so the kernels
 # see friendly shapes and reselection never changes the compile key.
 LANE_QUANTUM = 2048
+
+# Measured-by-probe knobs (module-level so A/B probes can flip them in
+# one process; production values are the measured winners — see
+# BASELINE.md quality section):
+#   _PRED_RULE: "n" ranks by marginal MSE gain (score/n_i), "sqrt"
+#   equalizes per-pixel error (score/sqrt(n_i)).
+#   _BLUR: 3x3 image-space smoothing of the warmup score.
+_PRED_RULE = "n"
+_BLUR = True
 
 
 @functools.partial(
@@ -138,7 +155,7 @@ def render_adaptive(
     *,
     warmup_frac: float = 0.5,
     select_frac: float = 0.25,
-    reselect_every: int = 8,
+    reselect_every: int = 1,
 ) -> np.ndarray:
     """Render ~``spp`` frames of ray budget adaptively; returns the
     combined HDR image (H, W, 3), row 0 = bottom (like render()).
@@ -170,8 +187,25 @@ def render_adaptive(
     renderer.render(n0 - half, fetch=False)
     base = np.asarray(renderer._accum, np.float32)
 
-    # 2. Display-space split-buffer noise score per lane.
+    # 2. Display-space split-buffer noise score per lane, smoothed 3x3
+    # in IMAGE space (noise is spatially correlated and the one-draw
+    # |B-A| estimator is itself noisy). Exactly-zero scores (converged
+    # pixels, misses) stay zero — never worth a ray.
     score = _display_diff(base, snap)
+    from wgpu_path_tracing_tpu.utils.tiling import (
+        inverse_permutation,
+        tile_permutation,
+    )
+
+    perm = tile_permutation(w, h)
+    if _BLUR:
+        inv = inverse_permutation(perm)
+        img_score = score[inv].reshape(h, w)
+        pad = np.pad(img_score, 1, mode="edge")
+        sm = sum(pad[dy:dy + h, dx:dx + w]
+                 for dy in range(3) for dx in range(3)) / 9.0
+        score = np.where(img_score.reshape(-1) > 0.0,
+                         sm.reshape(-1), 0.0)[perm]
 
     # 3. Static-K subset rounds.
     k = int(round(n * select_frac))
@@ -182,9 +216,6 @@ def render_adaptive(
     if rounds_total == 0:
         return renderer._row_major(renderer._accum).reshape(h, w, 3)
 
-    from wgpu_path_tracing_tpu.utils.tiling import tile_permutation
-
-    perm = tile_permutation(w, h)
     x_rm, y_rm = np.divmod(np.arange(n, dtype=np.int64), w)[::-1]
     # pixel_grid flattens row-major (index = y*w + x); lane i is pixel
     # perm[i] of that order — the same permutation pipeline applies.
@@ -217,9 +248,10 @@ def render_adaptive(
     frame = n0
     done = 0
     while done < rounds_total:
-        # Predicted residual error ~ sigma/sqrt(n_i): warmup score keeps
-        # the sigma ranking, counts sink pixels that already got rounds.
-        pred = score / np.sqrt(n0 + extra_count_host)
+        # Marginal MSE gain of one more sample ~ (sigma_i/n_i)^2:
+        # greedy-optimal rank is score/n_i (see module docstring).
+        n_i = n0 + extra_count_host
+        pred = score / (n_i if _PRED_RULE == "n" else np.sqrt(n_i))
         sel = np.argpartition(pred, n - k)[n - k:]
         sel_dev = jnp.asarray(sel.astype(np.int32))
         x_dev = jnp.asarray(x_t[sel])
