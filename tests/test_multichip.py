@@ -125,6 +125,13 @@ def test_renderer_multichip_surface():
     img = r8.image()
     assert img.shape == (HEIGHT, WIDTH, 3)
     assert np.isfinite(img).all()
+    # The denoiser extension works on a sharded renderer too (the AOV
+    # pass runs single-device from the replicated scene copy) and
+    # matches the single-chip denoise of the same accumulation.
+    dn8 = r8.image(denoise=True)
+    dn1 = r1.image(denoise=True)
+    assert np.isfinite(dn8).all()
+    np.testing.assert_allclose(dn8, dn1, rtol=1e-4, atol=1e-5)
 
 
 def test_renderer_multichip_env():

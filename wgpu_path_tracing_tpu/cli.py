@@ -134,8 +134,9 @@ def cmd_render(args) -> int:
             # The reference blits the accumulation buffer to the canvas
             # every frame (renderer.ts:434-448); headless, the tonemapped
             # image is refreshed on disk every chunk so the user can watch
-            # it converge.
-            r.save_png(preview_path)
+            # it converge. --denoise filters the preview copies too (the
+            # converging-preview case is what the filter is for).
+            r.save_png(preview_path, denoise=getattr(args, "denoise", False))
 
     remaining = args.spp - (r.frame_index if args.resume else 0)
     adaptive_hdr = None
