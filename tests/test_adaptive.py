@@ -60,23 +60,33 @@ def test_warmup_only_short_budget():
     assert r.frame_index == 2
 
 
-def test_adaptive_beats_uniform_on_dof_noise():
-    # Wide aperture concentrates noise in defocused regions; with only
-    # half the lanes selectable (64x64 = 4096 lanes, quantum 2048) the
-    # adaptive pass must beat equal-budget uniform against a converged
-    # reference. Deterministic RNG -> this is a fixed, reproducible
-    # comparison, not a statistical one.
-    golden_r = _mk(64, 64, aperture=0.25, chunk=16)
-    golden_r.render(96, fetch=False)
+def test_adaptive_beats_uniform_on_concentrated_noise():
+    # The case adaptive sampling exists for: spatially CONCENTRATED
+    # noise. Camera pulled back to (0, 1, 7) so the box interior covers
+    # ~10% of the frame and the rest is zero-variance miss pixels (zero
+    # split-buffer score -> never selected); the subset rounds pour the
+    # whole extra budget into the noisy region. Deterministic RNG -> a
+    # fixed, reproducible comparison; measured margin ~20% (probe,
+    # round 3++). Near-UNIFORM-noise scenes (the default framing) are
+    # honestly a wash for redistribution — BASELINE.md records that A/B;
+    # it is not pinned here.
+    def mk():
+        r = _mk(64, 64, aperture=0.25, chunk=16)
+        r.camera.position = np.array([0.0, 1.0, 7.0], np.float32)
+        return r
+
+    golden_r = mk()
+    golden_r.render(192, fetch=False)
     golden = golden_r._row_major(golden_r._accum).reshape(64, 64, 3)
 
-    ru = _mk(64, 64, aperture=0.25, chunk=16)
+    ru = mk()
     ru.render(12, fetch=False)
     uni = ru._row_major(ru._accum).reshape(64, 64, 3)
 
-    ra = _mk(64, 64, aperture=0.25, chunk=16)
+    ra = mk()
     ada = ra.render_adaptive(12)
 
     rmse_u = float(np.sqrt(np.mean((uni - golden) ** 2)))
     rmse_a = float(np.sqrt(np.mean((ada - golden) ** 2)))
-    assert rmse_a < rmse_u, (rmse_a, rmse_u)
+    # Require a real margin, not a razor tie (probe measured ~1.2x).
+    assert rmse_a < 0.95 * rmse_u, (rmse_a, rmse_u)
