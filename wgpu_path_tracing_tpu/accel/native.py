@@ -25,6 +25,7 @@ _SRCS = [
     os.path.join(os.path.dirname(__file__), "cbvh", "bvh_builder.cpp"),
     os.path.join(os.path.dirname(__file__), "cbvh", "wide_collapse.cpp"),
     os.path.join(os.path.dirname(__file__), "cbvh", "flatten.cpp"),
+    os.path.join(os.path.dirname(__file__), "cbvh", "potpack.cpp"),
 ]
 _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
@@ -85,6 +86,11 @@ def _compile_library() -> ctypes.CDLL | None:
         _I32P,
         _F32P, _F32P, _F32P, _F32P, _F32P, _F32P, _F32P, _F32P, _F32P,
         _I32P,
+    ]
+    lib.wpt_potpack.restype = ctypes.c_int64
+    lib.wpt_potpack.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
     ]
     lib.wpt_build_wide.restype = ctypes.c_int64
     lib.wpt_build_wide.argtypes = [
@@ -228,6 +234,30 @@ def build_wide_native(
     if rc != 0:
         raise RuntimeError(f"native wide collapse failed (rc={rc})")
     return wmeta, worder, wboxes, wtris
+
+
+def potpack_native(wh: np.ndarray) -> tuple[np.ndarray, float, float]:
+    """Native atlas bin packer (accel/cbvh/potpack.cpp).
+
+    wh: (n, 2) f64 box (w, h) dims in list order. Returns (xy (n, 2) f64,
+    width, height) bit-identical to the Python packer
+    (models/gltf.py::potpack_python, tests/test_potpack_native.py).
+    Raises RuntimeError when the native library is unavailable.
+    """
+    if not native_available():
+        raise RuntimeError("native potpack unavailable (g++ failed?)")
+    wh = np.ascontiguousarray(wh, np.float64)
+    n = int(wh.shape[0])
+    xy = np.zeros((n, 2), np.float64)
+    dims = np.zeros((2,), np.float64)
+    dptr = ctypes.POINTER(ctypes.c_double)
+    rc = _LIB.wpt_potpack(
+        wh.ctypes.data_as(dptr), n,
+        xy.ctypes.data_as(dptr), dims.ctypes.data_as(dptr),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native potpack failed (rc={rc})")
+    return xy, float(dims[0]), float(dims[1])
 
 
 def flatten_native(pos, nrm, world, normal_mat, idx):

@@ -300,8 +300,31 @@ def _world_matrices(gltf: dict) -> list[np.ndarray]:
 
 def potpack(boxes: list[dict]) -> tuple[int, int]:
     """Bin packing as in the mapbox/potpack algorithm the reference uses
-    (atlas.ts:60): sort by height, fill a ~square strip, split free spaces.
-    Mutates each box's x/y. Returns (width, height)."""
+    (atlas.ts:60). Dispatches to the native C++ twin
+    (accel/cbvh/potpack.cpp) when it compiles, else the Python packer;
+    both are bit-identical (tests/test_potpack_native.py). Mutates each
+    box's x/y. Returns (width, height)."""
+    from wgpu_path_tracing_tpu.accel.native import native_available, potpack_native
+
+    if boxes and native_available():
+        wh = np.array([[b["w"], b["h"]] for b in boxes], np.float64)
+        xy, w, h = potpack_native(wh)
+        # The Python packer keeps int arithmetic when every dim is int
+        # (the fat atlas's LCM grids feed np.empty shapes downstream) —
+        # the f64 math is exact there, so only the TYPE needs restoring.
+        as_int = all(
+            isinstance(b["w"], int) and isinstance(b["h"], int) for b in boxes
+        )
+        for b, (x, y) in zip(boxes, xy):
+            b["x"] = int(x) if as_int else float(x)
+            b["y"] = int(y) if as_int else float(y)
+        return (int(w), int(h)) if as_int else (w, h)
+    return potpack_python(boxes)
+
+
+def potpack_python(boxes: list[dict]) -> tuple[int, int]:
+    """The pure-Python packer: sort by height, fill a ~square strip, split
+    free spaces. The bit-identity reference for the native twin."""
     area = sum(b["w"] * b["h"] for b in boxes)
     max_width = max((b["w"] for b in boxes), default=0)
     order = sorted(range(len(boxes)), key=lambda i: -boxes[i]["h"])
