@@ -29,6 +29,16 @@ across rounds. The per-config lines cover BASELINE.json's five workloads:
                           lever): display-space RMSE at 16 spp raw vs
                           denoised (ops/denoise.py) vs adaptive
                           (render/adaptive.py) on DoF-noise Cornell
+9. interactive-256        the reference's operating regime (a rAF loop
+                          blitting every frame, renderer.ts:456-473):
+                          motion-to-fresh-frame latency and sustained
+                          pipelined FPS at 256^2, with the measured
+                          tunnel RTT separated out
+10. shard-tax             render_chunk_sharded on a 1-device mesh vs
+                          render_chunk on the same chip (headline + the
+                          large-100k walk config): the measured overhead
+                          of the shard_map program structure — the
+                          per-chip cost floor an 8-chip run inherits
 
 Each line: {"metric": "mrays_per_sec", "value": N, "unit": "Mrays/s",
 "vs_baseline": N, "scene": ..., ...}. Select configs with
@@ -134,8 +144,27 @@ def main():
     )
 
     dev = str(jax.devices()[0])
-    sel = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8,headline")
+    sel = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8,9,10,headline")
     sel = {s.strip() for s in sel.split(",")}
+
+    def _tunnel_rtt_ms(reps: int = 8) -> float:
+        """Median round trip of a tiny device->host pull — the per-sync
+        latency floor every interactive number below inherits (measured
+        ~25-40 ms through the axon tunnel, ~0 on local devices)."""
+        import jax.numpy as jnp
+
+        a = jnp.zeros((2,), jnp.int32) + 1  # device-resident
+        np.asarray(a)  # warm the transfer path + compile the add
+        ts = []
+        for _ in range(reps):
+            # A FRESH device value each rep: jax Arrays cache their host
+            # copy after the first np.asarray, so re-pulling the same
+            # array measures nothing.
+            a = a + 1
+            t0 = time.perf_counter()
+            np.asarray(a)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts) * 1e3)
 
     if "1" in sel:
         # frames_per_trace=8: a 128^2 trace call is only 16k lanes (1/16
@@ -147,11 +176,16 @@ def main():
         r.load_scene(cornell_box())
         mrays0, wall0, _ = _bench_renderer(r, spp=8)
         mrays, wall, rays = _bench_sustained(r, spp=8)
+        # This config is dispatch-latency-DOMINATED (device busy is
+        # ~1.8 ms/chunk): the same-process tunnel RTT is emitted so
+        # cross-round comparison can separate tunnel weather from real
+        # regressions (BASELINE.md documents the 60-133 band).
         _emit("cornell-128-nomis", mrays, wall, rays, 8,
               {"device": dev,
                "basis": "sustained (32 pipelined 8-spp chunks, one sync)",
                "from_scratch_mrays": round(mrays0, 3),
-               "from_scratch_wall_s": round(wall0, 3)})
+               "from_scratch_wall_s": round(wall0, 3),
+               "tunnel_rtt_ms": round(_tunnel_rtt_ms(), 1)})
 
     if "2" in sel:
         r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=64))
@@ -218,6 +252,18 @@ def main():
         r3.load_scene(sc3)
         assert "atlas_fat" in r3._scene_dev, "LCM fat did not engage"
         mrays3, _, _ = _bench_renderer(r3, spp=64)
+        # TILED uvs (non-negative, past 1.0) ride fat mode since round 4:
+        # every sampler wraps u to fmod(u, 1) before indexing, so the
+        # bake stays texel-exact (the old [0,1] gate dropped these to the
+        # ~15 Mrays/s per-slot path).
+        sc5 = textured_cornell(atlas_size=512, congruent=True)
+        for uv in (sc5.tri_uv0, sc5.tri_uv1, sc5.tri_uv2):
+            uv[:] = np.asarray(uv) * 3.0
+        r5 = Renderer(RenderConfig(width=512, height=512,
+                                   frames_per_chunk=64))
+        r5.load_scene(sc5)
+        assert "atlas_fat" in r5._scene_dev, "tiled-uv fat did not engage"
+        mrays5, _, _ = _bench_renderer(r5, spp=64)
         # The per-slot gather fallback (now reached only past the LCM
         # budget / out-of-[0,1] uvs) stays measured, not hidden: force it
         # by zeroing the bake budget.
@@ -238,6 +284,7 @@ def main():
                "atlas": "512x512 external HBM texel gather (fat, congruent)",
                "mixedres_mrays": round(mrays2, 3),
                "nondivisible_mrays": round(mrays3, 3),
+               "tileduv_mrays": round(mrays5, 3),
                "perslot_mrays": round(mrays4, 3)})
 
     if "7" in sel:
@@ -253,12 +300,24 @@ def main():
                                   frames_per_chunk=4, frames_per_trace=4))
         r.load_scene(cornell_box(tessellation=150))  # 765,002 tris
         mrays, wall, rays = _bench_renderer(r, spp=4, warmup_spp=4)
-        # Record the ACTUAL auto-selected strategy (expected walk_hbm) so
-        # a selection regression shows in the numbers instead of crashing
-        # the bench mid-run.
+        # Past the paged walk's ~1M-tri SMEM ceiling the pair dispatch is
+        # the unbounded fallback — measure it at 2M tris so the
+        # capability cliff is a recorded number, not a sentence
+        # (VERDICT r3 item 8; reference bar: buildBVH handles arbitrary
+        # scenes, bvh.ts:53).
+        r2m = Renderer(RenderConfig(width=128, height=128,
+                                    frames_per_chunk=2, frames_per_trace=2))
+        r2m.load_scene(cornell_box(tessellation=243))  # 2,007,666 tris
+        mrays_2m, _, _ = _bench_renderer(r2m, spp=2, warmup_spp=2)
+        # Record the ACTUAL auto-selected strategies (expected walk_hbm /
+        # pairs) so a selection regression shows in the numbers instead
+        # of crashing the bench mid-run.
         _emit("large-765k-paged", mrays, wall, rays, 4,
               {"device": dev, "tris": r.scene.num_triangles,
-               "intersector": r.stats()["intersector"]})
+               "intersector": r.stats()["intersector"],
+               "pairs_2m_mrays": round(mrays_2m, 3),
+               "pairs_2m_tris": r2m.scene.num_triangles,
+               "pairs_2m_intersector": r2m.stats()["intersector"]})
 
     if "8" in sel:
         # Equal-QUALITY basis (extension: ops/denoise.py +
@@ -319,6 +378,89 @@ def main():
             "rmse_adaptive_denoised_16spp": round(rmse_ada_dn, 5),
             "rmse_raw_64spp": round(rmse_raw64, 5),
             "equal_quality_uniform_spp_estimate": round(equal_spp, 1),
+            "device": dev,
+        }
+        print(json.dumps(line), flush=True)
+
+    if "9" in sel:
+        # Interactive-loop parity evidence (VERDICT r3 item 5): the
+        # reference's operating mode is a rAF loop blitting 1 spp per
+        # frame with a live FPS meter (renderer.ts:456-473,
+        # fps-meter.tsx:3-9). Numbers at 256^2: (a) motion-to-fresh-frame
+        # latency — move_camera resets accumulation, render 1 spp, pull
+        # the image; (b) sustained pipelined FPS — render(sync=False)
+        # 1-spp chunks with no per-call host sync, one counter drain at
+        # the end; (c) the tunnel RTT both inherit, separated out.
+        rtt = _tunnel_rtt_ms()
+        ri = Renderer(RenderConfig(width=256, height=256,
+                                   frames_per_chunk=1))
+        ri.load_scene(cornell_box())
+        ri.render(spp=2)  # compile both the chunk and the image pull
+        lats = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            ri.move_camera(0.0, 0.01 * (1 - 2 * (i & 1)), 0.0)
+            img = ri.render(spp=1)
+            lats.append(time.perf_counter() - t0)
+        assert not np.isnan(img).any()
+        m2f_ms = float(np.median(lats) * 1e3)
+        reps = 64
+        for _ in range(reps):  # warm the counter-stack shape
+            ri.render(spp=1, fetch=False, sync=False)
+        before = ri.stats()["rays_total"]
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            ri.render(spp=1, fetch=False, sync=False)
+        rays = ri.stats()["rays_total"] - before  # stats() syncs
+        sustained = reps / (time.perf_counter() - t0)
+        line = {
+            "metric": "interactive_fps_256",
+            "value": round(sustained, 1),
+            "unit": "fps (sustained, pipelined 1-spp chunks)",
+            "vs_baseline": round(sustained / 60.0, 3),
+            "scene": "interactive-256",
+            "motion_to_frame_ms": round(m2f_ms, 1),
+            "tunnel_rtt_ms": round(rtt, 1),
+            "rays_per_frame": int(rays // reps),
+            "device": dev,
+        }
+        print(json.dumps(line), flush=True)
+
+    if "10" in sel:
+        # Sharding tax (VERDICT r3 item 1b): the same workload through
+        # render_chunk_sharded on a 1-device mesh vs plain render_chunk —
+        # the shard_map program-structure overhead (psum, spec
+        # constraints) an 8-chip run inherits per chip. Measured on the
+        # headline dense config and the large-100k walk config.
+        from wgpu_path_tracing_tpu.parallel import shard as SH
+
+        taxes = {}
+        for name, cfg_kw, scene, spp in (
+            ("headline", dict(width=512, height=512, frames_per_chunk=64),
+             cornell_box(), 64),
+            ("large-100k", dict(width=512, height=512, frames_per_chunk=8,
+                                frames_per_trace=8),
+             cornell_box(tessellation=55), 8),
+        ):
+            rA = Renderer(RenderConfig(**cfg_kw))
+            rA.load_scene(scene)
+            mraysA, _, _ = _bench_renderer(rA, spp=spp, warmup_spp=spp)
+            rB = Renderer(RenderConfig(**cfg_kw), devices=jax.devices()[:1])
+            rB.load_scene(scene)
+            mraysB, _, _ = _bench_renderer(rB, spp=spp, warmup_spp=spp)
+            taxes[name] = (mraysA, mraysB)
+        line = {
+            "metric": "sharding_tax",
+            "value": round(taxes["headline"][1] / taxes["headline"][0], 4),
+            "unit": "sharded/unsharded Mrays ratio (1-device mesh)",
+            "vs_baseline": 1.0,
+            "scene": "shard-tax",
+            "headline_unsharded_mrays": round(taxes["headline"][0], 3),
+            "headline_sharded_mrays": round(taxes["headline"][1], 3),
+            "large100k_unsharded_mrays": round(taxes["large-100k"][0], 3),
+            "large100k_sharded_mrays": round(taxes["large-100k"][1], 3),
+            "large100k_ratio": round(
+                taxes["large-100k"][1] / taxes["large-100k"][0], 4),
             "device": dev,
         }
         print(json.dumps(line), flush=True)

@@ -72,4 +72,11 @@ def test_reference_golden_rmse_replica():
         for f in (out, out.replace(".png", "_vs_golden.png")):
             if os.path.exists(f):
                 os.remove(f)
-    assert value < 0.35, f"replica drifted far from the reference golden: {value}"
+    # Margin-tested bound (round 4): three independent 8-spp noise
+    # windows at this 48^2 operating point measured 0.1405 / 0.1435 /
+    # 0.1503 — the bound sits ~20% above the worst draw, tight enough
+    # that a lost object or flipped wall (>= +0.05 at 512^2, more here)
+    # fails it, loose enough that Monte-Carlo noise cannot. (The old 0.35
+    # bound predated the fitted replica and would have missed real
+    # regressions.)
+    assert value < 0.18, f"replica drifted from the reference golden: {value}"

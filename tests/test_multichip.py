@@ -104,6 +104,72 @@ def test_sharded_frames_per_trace(setup):
     np.testing.assert_allclose(outs[2], outs[1], rtol=1e-4, atol=1e-5)
 
 
+@pytest.fixture(scope="module")
+def walk_setup():
+    """Production-kernel composition fixture: a scene past brute_max_tris
+    whose walk tables are real, rendered single-chip through the walk +
+    Pallas bounce megakernel (interpret mode on CPU). The resident and
+    paged walks are bit-identical by test (test_walk.py), so one single-chip
+    reference serves both sharded variants."""
+    scene = cornell_box(tessellation=5)  # 852 tris -> real walk tables
+    dev = pack_device_scene(scene)
+    w = h = 32
+    cam = pipeline.camera_device(
+        Camera(width=w, height=h).as_pytree(), w, h
+    )
+    kwargs = dict(
+        n_frames=2,
+        width=w,
+        height=h,
+        use_dof=True,
+        rng_mode="reference",
+        max_bounces=3,
+        do_mis=True,
+        num_lights=scene.num_lights,
+        firefly_clamp=2.5,
+        intersector="walk",
+        brute_max_tris=512,
+        leaf_size=4,
+        bounce_kernel="pallas",
+    )
+    accum0 = jnp.zeros((w * h, 3), jnp.float32)
+    ref, ref_counters = pipeline.render_chunk(
+        dev, cam, accum0, jnp.int32(0), **kwargs
+    )
+    inv = inverse_permutation(tile_permutation(w, h))
+    return dev, cam, kwargs, np.asarray(ref)[inv], np.asarray(ref_counters)
+
+
+@pytest.mark.parametrize("isect", ["walk", "walk_hbm"])
+def test_sharded_production_walk(walk_setup, isect):
+    """An n>1 mesh must compose the PRODUCTION large-scene kernels — the
+    wide-BVH block walk (resident and HBM-paged) plus the Pallas bounce
+    megakernel, all in interpret mode on the CPU mesh — and match the
+    single-chip render of the same frames. This is the multi-chip story's
+    core composition: the reference has no multi-device path at all
+    (renderer.ts:426-429), and the toy brute path composing (tests above)
+    says nothing about SMEM stacks / DMA rings under shard_map."""
+    dev, cam, kwargs, ref_rm, ref_counters = walk_setup
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    kwargs = dict(kwargs, intersector=isect)
+    w = h = kwargs["width"]
+    mesh = SH.make_mesh(jax.devices()[:4], sample_shards=2)
+    scene_rep = SH.replicate_scene(dev, mesh)
+    accum = SH.shard_accum(jnp.zeros((w * h, 3), jnp.float32), mesh)
+    out, counters = SH.render_chunk_sharded(
+        scene_rep, cam, accum, jnp.int32(0), mesh=mesh, **kwargs
+    )
+    out_rm = SH.untile_image(
+        SH.gather_image(out), w, h, mesh.shape["row"]
+    )
+    # Same frames, same seeds; the walk's razor-tie winner selection is
+    # block-composition-dependent (<= 1 ulp t ties, ops/intersect.py), so
+    # the comparison is allclose, not bitwise.
+    np.testing.assert_allclose(out_rm, ref_rm, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(counters), ref_counters)
+
+
 def test_renderer_multichip_surface():
     """Renderer(devices=...) end-to-end: multi-chip render equals
     single-chip render through the public API."""

@@ -166,3 +166,44 @@ def test_stratified_mode_renders():
         imgs[mode] = r.render(spp=4)
         assert not np.isnan(imgs[mode]).any()
     assert np.abs(imgs["reference"] - imgs["stratified"]).max() > 0.0
+
+
+def test_bounce0_lds_override():
+    """The bounce-0 low-discrepancy extension (rng="stratified" +
+    CAM.TRACE_BOUNCE0_LDS): draw values live in [0, 1), the override
+    changes the stratified image (it engages), is deterministic, and the
+    parity modes never build it (trace_fn.lds_active False)."""
+    import jax
+
+    from wgpu_path_tracing_tpu import Renderer, RenderConfig, cornell_box
+    from wgpu_path_tracing_tpu.ops import camera_rays as CAM
+
+    x = jnp.arange(64, dtype=jnp.int32)
+    y = jnp.arange(64, dtype=jnp.int32) * 7
+    for f in (0, 3, 1000):
+        lds = np.asarray(CAM.bounce0_lds(x, y, jnp.int32(f)))
+        assert lds.shape == (3, 64)
+        assert (lds >= 0.0).all() and (lds < 1.0).all()
+    # Consecutive frames step the lobe dimension by the golden ratio.
+    l0 = np.asarray(CAM.bounce0_lds(x, y, jnp.int32(0)))[0]
+    l1 = np.asarray(CAM.bounce0_lds(x, y, jnp.int32(1)))[0]
+    assert np.abs((l1 - l0) % 1.0 - CAM._PHI1).max() < 1e-4
+
+    def render(mode):
+        r = Renderer(RenderConfig(width=16, height=16, frames_per_chunk=4,
+                                  rng=mode))
+        r.load_scene(cornell_box())
+        return r.render(spp=4)
+
+    on1 = render("stratified")
+    on2 = render("stratified")
+    np.testing.assert_array_equal(on1, on2)  # deterministic
+    saved = CAM.TRACE_BOUNCE0_LDS
+    try:
+        CAM.TRACE_BOUNCE0_LDS = False
+        jax.clear_caches()  # module-global knob: drop traced programs
+        off = render("stratified")
+    finally:
+        CAM.TRACE_BOUNCE0_LDS = saved
+        jax.clear_caches()
+    assert np.abs(on1 - off).max() > 0.0  # the override engaged

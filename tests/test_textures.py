@@ -285,19 +285,30 @@ def test_fat_atlas_gates():
             textured_cornell(atlas_size=32, congruent=True))
     finally:
         PB.FAT_VMEM_TEXELS = saved
-    # out-of-[0,1] uvs: the reference's sign-preserving %-wrap indexes
+    # NEGATIVE uvs: the reference's sign-preserving %-wrap indexes
     # backwards across rect boundaries, which the fat table cannot
     # reproduce — gate must refuse
     sc = textured_cornell(atlas_size=256, congruent=True)
     sc.tri_uv0[0] = [-0.25, 0.5]
     assert "atlas_fat" not in pack_device_scene(sc)
+    # TILED (non-negative, past 1.0) uvs are fat-safe since round 4:
+    # every sampler path reduces u to fmod(u, 1) before indexing, so the
+    # per-slot and fat paths see the same wrapped fraction — gate bakes
+    sc = textured_cornell(atlas_size=256, congruent=True)
+    sc.tri_uv0[:] = np.asarray(sc.tri_uv0) * 3.0
+    sc.tri_uv1[:] = np.asarray(sc.tri_uv1) * 3.0
+    sc.tri_uv2[:] = np.asarray(sc.tri_uv2) * 3.0
+    assert "atlas_fat" in pack_device_scene(sc)
 
 
-def _assert_fat_matches_per_slot(packed, seed=7):
+def _assert_fat_matches_per_slot(packed, seed=7, tile=0):
     """Shared check: on texel-center uvs (away from the fat path's
     documented texel-boundary ulp class) the fat row fetch must reproduce
     the per-slot sample_atlas values EXACTLY (same texels, same
-    fallbacks) for all four slots."""
+    fallbacks) for all four slots. ``tile`` > 0 additionally offsets each
+    uv by a random integer in [0, tile] — the wrapped fraction is exact
+    (integer + pow2-denominator fraction subtracts exactly in f32), so
+    tiled uvs must hit the identical texels."""
     from wgpu_path_tracing_tpu.ops import shade as SHADE
     from wgpu_path_tracing_tpu.ops.gathers import fetch_rows
 
@@ -310,8 +321,13 @@ def _assert_fat_matches_per_slot(packed, seed=7):
     # Texel-center uvs on a grid that is EXACT on every slot resolution
     # in play (multiples of all slot dims' common denominators is not
     # required — centers of a fine grid stay away from every boundary).
-    uu = jnp.asarray(((rng.integers(0, 128, n) + 0.5) / 128).astype(np.float32))
-    vv = jnp.asarray(((rng.integers(0, 128, n) + 0.5) / 128).astype(np.float32))
+    uu = ((rng.integers(0, 128, n) + 0.5) / 128).astype(np.float32)
+    vv = ((rng.integers(0, 128, n) + 0.5) / 128).astype(np.float32)
+    if tile:
+        uu = uu + rng.integers(0, tile + 1, n).astype(np.float32)
+        vv = vv + rng.integers(0, tile + 1, n).astype(np.float32)
+    uu = jnp.asarray(uu)
+    vv = jnp.asarray(vv)
 
     @jax.jit
     def go():
@@ -341,6 +357,18 @@ def test_fat_atlas_values_match_per_slot(congruent):
 
     _assert_fat_matches_per_slot(pack_device_scene(
         textured_cornell(atlas_size=256, congruent=congruent)))
+
+
+def test_fat_atlas_tiled_uvs_match_per_slot():
+    """Tiled uvs (non-negative, past 1.0) ride the fat path since round 4:
+    the %-wrap reduces every sampler's u to the same fraction, so the fat
+    fetch must still pick the identical texels the per-slot path does."""
+    from wgpu_path_tracing_tpu.models.procedural import textured_cornell
+
+    sc = textured_cornell(atlas_size=256, congruent=True)
+    for uv in (sc.tri_uv0, sc.tri_uv1, sc.tri_uv2):
+        uv[:] = np.asarray(uv) * 3.0  # pure tiling, uvs in [0, 3]
+    _assert_fat_matches_per_slot(pack_device_scene(sc), seed=13, tile=3)
 
 
 def test_fat_atlas_nondivisible_lcm_grid():

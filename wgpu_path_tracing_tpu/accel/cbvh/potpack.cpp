@@ -5,7 +5,12 @@
 // same last-to-first free-space scan, same split rules. All arithmetic is
 // f64 — Python's float IS f64, and the integer-dim call sites (the fat
 // atlas's LCM grids, models/types.py) stay exact because every value is
-// far below 2^53.
+// far below 2^53. Caveat on `area`: Python sums exact ints and rounds once
+// at area/0.95, while this loop rounds per multiply/add in f64 — identical
+// only while the SUM of w*h products (not just each value) stays exactly
+// representable, i.e. total area < 2^53 texels. FAT_ATLAS_MAX_TEXELS caps
+// call sites orders of magnitude below that; if the LCM path ever grows
+// unbounded before that check, switch this to Kahan/long-double summation.
 
 #include <algorithm>
 #include <cmath>

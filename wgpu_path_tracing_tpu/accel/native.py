@@ -59,6 +59,18 @@ def _compile_library() -> ctypes.CDLL | None:
         lib = ctypes.CDLL(so_path)
     except OSError:
         return None
+    try:
+        _bind_symbols(lib)
+    except AttributeError:
+        # A cached .so that predates a newer entry point can survive the
+        # mtime staleness check (mtime-preserving copies: rsync -a, tar,
+        # docker layer reuse). Degrade to the Python fallbacks instead of
+        # crashing every scene load on the missing symbol.
+        return None
+    return lib
+
+
+def _bind_symbols(lib: ctypes.CDLL) -> None:
     lib.wpt_build_bvh.restype = ctypes.c_int64
     lib.wpt_build_bvh.argtypes = [
         _F32P, _F32P, _F32P,
@@ -99,7 +111,6 @@ def _compile_library() -> ctypes.CDLL | None:
         ctypes.c_int32, _I32P, _I32P, _F32P, _F32P, ctypes.c_int64,
         ctypes.c_int64,
     ]
-    return lib
 
 
 def native_available() -> bool:

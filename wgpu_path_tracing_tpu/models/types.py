@@ -278,9 +278,17 @@ def _build_fat_atlas(scene: "SceneArrays", atlas: np.ndarray):
     [16 atlas-rect values in SLOT_RECT_COLS order | fx, fy, lw, lh], the
     runtime match table shade.sample_atlas_fat folds over — or None (fat
     mode disabled, per-slot sampling used) unless ALL of:
-      * every textured triangle's uvs sit in [0, 1] (outside, the
-        reference's sign-preserving %-wrap indexes backwards across rect
-        boundaries, which a relative-offset table cannot reproduce),
+      * no textured triangle carries a NEGATIVE uv. Non-negative uvs —
+        including tiled uvs past 1.0, round 4 — are fat-safe: every
+        sampler path first reduces u to f = fmod(u, 1.0) in [0, 1)
+        (shade.sample_atlas / sample_atlas_fat, the in-kernel
+        u - trunc(u) twins), and the SAME f feeds both the per-slot and
+        the virtual-rect index math, so the floor identity that makes
+        the bake texel-exact applies to tiled uvs unchanged. NEGATIVE
+        uvs are the one sign-dependent case: the reference's
+        sign-preserving %-wrap (pt.wgsl:115-116) then indexes BACKWARDS
+        across rect boundaries into neighboring textures' texels, which
+        a relative-offset canvas cannot reproduce,
       * all rects in-bounds, and canvas/set-count budgets respected,
       * for SMALL atlases (within the in-VMEM bounce sampler bound) the
         fat canvas and set count must also fit the IN-KERNEL fat sampler
@@ -327,7 +335,7 @@ def _build_fat_atlas(scene: "SceneArrays", atlas: np.ndarray):
     tex_tris = np.isin(np.asarray(scene.tri_mat), textured_mat_ids)
     for uv in (scene.tri_uv0, scene.tri_uv1, scene.tri_uv2):
         u = np.asarray(uv)[tex_tris]
-        if u.size and ((u < 0.0).any() or (u > 1.0).any()):
+        if u.size and (u < 0.0).any():  # tiled (u > 1) uvs are fat-safe
             return None
     # Pack the LCM grids onto one canvas (the same potpack the texture
     # atlas itself uses, gltf.py:283 — mutates x/y in place).

@@ -193,12 +193,19 @@ def eval_bsdf(hit, normal: V3, v: V3, l: V3, front):
     return bsdf, jnp.maximum(pdf, EPSILON)  # pt.wgsl:613
 
 
-def sample_bsdf(hit, rd: V3, front, state, mask):
+def sample_bsdf(hit, rd: V3, front, state, mask, override=None):
     """sampleBSDF (pt.wgsl:498-546). Returns (direction V3, new rng state).
 
     ``mask``: lanes that actually sample — RNG advances only there. Draw
     schedule per lane in mask: 1 lobe-select + 2 (every lobe draws exactly
     two) + 1 Fresnel draw only on transmission lanes that can refract.
+
+    ``override`` (opt-in, rng="stratified" bounce-0 extension): a
+    (gate, r, r1, r2) tuple — where ``gate`` holds, the three main draw
+    VALUES are replaced by the given low-discrepancy values while the PCG
+    state still advances exactly as before, so every downstream draw
+    (Fresnel, Russian roulette, later bounces) keeps its stream. None
+    (the default, and every parity mode) changes nothing.
     """
     v = -vec.normalize(rd)
 
@@ -208,6 +215,11 @@ def sample_bsdf(hit, rd: V3, front, state, mask):
     r, state = RNG.rand(state, mask)
     r1, state = RNG.rand(state, mask)
     r2, state = RNG.rand(state, mask)
+    if override is not None:
+        gate, o_r, o_r1, o_r2 = override
+        r = jnp.where(gate, o_r, r)
+        r1 = jnp.where(gate, o_r1, r1)
+        r2 = jnp.where(gate, o_r2, r2)
 
     lobe_d = r < diffuse_prob
     lobe_s = (~lobe_d) & (r < diffuse_prob + specular_prob)

@@ -20,10 +20,43 @@ uniform-control-flow WGSL.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from wgpu_path_tracing_tpu.ops import rng as RNG
 
 PI = 3.14159265359
+
+# Opt-in extension knob (A/B probes flip it in one process): when the
+# renderer runs rng="stratified", also draw the FIRST-BOUNCE BSDF
+# decisions (lobe select + 2D direction) from per-pixel-rotated
+# low-discrepancy sequences via bounce0_lds below. The PCG state still
+# advances exactly as before (values are overridden, the stream is not),
+# so later bounces keep their draw schedule. Reference parity is
+# untouched — rng="reference"/"hash" never build the override.
+TRACE_BOUNCE0_LDS = True
+
+_PHI1 = 0.6180339887498949  # golden ratio conjugate: 1D additive sequence
+
+
+def bounce0_lds(x, y, frame):
+    """Low-discrepancy first-bounce BSDF draws for rng="stratified".
+
+    Returns (3, N) f32 rows [lobe, r1, r2] in [0, 1): the lobe pick from
+    a per-pixel-rotated golden-ratio 1D sequence, the direction pair from
+    the R2 sequence (separate Cranley-Patterson streams from the
+    primary-ray draws, so lens and BSDF dimensions stay decorrelated).
+    The first-bounce BSDF integral is the smoothest path dimension after
+    the lens — the same O(1/N)-vs-O(1/sqrt N) argument as the primary
+    stratification (ops/rng.py R2 notes)."""
+    zero = jnp.zeros((), jnp.int32)
+    inv = np.float32(1.0 / 4294967296.0)
+    u0 = RNG._u32_to_f32(RNG.hash_seed(x, y, zero, stream=5)) * inv
+    f = (jnp.asarray(frame).astype(jnp.int32)
+         & (RNG.R2_CYCLE - 1)).astype(jnp.float32)
+    lobe = u0 + f * np.float32(_PHI1)
+    lobe = lobe - jnp.floor(lobe)
+    r1, r2 = RNG.r2_point(x, y, frame, stream=6)
+    return jnp.stack([lobe, r1, r2], axis=0)
 
 
 def _normalize(v):

@@ -529,6 +529,14 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
     use_brute = intersector == "brute" or (
         intersector == "auto" and num_tris <= brute_max_tris
     )
+    # FORCED large-scene intersectors run on CPU through Pallas interpret
+    # mode — so CPU-mesh shard_map tests and the driver's multichip dryrun
+    # compose the PRODUCTION walk/paged kernels on n>1 meshes, not just
+    # the brute path. "auto" on CPU still picks the linked-BVH walk
+    # (interpret mode is a correctness vehicle, far too slow as a
+    # default); only an explicit intersector= opts in.
+    on_accel = jax.default_backend() not in ("cpu", "gpu")
+    interp = not on_accel
 
     if intersector == "stack":
 
@@ -564,8 +572,7 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
                 )
             return closest_hit_brute(scene["tri_isect"], ro3.T, rd3.T)
 
-    elif (intersector == "phased" and "walk_tris" in scene
-          and jax.default_backend() not in ("cpu", "gpu")):
+    elif intersector == "phased" and "walk_tris" in scene:
         # Flat single-sync-point group dispatch (ops/phased.py): all
         # sub-cluster gates in one vector phase, fori-looped MT after.
         # Exact (idx == walk == brute on every sweep); measured ~equal to
@@ -584,9 +591,10 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
                 t_max=t_max,
                 num_tris=num_tris,
                 any_hit=any_hit,
+                interpret=interp,
             )
 
-    elif intersector == "cluster" and jax.default_backend() not in ("cpu", "gpu"):
+    elif intersector == "cluster":
         # Round-based cluster dispatch (ops/cluster.py) — superseded by the
         # pair dispatch below, kept selectable for comparison benches.
         from wgpu_path_tracing_tpu.ops.cluster import closest_hit_cluster
@@ -602,9 +610,11 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
                 t_max=t_max,
                 num_tris=num_tris,
                 any_hit=any_hit,
+                interpret=interp,
             )
 
-    elif intersector != "bvh" and jax.default_backend() not in ("cpu", "gpu"):
+    elif (intersector != "bvh" and on_accel) or intersector in (
+            "walk", "walk_hbm", "pairs"):
         # Large scenes on TPU. Default: in-kernel wide-BVH block walk
         # (ops/walk.py) — hierarchy + triangle slabs VMEM-resident, one
         # grid step per ray block (1.35x the pair dispatch on the 103k-tri
@@ -692,6 +702,7 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
                     any_hit=any_hit,
                     pops=walk_pops,
                     paged=use_paged,
+                    interpret=interp,
                 )
 
         else:
@@ -708,6 +719,7 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
                     t_max=t_max,
                     num_tris=num_tris,
                     any_hit=any_hit,
+                    interpret=interp,
                 )
 
         # The bucket reorder pays off only when shrinking block unions
@@ -751,7 +763,8 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
         closest_hit.strategy = (
             "stack" if intersector == "stack"
             else "brute" if use_brute
-            else intersector if intersector in ("phased", "cluster")
-            and jax.default_backend() not in ("cpu", "gpu")
+            else "cluster" if intersector == "cluster"
+            else "phased"
+            if intersector == "phased" and "walk_tris" in scene
             else "bvh")
     return closest_hit

@@ -77,6 +77,7 @@ def bounce_core(
     num_lights: int,
     env=None,
     slots_used=(True, True, True, True),
+    bsdf_override=None,
 ) -> tuple[BounceState, ShadowQuery]:
     """Shading stage of one bounce, between closest-hit and shadow resolve.
 
@@ -136,7 +137,8 @@ def bounce_core(
         shadow = ShadowQuery(zero3, zero3, inf, jnp.zeros_like(found), zero3, zero)
 
     # --- BSDF sampling (pt.wgsl:680-696)
-    new_dir, state = BSDF.sample_bsdf(hit, st.rd, hit.is_front, state, cont)
+    new_dir, state = BSDF.sample_bsdf(hit, st.rd, hit.is_front, state, cont,
+                                      override=bsdf_override)
     f_val, pdf = BSDF.eval_bsdf(
         hit, hit.normal, -vec.normalize(st.rd), new_dir, hit.is_front
     )
@@ -188,8 +190,14 @@ def trace(
     num_lights: int = 0,
     textured: bool | None = None,
     slots_used=(True, True, True, True),
+    lds0=None,
 ):
     """Trace a batch of rays (plain-XLA path). ro, rd: (N, 3) arrays.
+
+    ``lds0`` (opt-in, rng="stratified"): (3, N) rows [lobe, r1, r2] of
+    low-discrepancy values that replace the FIRST bounce's BSDF draw
+    values (the PCG stream still advances — see bsdf.sample_bsdf
+    override). None (default, all parity modes) changes nothing.
 
     Returns (radiance (N, 3), new rng state, stats with int32 ray counters).
     """
@@ -239,11 +247,16 @@ def trace(
             reorder=reorder,
         )
         counters = counters.at[0].add(jnp.sum(st.alive.astype(jnp.int32)))
+        override = None
+        if lds0 is not None:
+            # Traced gate: only bounce 0 takes the LDS values; the scan
+            # structure is unchanged (same class as the reorder flag).
+            override = ((bounce_idx == 0), lds0[0], lds0[1], lds0[2])
         st, shadow = bounce_core(
             st, t, idx, bounce_idx,
             fetch_tri=fetch_tri, fetch_light=fetch_light, atlas=atlas,
             do_mis=do_mis, num_lights=num_lights, env=env,
-            slots_used=slots_used,
+            slots_used=slots_used, bsdf_override=override,
         )
         if do_mis:
             counters = counters.at[1].add(jnp.sum(shadow.mask.astype(jnp.int32)))

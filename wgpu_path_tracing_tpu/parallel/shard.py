@@ -168,7 +168,7 @@ def render_chunk_sharded(
         trace_fn = make_trace_fn(
             scene, closest_hit, bounce_kernel=bounce_kernel,
             max_bounces=max_bounces, do_mis=do_mis, num_lights=num_lights,
-            slots_used=slots_used,
+            slots_used=slots_used, rng_mode=rng_mode,
         )
 
         n_loc = local_rows * width
@@ -193,7 +193,14 @@ def render_chunk_sharded(
                 ro = jnp.concatenate([p[0] for p in parts])
                 rd = jnp.concatenate([p[1] for p in parts])
                 state = jnp.concatenate([p[2] for p in parts])
-            radiance, state, stats = trace_fn(ro, rd, state)
+            lds0 = None
+            if trace_fn.lds_active:
+                ldss = [CAM.bounce0_lds(
+                    x, y, frame_start + (k * fpt + jnp.int32(i)) * ns + s_idx)
+                    for i in range(fpt)]
+                lds0 = (ldss[0] if fpt == 1
+                        else jnp.concatenate(ldss, axis=1))
+            radiance, state, stats = trace_fn(ro, rd, state, lds0)
             # Frames past n_active run (uniform trip count across shards)
             # but contribute nothing. fpt > 1 only on full-weight chunks
             # (see above), where the batched stats cover exactly the

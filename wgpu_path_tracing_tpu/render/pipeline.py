@@ -32,7 +32,8 @@ def camera_device(cam_pytree: dict, width: int, height: int) -> dict:
 
 def make_trace_fn(scene, closest_hit, *, bounce_kernel: str, max_bounces: int,
                   do_mis: bool, num_lights: int,
-                  slots_used: tuple = (True, True, True, True)):
+                  slots_used: tuple = (True, True, True, True),
+                  rng_mode: str = "reference"):
     """Build the bounce-loop callable, picking the implementation: the Pallas
     megakernel runs the same bounce_core with VMEM-resident tables (TPU,
     untextured, VMEM-sized scenes); otherwise the plain XLA path. Shared by
@@ -67,21 +68,39 @@ def make_trace_fn(scene, closest_hit, *, bounce_kernel: str, max_bounces: int,
             and scene["tri_full"].shape[0] <= MAX_VMEM_TRIS
         )
 
-    def trace_fn(ro, rd, state):
+    # Forcing bounce_kernel="pallas" on CPU runs the megakernel through
+    # Pallas interpret mode — the CPU-mesh composition vehicle (so shard_map
+    # tests and the multichip dryrun exercise the PRODUCTION bounce kernel,
+    # not just its XLA twin). "auto" never does this: interpret is a
+    # correctness path, not a performance one.
+    interp = use_pallas and jax.default_backend() in ("cpu", "gpu")
+
+    # Opt-in bounce-0 low-discrepancy extension (rng="stratified" +
+    # CAM.TRACE_BOUNCE0_LDS): the override currently runs on the XLA
+    # bounce only — like env lighting, it defers the Pallas megakernel
+    # (the kernel keeps its parity-pinned draw chain; plumb the override
+    # in only if the measured quality win justifies it).
+    lds_active = rng_mode == "stratified" and CAM.TRACE_BOUNCE0_LDS
+    if lds_active and use_pallas:
+        use_pallas = False
+        interp = False
+
+    def trace_fn(ro, rd, state, lds0=None):
         if use_pallas:
             from wgpu_path_tracing_tpu.ops.pallas_bounce import trace_pallas
 
             return trace_pallas(
                 scene, closest_hit, ro, rd, state,
                 max_bounces=max_bounces, do_mis=do_mis, num_lights=num_lights,
-                slots_used=slots_used,
+                slots_used=slots_used, interpret=interp,
             )
         return TRACE.trace(
             scene, closest_hit, ro, rd, state,
             max_bounces=max_bounces, do_mis=do_mis, num_lights=num_lights,
-            slots_used=slots_used,
+            slots_used=slots_used, lds0=lds0,
         )
 
+    trace_fn.lds_active = lds_active
     return trace_fn
 
 
@@ -162,7 +181,7 @@ def render_chunk(
     trace_fn = make_trace_fn(
         scene, closest_hit, bounce_kernel=bounce_kernel,
         max_bounces=max_bounces, do_mis=do_mis, num_lights=num_lights,
-        slots_used=slots_used,
+        slots_used=slots_used, rng_mode=rng_mode,
     )
 
     fpt = int(frames_per_trace)
@@ -189,7 +208,12 @@ def render_chunk(
             ro = jnp.concatenate([p[0] for p in parts])
             rd = jnp.concatenate([p[1] for p in parts])
             state = jnp.concatenate([p[2] for p in parts])
-        radiance, state, stats = trace_fn(ro, rd, state)
+        lds0 = None
+        if trace_fn.lds_active:
+            ldss = [CAM.bounce0_lds(x, y, base + jnp.int32(i))
+                    for i in range(fpt)]
+            lds0 = ldss[0] if fpt == 1 else jnp.concatenate(ldss, axis=1)
+        radiance, state, stats = trace_fn(ro, rd, state, lds0)
         # Primary rays also count toward throughput metrics.
         counters = counters + jnp.stack([stats["closest"], stats["shadow"]])
         # Running mean (pt.wgsl:753-761), applied PER FRAME in order so

@@ -74,9 +74,16 @@ class Renderer:
         if devices is not None and devices is not False:
             from wgpu_path_tracing_tpu.parallel import shard as SH
 
-            if devices is True:
+            # devices=True means "use every chip" and degrades to the
+            # plain single-device path on a 1-chip host; an EXPLICIT
+            # device list always takes the shard_map path, even with one
+            # device — that is how the sharding tax is measured
+            # (bench.py config 10) and how the sharded program is
+            # exercised on the single physical chip.
+            all_of_them = devices is True
+            if all_of_them:
                 devices = jax.devices()
-            if len(devices) > 1:
+            if len(devices) > 1 or not all_of_them:
                 self.mesh = SH.make_mesh(devices, sample_shards=sample_shards)
                 rows = self.mesh.shape["row"]
                 assert self.config.height % rows == 0, (
@@ -566,17 +573,28 @@ class Renderer:
         self.frame_index = int(data["frame_index"])
 
     # --- denoising (opt-in extension; ops/denoise.py) -------------------------
-    def aovs(self) -> dict:
+    def aovs(self, lens_samples: int | None = None) -> dict:
         """Primary-hit guide buffers (albedo/normal/depth/found) for the
-        denoiser — one extra closest-hit pass from pinhole center rays,
-        using the production intersector selection. Row-major (N,) /
-        (N, 3) arrays; cheap next to any real render (one camera-coherent
-        traversal, no bounces)."""
+        denoiser, using the production intersector selection. Row-major
+        (N,) / (N, 3) arrays; cheap next to any real render (camera-
+        coherent traversals only, no bounces).
+
+        ``lens_samples``: None (default) picks automatically — 16
+        jittered thin-lens samples when the camera has a real aperture
+        (so defocused guides carry the lens blur the image has — VERDICT
+        r3 item 3), pinhole center rays otherwise. Pass 0 to force
+        pinhole, or an explicit count."""
         if self._scene_dev is None:
             raise RuntimeError("No scene loaded")
         from wgpu_path_tracing_tpu.ops import denoise as DN
 
         cfg = self.config
+        if lens_samples is None:
+            # The reference's default aperture 0.001 (renderer.ts:149) is
+            # sub-pixel blur at any practical focus distance — pinhole
+            # guides are correct there; lens averaging only pays once the
+            # aperture produces real bokeh.
+            lens_samples = 16 if float(self.camera.aperture) > 0.01 else 0
         cam = pipeline.camera_device(self.camera.as_pytree(), cfg.width,
                                      cfg.height)
         scene = self._scene_dev
@@ -592,6 +610,8 @@ class Renderer:
             brute_max_tris=cfg.brute_force_max_tris,
             leaf_size=cfg.max_leaf_size,
             slots_used=getattr(self, "_slots_used", (True, True, True, True)),
+            lens_samples=int(lens_samples),
+            rng_mode=cfg.rng,
         )
 
     def denoise(self, hdr: np.ndarray | None = None, **params) -> np.ndarray:

@@ -79,6 +79,12 @@ class ViewerServer:
         self._png: bytes = b""
         self._events: list[tuple] = []
         self._stop = threading.Event()
+        # Interactive-latency meter (fps-meter.tsx parity + VERDICT r3
+        # item 5): wall time from a motion event draining to the next
+        # PUBLISHED frame (accumulation reset -> fresh 1-chunk image on
+        # the wire), surfaced in /stats as motion_to_frame_ms.
+        self._motion_t: float | None = None
+        self._motion_to_frame_ms: float | None = None
 
         viewer = self
 
@@ -133,6 +139,7 @@ class ViewerServer:
                         "spp": st["frame_index"],
                         "mrays": st["mrays_per_sec"],
                         "fps": st["frames"]["fps"],
+                        "motion_to_frame_ms": viewer._motion_to_frame_ms,
                     }).encode()
                     self._send(200, "application/json", body)
                 else:
@@ -200,6 +207,8 @@ class ViewerServer:
     def _drain_events(self, dt: float) -> None:
         with self._lock:
             events, self._events = self._events, []
+        if events and self._motion_t is None:
+            self._motion_t = time.perf_counter()
         for ev in events:
             if ev[0] == "key":
                 (self.controller.key_down if ev[2]
@@ -221,12 +230,20 @@ class ViewerServer:
         ).save(buf, "PNG")
         with self._lock:
             self._png = buf.getvalue()
+        if self._motion_t is not None:
+            self._motion_to_frame_ms = (
+                time.perf_counter() - self._motion_t) * 1e3
+            self._motion_t = None
 
     def step(self, dt: float) -> None:
         """One viewer tick: apply input, render a chunk, publish the frame
-        (the rAF-loop body, renderer.ts:456-473)."""
+        (the rAF-loop body, renderer.ts:456-473). The render dispatches
+        unsynced — the snapshot's image pull is the tick's one host round
+        trip (every extra D2H sync costs a full ~25-40 ms tunnel RTT,
+        BASELINE.md tunnel I/O section)."""
         self._drain_events(dt)
-        self.renderer.render(spp=self.frames_per_update, fetch=False)
+        self.renderer.render(spp=self.frames_per_update, fetch=False,
+                             sync=False)
         self._snapshot()  # pulls + tonemaps the frame once per tick
 
     def run_loop(self, max_seconds: float | None = None) -> None:
