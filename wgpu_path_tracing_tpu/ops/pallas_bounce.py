@@ -94,11 +94,20 @@ def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK):
         base = ci * chunk
         iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1024), 0) + base
         onehot = (iota == idx2).astype(jnp.float32)
+        # precision=HIGHEST is LOAD-BEARING for exactness (same reason as
+        # ops/gathers.fetch_rows): Mosaic's default MXU dot truncates the
+        # TABLE side to bf16 (~0.4% relative error on every fetched
+        # attribute — measured 0.015 max abs on unit-scale rows), which
+        # the CPU interpret path does NOT reproduce. That silent skew
+        # systematically deflected refracted glass paths on hardware
+        # (scalar-oracle arbitration, round 4) — only bf16x-decomposed
+        # f32 (HIGHEST) reproduces each selected row bit-exactly.
         return jax.lax.dot_general(
             table_ref[pl.ds(base, chunk), :],
             onehot,
             dimension_numbers=((([0]), ([0])), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (C, 1024)
 
     if n_chunks == 1:
