@@ -94,21 +94,38 @@ def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK):
         base = ci * chunk
         iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1024), 0) + base
         onehot = (iota == idx2).astype(jnp.float32)
-        # precision=HIGHEST is LOAD-BEARING for exactness (same reason as
+        # EXACTNESS IS LOAD-BEARING here (same reason as
         # ops/gathers.fetch_rows): Mosaic's default MXU dot truncates the
         # TABLE side to bf16 (~0.4% relative error on every fetched
         # attribute — measured 0.015 max abs on unit-scale rows), which
         # the CPU interpret path does NOT reproduce. That silent skew
-        # systematically deflected refracted glass paths on hardware
-        # (scalar-oracle arbitration, round 4) — only bf16x-decomposed
-        # f32 (HIGHEST) reproduces each selected row bit-exactly.
-        return jax.lax.dot_general(
-            table_ref[pl.ds(base, chunk), :],
-            onehot,
-            dimension_numbers=((([0]), ([0])), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (C, 1024)
+        # systematically deflected refracted glass paths on hardware for
+        # MONTHS of rounds (scalar-oracle arbitration, round 4) while
+        # every on-chip "bit-identical" A/B compared two equally-truncated
+        # kernel variants. Exact reconstruction: Dekker-style 3-term bf16
+        # split of the slab (each term is a bf16-representable f32, so the
+        # default-precision product is exact; one-hot rows make each dot a
+        # plain row select; hi+mid+lo re-adds exactly because every
+        # partial sum is representable). Measured on-chip: bit-exact
+        # (mixed-magnitude microtest), and ~8% cheaper than
+        # precision=HIGHEST end-to-end on the glass/textured configs
+        # (HIGHEST +18-31% over the truncating dot; split3 +10%;
+        # /tmp probe_3way, round 4).
+        slab = table_ref[pl.ds(base, chunk), :]
+        hi = slab.astype(jnp.bfloat16).astype(jnp.float32)
+        r1 = slab - hi
+        mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = r1 - mid
+
+        def dot(a):
+            return jax.lax.dot_general(
+                a,
+                onehot,
+                dimension_numbers=((([0]), ([0])), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        return (dot(hi) + dot(mid)) + dot(lo)  # (C, 1024)
 
     if n_chunks == 1:
         return part_of(0).reshape(cols, 8, 128)
