@@ -300,24 +300,32 @@ def main():
                                   frames_per_chunk=4, frames_per_trace=4))
         r.load_scene(cornell_box(tessellation=150))  # 765,002 tris
         mrays, wall, rays = _bench_renderer(r, spp=4, warmup_spp=4)
-        # Past the paged walk's ~1M-tri SMEM ceiling the pair dispatch is
-        # the unbounded fallback — measure it at 2M tris so the
-        # capability cliff is a recorded number, not a sentence
-        # (VERDICT r3 item 8; reference bar: buildBVH handles arbitrary
-        # scenes, bvh.ts:53).
+        # The round-4 canonical+permutation order encoding lifted the
+        # paged walk's SMEM ceiling ~3.8k -> ~10.2k wide nodes, so the
+        # 2M-tri scene now AUTO-selects walk_hbm (round 3 fell to pairs
+        # at 0.081 Mrays/s here). Record it, plus the forced pair
+        # dispatch as the beyond-ceiling fallback number (VERDICT r3
+        # item 8; reference bar: buildBVH handles arbitrary scenes,
+        # bvh.ts:53).
         r2m = Renderer(RenderConfig(width=128, height=128,
                                     frames_per_chunk=2, frames_per_trace=2))
         r2m.load_scene(cornell_box(tessellation=243))  # 2,007,666 tris
         mrays_2m, _, _ = _bench_renderer(r2m, spp=2, warmup_spp=2)
-        # Record the ACTUAL auto-selected strategies (expected walk_hbm /
-        # pairs) so a selection regression shows in the numbers instead
-        # of crashing the bench mid-run.
+        r2mp = Renderer(RenderConfig(width=128, height=128,
+                                     frames_per_chunk=2, frames_per_trace=2,
+                                     intersector="pairs"))
+        r2mp.load_scene(cornell_box(tessellation=243))
+        mrays_2mp, _, _ = _bench_renderer(r2mp, spp=2, warmup_spp=2)
+        # Record the ACTUAL auto-selected strategies (expected walk_hbm
+        # at both sizes) so a selection regression shows in the numbers
+        # instead of crashing the bench mid-run.
         _emit("large-765k-paged", mrays, wall, rays, 4,
               {"device": dev, "tris": r.scene.num_triangles,
                "intersector": r.stats()["intersector"],
-               "pairs_2m_mrays": round(mrays_2m, 3),
-               "pairs_2m_tris": r2m.scene.num_triangles,
-               "pairs_2m_intersector": r2m.stats()["intersector"]})
+               "tris_2m_mrays": round(mrays_2m, 3),
+               "tris_2m_tris": r2m.scene.num_triangles,
+               "tris_2m_intersector": r2m.stats()["intersector"],
+               "pairs_2m_mrays": round(mrays_2mp, 3)})
 
     if "8" in sel:
         # Equal-QUALITY basis (extension: ops/denoise.py +

@@ -391,3 +391,27 @@ def test_walk_paged_shadow_and_active(scene):
                                 paged=True)
     assert np.all(np.asarray(i_p)[~np.asarray(active)] == -1)
     assert np.asarray(i_p)[np.asarray(active)].max() >= 0
+
+
+def test_canonical_perm_packing_reconstructs_every_octant(scene):
+    """The round-4 paged encoding stores each node's child metas ONCE
+    (octant-0 canonical order) plus eight 24-bit permutation words; the
+    kernel reconstructs meta/key/gate-bit positions at push time. This
+    reconstructs all 8 octant orders host-side from the packed table and
+    checks them against the full (Nn, 64) walk_order — the exact
+    contract the kernel's push loop relies on (zero metas may map to any
+    canonical zero: both read meta 0 and never push)."""
+    order = np.asarray(scene["walk_order"])
+    nn = order.shape[0]
+    ordr = order.reshape(nn, 8, 8)
+    canon = ordr[:, 0, :]
+    pos = np.argmax(canon[:, None, None, :] == ordr[:, :, :, None], axis=-1)
+    recon = np.take_along_axis(
+        np.repeat(canon[:, None, :], 8, axis=1), pos, axis=-1
+    )
+    np.testing.assert_array_equal(recon, ordr)
+    # Permutation words round-trip through the 24-bit packing.
+    perm = (pos.astype(np.int64) << (3 * np.arange(8))).sum(axis=-1)
+    assert perm.max() < (1 << 24)
+    unpacked = np.stack([(perm >> (3 * j)) & 7 for j in range(8)], axis=-1)
+    np.testing.assert_array_equal(unpacked, pos)

@@ -321,28 +321,33 @@ WALK_VMEM_BUDGET_BYTES = 80 * 1024 * 1024  # auto selects the resident
 # alongside the ray block; past it (e.g. 765k tris -> 140.7 MB of
 # tables) the PAGED walk takes over (triangle slabs stay in HBM and are
 # DMA'd per leaf visit, double-buffered and prefetched one iteration
-# ahead — ops/walk.py paged=True). The paged walk's BINDING ceiling is
-# the SMEM order-table bound below (~3.8k nodes = ~1M tris); past it,
-# and for trees too deep for walk tables at all, the entry-sorted pair
-# dispatch takes over (unbounded scene size, measured 0.123 Mrays/s at
-# 765k before paging).
+# ahead — ops/walk.py paged=True). The paged walk's BINDING ceilings are
+# the SMEM order-table bound below (~10.2k nodes ≈ 2.7M tris at the
+# round-4 canonical+permutation encoding; was ~3.8k/1M) and the int16
+# leaf-group-meta bound (32768 groups ≈ 3.3M tris) — they land in the
+# same band. Past them, and for trees too deep for walk tables at all,
+# the entry-sorted pair dispatch takes over (unbounded scene size,
+# measured 0.123 Mrays/s at 765k before paging, 0.081 at 2M).
 
 PAGED_VMEM_BUDGET_BYTES = 48 * 1024 * 1024  # paged-walk ceiling on the
-# VMEM-resident share (walk_boxes octant slabs, ~2 KB per wide node at
-# width 8). A backstop only: the SMEM order bound (~3.8k nodes) always
-# fires ~6x earlier at production leaf fill; this guards pathological
-# node/leaf ratios.
+# VMEM-resident share (canonical walk_boxes rows: 256 B per wide node at
+# width 8 since round 4 — the gate compares walk_boxes bytes / 8). A
+# backstop only: the SMEM order bound (~10.2k nodes) always fires far
+# earlier at production leaf fill; this guards pathological node/leaf
+# ratios.
 
-WALK_SMEM_BUDGET_BYTES = 960 * 1024  # the per-octant ordered-meta table
-# rides SMEM (scalar prefetch; 1 MB per core, minus ~4 KB of stack/mask
-# scratch), and Mosaic DOUBLE-BUFFERS prefetched operands (measured: the
-# 765k tree's 2825 wide nodes x 256 B unpacked = 0.72 MB allocates
-# 1,449,984 B = 2x and fails "prefetched SMEM operand > 1 MB"; the
-# flat int16-packed table at 0.36 MB allocates 0.72 MB and compiles).
-# 2D operands additionally pad each row to 256 B — which is why the
-# paged walk packs into a FLAT table. Effective ceilings (alloc = 2x
-# table): resident walk 512 B/node -> ~1.9k nodes; paged walk 256 B/node
-# -> ~3.8k nodes (~1M triangles at the measured ~270 tris/node).
+WALK_SMEM_BUDGET_BYTES = 960 * 1024  # the ordered-meta table rides SMEM
+# (scalar prefetch; 1 MB per core, minus ~4 KB of stack/mask scratch),
+# and Mosaic DOUBLE-BUFFERS prefetched operands (measured: the 765k
+# tree's 2825 wide nodes x 256 B unpacked = 0.72 MB allocates
+# 1,449,984 B = 2x and fails "prefetched SMEM operand > 1 MB"; flat
+# packed tables at half that compile). 2D operands additionally pad each
+# row to 256 B — which is why the paged walk packs into a FLAT table.
+# Effective ceilings (alloc = 2x table): resident walk 512 B/node ->
+# ~1.9k nodes; paged walk 96 B/node (round-4 canonical metas + 24-bit
+# octant permutations, ops/walk.py) -> ~10.2k nodes (~2.7M triangles at
+# the measured ~270 tris/node; the round-3 int16-pair layout was
+# 256 B/node -> ~3.8k nodes).
 
 COMPACT_DIVS = (2, 8, 32, 128)  # geometric tier ladder: pack the alive
 # rays into the smallest n/div lane set that holds them. Measured (round
@@ -637,9 +642,14 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
             and walk_bytes <= WALK_VMEM_BUDGET_BYTES
             and order_bytes * 2 <= WALK_SMEM_BUDGET_BYTES
         )
-        # Paged walk: tri slabs stay in HBM (per-visit DMA), boxes in
-        # VMEM, 16-bit-packed order in SMEM. Metas must fit int16: nodes
-        # are bounded by the SMEM budget itself; leaf-group ids by shape.
+        # Paged walk: tri slabs stay in HBM (per-visit DMA), canonical
+        # octant-0 boxes in VMEM (1/8 of walk_boxes — the push loop
+        # permutes instead of replicating), canonical metas + 24-bit
+        # permutation words in SMEM (12 i32 words/node, alloc = 2x for
+        # Mosaic's double buffering = 96 B/node — ops/walk.py round-4
+        # encoding; was 128 B/node int16-paired, ceiling ~3.8k nodes).
+        # Metas must fit int16: nodes are bounded by the SMEM budget
+        # itself; leaf-group ids by shape.
         if have_walk:
             from wgpu_path_tracing_tpu.accel.bvh8 import (
                 SUB,
@@ -649,12 +659,15 @@ def make_closest_hit(scene, intersector: str, brute_max_tris: int, leaf_size: in
             n_groups = scene["walk_tris"].shape[0] // group_rows(SUB)
         else:
             n_groups = 1 << 30  # no tables: every paged bound fails
+        n_wide_nodes = (
+            scene["walk_order"].shape[0] if have_walk else 1 << 30
+        )
         paged_fits = (
             have_walk
-            and order_bytes <= WALK_SMEM_BUDGET_BYTES
-            and scene["walk_order"].shape[0] < 32768
+            and n_wide_nodes * 96 <= WALK_SMEM_BUDGET_BYTES
+            and n_wide_nodes < 32768
             and n_groups < 32768
-            and _nbytes(scene["walk_boxes"]) <= PAGED_VMEM_BUDGET_BYTES
+            and _nbytes(scene["walk_boxes"]) // 8 <= PAGED_VMEM_BUDGET_BYTES
         )
         if intersector == "walk_hbm" and not paged_fits:
             # Forcing paged mode past its bounds must fail LOUDLY: the

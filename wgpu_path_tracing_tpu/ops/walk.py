@@ -16,10 +16,13 @@ double-buffered VMEM ring, prefetched one iteration ahead (the top
 ``pops`` stack entries at push time are exactly the next iteration's
 pops). Measured bit-identical at +3.2% on the 103k scene — the DMA hides
 behind the per-visit gate+MT work (BASELINE.md). The interior tables
-still ride VMEM (boxes) and SMEM (order, int16-packed in paged mode:
-SMEM's 1 MB — holding 2x the table, Mosaic double-buffers prefetched
-operands — bounds the tree at ~3.8k wide nodes ≈ 1M triangles;
-ops/intersect.py gates selection on both bounds).
+still ride VMEM (boxes — canonical octant-0 rows only in paged width-8
+mode, an 8x cut; the push loop permutes instead) and SMEM (order:
+canonical int16 metas + eight 24-bit octant permutation words = 12 i32
+words/node since round 4; SMEM's 1 MB — holding 2x the table, Mosaic
+double-buffers prefetched operands — bounds the tree at ~10.2k wide
+nodes ≈ 2.7M triangles, up from the int16-pair layout's ~3.8k/1M;
+ops/intersect.py gates selection on all bounds).
 
 Shapes (v5e vreg = 8 sublanes x 128 lanes):
 
@@ -382,9 +385,19 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                     def _interior(w=w, y=y, e=e, o=o, om=om):
                         # Octant-ordered slab: row k = k-th child in push
                         # order. Node stride is OCTANTS(8) x width rows.
-                        slab = box_ref[
-                            pl.ds((e.safe_nid * 8 + y.oc) * width, width), :
-                        ]
+                        # Canonical (paged width-8) mode stores octant-0
+                        # rows ONLY (8x VMEM cut); the push loop permutes
+                        # at push time instead, so gate keys/bits are in
+                        # CANONICAL row order there.
+                        if paged and width == 8:
+                            slab = box_ref[
+                                pl.ds(e.safe_nid * width, width), :
+                            ]
+                        else:
+                            slab = box_ref[
+                                pl.ds((e.safe_nid * 8 + y.oc) * width,
+                                      width), :
+                            ]
                         tn = entry_tn(y, slab)  # (width, 1), push order
                         kcol = jax.lax.broadcasted_iota(
                             jnp.int32, (width, 1), 0
@@ -507,6 +520,37 @@ def _walk_kernel(bn: int, max_stack: int, stats: bool,
                 for k in reversed(range(pops)):
                     e = y.ent[k]
                     msk = e.msk
+                    if paged and width == 8:
+                        # Canonical mode: one 24-bit permutation word per
+                        # (node, octant) maps push slot j to the child's
+                        # CANONICAL position (gate keys, entered bits and
+                        # metas are all stored canonically). Layout:
+                        # 12 words/node — metas at +0..3 (int16 pairs,
+                        # low half = even canonical slot), perm for
+                        # octant o at +4+o.
+                        pw = ord_ref[e.safe_nid * 12 + 4 + y.oc]
+                        for j in range(width):
+                            pos = (pw >> (3 * j)) & 7
+                            tq_c = (pk[w, k * width + (pos >> 1)]
+                                    >> ((pos & 1) * 16)) & 0xFFFF
+                            mw = ord_ref[e.safe_nid * 12 + (pos >> 1)]
+                            m_raw = (mw >> ((pos & 1) * 16)) & 0xFFFF
+                            m = m_raw - ((m_raw & 0x8000) << 1)
+                            do_push = (
+                                e.is_interior
+                                & (((msk >> pos) & 1) != 0)
+                                & (m != 0)
+                            )
+                            slot = jnp.minimum(sp, max_stack - 1)
+                            old_n = stack[w, slot]
+                            old_t = stack_tq[w, slot]
+                            stack[w, slot] = jnp.where(do_push, m, old_n)
+                            stack_tq[w, slot] = jnp.where(
+                                do_push, tq_c, old_t)
+                            sp = jnp.minimum(
+                                sp + do_push.astype(jnp.int32), max_stack
+                            )
+                        continue
                     for j in range(width):
                         tq_c = (pk[w, k * width + j // 2]
                                 >> (16 * (j % 2))) & 0xFFFF
@@ -671,21 +715,49 @@ def closest_hit_walk(
     )  # (16, np_): o, d, 1/d component rows, rays on lanes
     lim = limit0.reshape(1, np_)
 
-    if paged:
-        # Pack the per-octant ordered metas two-per-word (int16 halves,
-        # low = even push slot): the order table rides SMEM (scalar
-        # prefetch, 1 MB), and at 256 B/node the unpacked form caps the
-        # tree at ~4k wide nodes (~550k tris); packed doubles that. The
-        # selection gate (ops/intersect.py ``paged_fits``: <32768 wide
-        # nodes and leaf groups, order table inside the SMEM budget)
-        # guarantees every meta fits int16 — forced walk_hbm is rejected
-        # there with a ValueError when the scene exceeds those bounds.
+    if paged and width == 8:
+        # CANONICAL + PERMUTATION encoding (round 4): the (Nn, 64) order
+        # table stores the SAME 8 child metas in 8 octant push orders —
+        # an 8x redundancy. Store them ONCE (int16 pairs in octant-0
+        # push order = the canonical order) plus eight 24-bit permutation
+        # words (3 bits x 8 push slots) mapping each octant's push slot j
+        # to its canonical position: 12 i32 words/node (4 metas + 8
+        # perms) vs the round-3 two-int16-per-word layout's 32 — the SMEM
+        # alloc (2x, Mosaic double-buffers prefetched operands) drops
+        # 128 -> 96 B/node, lifting the paged node ceiling ~4k -> ~10.2k
+        # (~2.7M tris at the measured ~270 tris/node; the int16
+        # leaf-group bound lands in the same band, so both gates move
+        # together — ops/intersect.py ``paged_fits``). Metas are unique
+        # per node (child node ids / leaf group ids), so the argmax
+        # match is exact; empty slots (meta 0, any number of them) all
+        # map to the first canonical zero, whose meta reads 0 and never
+        # pushes. The selection gate guarantees every meta fits int16 —
+        # forced walk_hbm is rejected there past the bounds.
+        ordr = walk_order.reshape(-1, 8, width)
+        canon = ordr[:, 0, :]  # (Nn, 8) octant-0 push order
+        pos = jnp.argmax(
+            canon[:, None, None, :] == ordr[:, :, :, None], axis=-1
+        ).astype(jnp.int32)  # (Nn, 8 octants, 8 slots) canonical index
+        shifts = (jnp.arange(width, dtype=jnp.int32) * 3)[None, None, :]
+        perm = jnp.sum(pos << shifts, axis=-1).astype(jnp.int32)  # (Nn, 8)
+        metas = ((canon[:, 1::2] & 0xFFFF) << 16) | (canon[:, 0::2] & 0xFFFF)
+        ord_in = jnp.concatenate([metas, perm], axis=1).reshape(-1)
+        # The box slabs carry the same 8x octant replication — canonical
+        # mode reads octant-0 rows only (the push loop permutes instead),
+        # an 8x VMEM cut on the interior tables (765k: 5.8 -> 0.73 MB).
+        box_in = walk_boxes.reshape(-1, 8, width, 8)[:, 0].reshape(-1, 8)
+    elif paged:
+        # Non-8-wide paged trees (experimental 16-ary) keep the round-3
+        # flat two-int16-per-word layout (a 4-bit permutation would not
+        # fit one word).
         ord_in = (
             ((walk_order[:, 1::2] & 0xFFFF) << 16)
             | (walk_order[:, 0::2] & 0xFFFF)
         ).reshape(-1)
+        box_in = walk_boxes
     else:
         ord_in = walk_order
+        box_in = walk_boxes
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -695,7 +767,7 @@ def closest_hit_walk(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, step), lambda p, o: (0, p),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(walk_boxes.shape, lambda p, o: (0, 0),
+            pl.BlockSpec(box_in.shape, lambda p, o: (0, 0),
                          memory_space=pltpu.VMEM),
             (pl.BlockSpec(memory_space=pl.ANY) if paged else
              pl.BlockSpec(walk_tris.shape, lambda p, o: (0, 0),
@@ -744,7 +816,7 @@ def closest_hit_walk(
         ] + ([jax.ShapeDtypeStruct((8, nb * 128), jnp.int32)]
              if stats else []),
         interpret=interpret,
-    )(ord_in, rays, lim, walk_boxes, walk_tris)
+    )(ord_in, rays, lim, box_in, walk_tris)
     t_row, i_row = outs[0], outs[1]
 
     t = t_row[0, :n]
