@@ -326,21 +326,21 @@ def _gather_texels(scene, idx, ro3, rd3, slots_used):
 
 
 def _bounce_kernel(do_mis, num_lights, atlas_hw=None,
-                   slots_used=(True, True, True, True)):
+                   slots_used=(True, True, True, True), has_lds=False):
     def kernel(
         bounce_ref,  # scalar prefetch: (1,) int32
         *refs,
     ):
+        refs = list(refs)
+        if atlas_hw is not None and atlas_hw[2] == "fat":
+            # Second scalar-prefetch operand: the (S, 20) map-set
+            # match table (SMEM scalar reads, see _make_fat_sampler).
+            rects_ref = refs.pop(0)
+        (ray_ref, state_ref, thr_ref, res_ref, alive_ref, t_ref,
+         idx_ref, tri_ref, light_ref) = refs[:9]
+        del refs[:9]
         if atlas_hw is not None:
-            if atlas_hw[2] == "fat":
-                # Second scalar-prefetch operand: the (S, 20) map-set
-                # match table (SMEM scalar reads, see _make_fat_sampler).
-                rects_ref, *refs = refs
-            (ray_ref, state_ref, thr_ref, res_ref, alive_ref, t_ref,
-             idx_ref, tri_ref, light_ref, atlas_ref,
-             oray_ref, ostate_ref, othr_ref, ores_ref, oalive_ref,
-             shadow_ray_ref, stmax_ref, smask_ref, sdirect_ref,
-             spdf_ref) = refs
+            atlas_ref = refs.pop(0)
             if atlas_hw[2] == "ext":
                 atlas = "ext"  # closure built after ``row`` below
             elif atlas_hw[2] == "fat":
@@ -351,12 +351,13 @@ def _bounce_kernel(do_mis, num_lights, atlas_hw=None,
                 atlas = _make_atlas_sampler(atlas_ref, atlas_hw[1],
                                             atlas_hw[0])
         else:
-            (ray_ref, state_ref, thr_ref, res_ref, alive_ref, t_ref,
-             idx_ref, tri_ref, light_ref,
-             oray_ref, ostate_ref, othr_ref, ores_ref, oalive_ref,
-             shadow_ray_ref, stmax_ref, smask_ref, sdirect_ref,
-             spdf_ref) = refs
             atlas = None
+        # Optional (3, BN) bounce-0 low-discrepancy draw rows
+        # (rng="stratified" extension — ops/camera_rays.py::bounce0_lds).
+        lds_ref = refs.pop(0) if has_lds else None
+        (oray_ref, ostate_ref, othr_ref, ores_ref, oalive_ref,
+         shadow_ray_ref, stmax_ref, smask_ref, sdirect_ref,
+         spdf_ref) = refs
         # 2D (rows, BN) blocks keep the operand/result layouts
         # bitcast-compatible with the (rows, N) arrays the intersection
         # kernels use (the old (rows, 8, 128) 3D blocks forced a relayout
@@ -401,10 +402,17 @@ def _bounce_kernel(do_mis, num_lights, atlas_hw=None,
             rows = _select_rows(light_ref, lidx, chunk=light_ref.shape[0])
             return lambda c: rows[c]
 
+        override = None
+        if has_lds:
+            # Traced gate: only bounce 0 takes the LDS values (exactly
+            # the ops/trace.py override semantics — shared bounce_core).
+            override = (bounce_ref[0] == 0, row(lds_ref, 0),
+                        row(lds_ref, 1), row(lds_ref, 2))
         new_st, shadow = TRACE.bounce_core(
             st, t, idx, bounce_ref[0],
             fetch_tri=fetch_tri, fetch_light=fetch_light, atlas=atlas,
             do_mis=do_mis, num_lights=num_lights, slots_used=slots_used,
+            bsdf_override=override,
         )
 
         def put(ref, r, v):
@@ -458,6 +466,7 @@ def bounce_stage_pallas(
     light_table,  # (Lp, LF_COLS)
     atlas_table=None,  # (Hp, W*4) or None; (H, W) passed via atlas_hw
     fat_rects=None,  # (S, 20) int32 map-set match table (fat mode only)
+    lds=None,  # (3, N) bounce-0 LDS rows [lobe, r1, r2] or None
     *,
     do_mis: bool,
     num_lights: int,
@@ -499,6 +508,9 @@ def bounce_stage_pallas(
             # Whole-table VMEM residency ("fat" canvas or per-slot atlas).
             in_specs.append(table_spec(atlas_table.shape))
         operands.append(atlas_table)
+    if lds is not None:
+        in_specs.append(row_spec(3))
+        operands.append(lds)
     num_prefetch = 1
     if atlas_hw is not None and atlas_hw[2] == "fat":
         # The (S, 20) map-set match table rides scalar prefetch (SMEM);
@@ -516,7 +528,8 @@ def bounce_stage_pallas(
         scratch_shapes=[],
     )
     outs = pl.pallas_call(
-        _bounce_kernel(do_mis, num_lights, atlas_hw, slots_used),
+        _bounce_kernel(do_mis, num_lights, atlas_hw, slots_used,
+                       has_lds=lds is not None),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((6, n), jnp.float32),
@@ -619,10 +632,14 @@ def trace_pallas(
     num_lights: int = 0,
     slots_used: tuple = (True, True, True, True),
     interpret: bool = False,
+    lds0=None,
 ):
     """Drop-in replacement for ops/trace.py::trace on TPU for VMEM-sized
     scenes (triangles and, if textured, the atlas). Same signature, same
-    semantics, same RNG streams."""
+    semantics, same RNG streams. ``lds0`` (optional, rng="stratified"
+    bounce-0 extension): (3, N) rows [lobe, r1, r2] substituted for the
+    first bounce's three main BSDF draws inside the kernel — identical
+    semantics to ops/trace.py's override (shared bounce_core)."""
     tables = prepare_tables(scene)
     assert tables is not None, "scene too large for the bounce megakernel"
     tri_table, light_table, atlas_table, atlas_hw, fat_rects = tables
@@ -649,6 +666,9 @@ def trace_pallas(
         [jnp.ones((1, n), jnp.int32), jnp.zeros((1, pad), jnp.int32)], axis=1
     ) if pad else jnp.ones((1, n), jnp.int32)
     counters0 = jnp.zeros((2,), jnp.int32)
+    lds_p = None
+    if lds0 is not None:
+        lds_p = jnp.pad(lds0, ((0, 0), (0, pad))) if pad else lds0
 
     def bounce(carry, bounce_idx):
         rays, state_r, thr, res, alive, counters = carry
@@ -670,7 +690,7 @@ def trace_pallas(
         outs = bounce_stage_pallas(
             bounce_idx, rays, state_r, thr, res, alive,
             t[None, :], idx[None, :], tri_table, light_table, atlas_op,
-            fat_rects,
+            fat_rects, lds_p,
             do_mis=do_mis, num_lights=num_lights, atlas_hw=atlas_hw,
             slots_used=slots_used, interpret=interpret,
         )

@@ -76,14 +76,10 @@ def make_trace_fn(scene, closest_hit, *, bounce_kernel: str, max_bounces: int,
     interp = use_pallas and jax.default_backend() in ("cpu", "gpu")
 
     # Opt-in bounce-0 low-discrepancy extension (rng="stratified" +
-    # CAM.TRACE_BOUNCE0_LDS): the override currently runs on the XLA
-    # bounce only — like env lighting, it defers the Pallas megakernel
-    # (the kernel keeps its parity-pinned draw chain; plumb the override
-    # in only if the measured quality win justifies it).
+    # CAM.TRACE_BOUNCE0_LDS): measured a WIN on both bench scene classes
+    # (BASELINE.md round-4 table), so the override is plumbed into the
+    # Pallas megakernel too (identical semantics — shared bounce_core).
     lds_active = rng_mode == "stratified" and CAM.TRACE_BOUNCE0_LDS
-    if lds_active and use_pallas:
-        use_pallas = False
-        interp = False
 
     def trace_fn(ro, rd, state, lds0=None):
         if use_pallas:
@@ -92,7 +88,7 @@ def make_trace_fn(scene, closest_hit, *, bounce_kernel: str, max_bounces: int,
             return trace_pallas(
                 scene, closest_hit, ro, rd, state,
                 max_bounces=max_bounces, do_mis=do_mis, num_lights=num_lights,
-                slots_used=slots_used, interpret=interp,
+                slots_used=slots_used, interpret=interp, lds0=lds0,
             )
         return TRACE.trace(
             scene, closest_hit, ro, rd, state,
