@@ -21,6 +21,28 @@ from wgpu_path_tracing_tpu.models.types import (
 )
 
 
+def quantize_atlas(atlas: np.ndarray) -> np.ndarray:
+    """Quantize atlas texels to bf16-EXACT f32 values — the one invariant
+    every atlas attachment point must establish (finalize_scene does it;
+    scenes that attach an atlas afterward, e.g. models/procedural.py,
+    call this directly; pack_device_scene asserts it). It lets the Pallas
+    bounce kernel's in-atlas one-hot row selects ride ONE
+    default-precision MXU dot losslessly (bf16 of a bf16-representable
+    f32 is exact) instead of the 3-term exact split geometry tables need
+    (ops/pallas_bounce.py::_select_rows, round-4 hardware-exactness fix).
+    Every consumer — the scalar oracle (tests/oracle.py reads
+    SceneArrays.atlas), the XLA sampler, the in-kernel samplers, the
+    fat-canvas bake and the external HBM gather — sees the SAME quantized
+    values, so all bit-parity contracts hold. Quality cost: texels are
+    8-bit sourced (PNG/JPEG/procedural u8-class), so bf16's 8
+    significant bits lose <=0.4% relative — below the source
+    quantization noise."""
+    import ml_dtypes
+
+    a = np.asarray(atlas, np.float32)
+    return a.astype(ml_dtypes.bfloat16).astype(np.float32)
+
+
 def finalize_scene(
     tri_v0: np.ndarray,
     tri_v1: np.ndarray,
@@ -55,6 +77,9 @@ def finalize_scene(
     f32 = np.float32
     num_tris = int(np.asarray(tri_v0).shape[0])
     num_mats = int(np.asarray(mat_base_color).shape[0])
+
+    if atlas is not None:
+        atlas = quantize_atlas(atlas)
 
     bvh = build_bvh(tri_v0, tri_v1, tri_v2, max_leaf_size, num_bins)
     order = bvh.order

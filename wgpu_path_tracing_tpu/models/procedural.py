@@ -14,7 +14,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from wgpu_path_tracing_tpu.models.assemble import finalize_scene
+from wgpu_path_tracing_tpu.models.assemble import (
+    finalize_scene,
+    quantize_atlas,
+)
 from wgpu_path_tracing_tpu.models.types import SceneArrays
 
 
@@ -314,7 +317,7 @@ def textured_cornell(tessellation: int = 1, atlas_size: int = 32,
         scene.mat_albedo_rect[0] = [0, 0, h2, h2]
         scene.mat_pbr_rect[0] = [h2, 0, h2, h2]
         scene.mat_normal_rect[1] = [0, h2, h2, h2]
-        scene.atlas = atlas
+        scene.atlas = quantize_atlas(atlas)
         return scene
     # pbr map at (a/2, 0, a/4, a/4): g = roughness, b = metallic
     atlas[0:q, h2:h2 + q, 1] = rng.uniform(0.2, 1.0, (q, q)).astype(np.float32)
@@ -328,5 +331,5 @@ def textured_cornell(tessellation: int = 1, atlas_size: int = 32,
     scene.mat_albedo_rect[0] = [0, 0, h2, h2]
     scene.mat_pbr_rect[0] = [h2, 0, q, q]
     scene.mat_normal_rect[1] = [h2, q, q, q]
-    scene.atlas = atlas
+    scene.atlas = quantize_atlas(atlas)
     return scene

@@ -509,6 +509,24 @@ def pack_device_scene(scene: SceneArrays, cluster_k: int = 64):
         )
         wide = None
 
+    # Load-bearing invariant: atlas texels must be bf16-representable f32
+    # (models/assemble.py quantizes at the finalize_scene choke point) —
+    # the in-kernel atlas selects rely on it to use ONE default-precision
+    # MXU dot losslessly (ops/pallas_bounce.py::_select_rows
+    # bf16_exact=True). An atlas that bypassed finalize_scene would
+    # otherwise be silently bf16-truncated per fetch on hardware only.
+    import ml_dtypes
+
+    a32 = np.asarray(atlas, np.float32)
+    if not np.array_equal(
+        a32, a32.astype(ml_dtypes.bfloat16).astype(np.float32)
+    ):
+        raise ValueError(
+            "pack_device_scene: atlas texels are not bf16-exact — build "
+            "scenes through models/assemble.py::finalize_scene (which "
+            "quantizes the atlas) or pre-quantize before packing"
+        )
+
     return {
         "tri_isect": tri_isect,
         "tri_full": tri_full,

@@ -72,9 +72,16 @@ FAT_KERNEL_MAX_SETS = 8  # in-kernel map-set match cost is ~20 vreg ops
 # counts use EXTERNAL mode, whose XLA-side match is amortized differently
 
 
-def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK):
+def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK,
+                 bf16_exact: bool = False):
     """rows (C, 8, 128) = table_ref (Tp, C) selected by idx (8, 128), via
     chunked one-hot MXU matmuls (Tp is a multiple of ``chunk``).
+
+    ``bf16_exact``: the caller GUARANTEES every table value is a
+    bf16-representable f32 (atlas texels — quantized at the
+    finalize_scene choke point, asserted by pack_device_scene), so one
+    default-precision dot is already exact and the 3-term split is
+    skipped (saves 2/3 of the atlas-select MXU work).
 
     Lane blocks are (8, 128) — a full vreg — so every elementwise op in the
     shared shading code uses all sublanes."""
@@ -112,10 +119,6 @@ def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK):
         # (HIGHEST +18-31% over the truncating dot; split3 +10%;
         # /tmp probe_3way, round 4).
         slab = table_ref[pl.ds(base, chunk), :]
-        hi = slab.astype(jnp.bfloat16).astype(jnp.float32)
-        r1 = slab - hi
-        mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
-        lo = r1 - mid
 
         def dot(a):
             return jax.lax.dot_general(
@@ -125,6 +128,12 @@ def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK):
                 preferred_element_type=jnp.float32,
             )
 
+        if bf16_exact:
+            return dot(slab)  # lossless: values are bf16-representable
+        hi = slab.astype(jnp.bfloat16).astype(jnp.float32)
+        r1 = slab - hi
+        mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = r1 - mid
         return (dot(hi) + dot(mid)) + dot(lo)  # (C, 1024)
 
     if n_chunks == 1:
@@ -188,7 +197,8 @@ def _make_atlas_sampler(atlas_ref, width: int, height: int):
         ix = jnp.clip(ax, 0.0, width - 1.0).astype(jnp.int32)
         iy = jnp.clip(ay, 0.0, height - 1.0).astype(jnp.int32)
         rows = _select_rows(
-            atlas_ref, iy, chunk=min(SELECT_CHUNK, atlas_ref.shape[0])
+            atlas_ref, iy, chunk=min(SELECT_CHUNK, atlas_ref.shape[0]),
+            bf16_exact=True,
         )  # (W*4, 8, 128) — each lane's texel row
         missing = (rw == 0.0) | (rh == 0.0)
         out = []
@@ -249,7 +259,8 @@ def _make_fat_sampler(atlas_ref, rects_ref, fh: int, fw: int, slots_used):
         ix = jnp.clip(ax, 0.0, fw - 1.0).astype(jnp.int32)
         iy = jnp.clip(ay, 0.0, fh - 1.0).astype(jnp.int32)
         rows = _select_rows(
-            atlas_ref, iy, chunk=min(SELECT_CHUNK, atlas_ref.shape[0])
+            atlas_ref, iy, chunk=min(SELECT_CHUNK, atlas_ref.shape[0]),
+            bf16_exact=True,
         )  # (FW*16, 8, 128) — each lane's fat texel row
         quads = []
         for k in range(4):
