@@ -297,9 +297,13 @@ def main():
         # dispatch. The same canvas/spp as the round-3 pairs smoke keeps
         # the numbers comparable.
         r = Renderer(RenderConfig(width=128, height=128,
-                                  frames_per_chunk=4, frames_per_trace=4))
+                                  frames_per_chunk=8, frames_per_trace=8))
         r.load_scene(cornell_box(tessellation=150))  # 765,002 tris
-        mrays, wall, rays = _bench_renderer(r, spp=4, warmup_spp=4)
+        # F=8 re-sweep with the round-4 canonical paged walk: 765k
+        # 0.296/0.338 at F=4/8, 2M 0.181/0.204/0.225 at F=2/4/8
+        # (same-process) — denser sort buckets and fuller compaction
+        # tiers, exactly the single-chip F lever configs 4/5 already use.
+        mrays, wall, rays = _bench_renderer(r, spp=8, warmup_spp=8)
         # The round-4 canonical+permutation order encoding lifted the
         # paged walk's SMEM ceiling ~3.8k -> ~10.2k wide nodes, so the
         # 2M-tri scene now AUTO-selects walk_hbm (round 3 fell to pairs
@@ -308,9 +312,9 @@ def main():
         # item 8; reference bar: buildBVH handles arbitrary scenes,
         # bvh.ts:53).
         r2m = Renderer(RenderConfig(width=128, height=128,
-                                    frames_per_chunk=2, frames_per_trace=2))
+                                    frames_per_chunk=8, frames_per_trace=8))
         r2m.load_scene(cornell_box(tessellation=243))  # 2,007,666 tris
-        mrays_2m, _, _ = _bench_renderer(r2m, spp=2, warmup_spp=2)
+        mrays_2m, _, _ = _bench_renderer(r2m, spp=8, warmup_spp=8)
         r2mp = Renderer(RenderConfig(width=128, height=128,
                                      frames_per_chunk=2, frames_per_trace=2,
                                      intersector="pairs"))
@@ -319,7 +323,7 @@ def main():
         # Record the ACTUAL auto-selected strategies (expected walk_hbm
         # at both sizes) so a selection regression shows in the numbers
         # instead of crashing the bench mid-run.
-        _emit("large-765k-paged", mrays, wall, rays, 4,
+        _emit("large-765k-paged", mrays, wall, rays, 8,
               {"device": dev, "tris": r.scene.num_triangles,
                "intersector": r.stats()["intersector"],
                "tris_2m_mrays": round(mrays_2m, 3),
