@@ -73,9 +73,9 @@ FAT_KERNEL_MAX_SETS = 8  # in-kernel map-set match cost is ~20 vreg ops
 
 
 def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK,
-                 bf16_exact: bool = False, presplit: bool = False):
-    """rows (C, 8, 128) = table_ref selected by idx (8, 128), via chunked
-    one-hot MXU matmuls (row count is a multiple of ``chunk``).
+                 bf16_exact: bool = False):
+    """rows (C, 8, 128) = table_ref (Tp, C) selected by idx (8, 128), via
+    chunked one-hot MXU matmuls (Tp is a multiple of ``chunk``).
 
     EXACTNESS IS LOAD-BEARING (same reason as ops/gathers.fetch_rows):
     Mosaic's default MXU dot truncates the TABLE side to bf16 on real
@@ -85,30 +85,29 @@ def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK,
     while every on-chip "bit-identical" A/B compared two equally
     truncated kernel variants. Two exact modes:
 
-    ``bf16_exact``: the caller GUARANTEES every value of the (Tp, C)
-    table is a bf16-representable f32 (atlas texels — quantized at the
+    ``bf16_exact``: the caller GUARANTEES every value of the table is a
+    bf16-representable f32 (atlas texels — quantized at the
     finalize_scene choke point, asserted by pack_device_scene), so one
     default-precision dot is already lossless.
 
-    ``presplit``: the table is (Tp, 3C) — a Dekker-style hi|mid|lo
-    column concat prepared OUTSIDE the kernel (bounce_stage_pallas;
-    loop-invariant, so XLA hoists it out of the bounce scan). Each term
-    is bf16-representable, so the single default-precision dot is exact
-    per plane and the (C,)-third reconstruction re-adds exactly (every
-    partial sum representable). Doing the split IN-kernel instead
-    measured +8% on the whole headline render (the bf16 pack/unpack
-    relayout chains on narrow slabs, not the extra dot MACs — a
-    column-concat single-dot in-kernel variant measured the same; only
-    hoisting the conversions out recovers it).
+    Otherwise: Dekker-style 3-term bf16 split of each chunk slab
+    IN-KERNEL (hi/mid/lo are bf16-representable f32 planes, so each
+    default-precision product is exact and hi+mid+lo re-adds exactly —
+    bit-exact by on-chip microtest AND by oracle arbitration,
+    tools/oracle_onchip.py). NOTE (round-4 hard lesson, twice): a
+    PRESPLIT variant — planes column-concatenated OUTSIDE the kernel,
+    one (chunk, 3C) dot per chunk — was landed and then REVERTED: it
+    re-broke the multi-chunk path ON HARDWARE ONLY (oracle tool: 90% of
+    glass lanes diverging, bright pixels black — interpret mode and the
+    single-chunk path were exact), and it measured no headline gain over
+    the in-kernel split anyway (3.096 vs 3.120 s; the ~8% exactness cost
+    is the tripled MAC structure, invariant across four variants). Do
+    not re-attempt without oracle_onchip.py PASSING on glass.
 
     Lane blocks are (8, 128) — a full vreg — so every elementwise op in the
     shared shading code uses all sublanes."""
-    assert bf16_exact or presplit, (
-        "_select_rows: pick an exact mode — a raw default-precision dot "
-        "silently truncates to bf16 on hardware (round-4 bug)"
-    )
     tp = table_ref.shape[0]
-    cols = table_ref.shape[1] // (3 if presplit else 1)
+    cols = table_ref.shape[1]
     n_chunks = tp // chunk
 
     # Build the one-hot NATIVELY in (chunk, 1024) lane-major layout: the
@@ -123,15 +122,23 @@ def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK,
         base = ci * chunk
         iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1024), 0) + base
         onehot = (iota == idx2).astype(jnp.float32)
-        out = jax.lax.dot_general(
-            table_ref[pl.ds(base, chunk), :],
-            onehot,
-            dimension_numbers=((([0]), ([0])), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (C or 3C, 1024)
-        if not presplit:
-            return out
-        return (out[0:cols] + out[cols:2 * cols]) + out[2 * cols:]
+        slab = table_ref[pl.ds(base, chunk), :]
+
+        def dot(a):
+            return jax.lax.dot_general(
+                a,
+                onehot,
+                dimension_numbers=((([0]), ([0])), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        if bf16_exact:
+            return dot(slab)  # lossless: values are bf16-representable
+        hi = slab.astype(jnp.bfloat16).astype(jnp.float32)
+        r1 = slab - hi
+        mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = r1 - mid
+        return (dot(hi) + dot(mid)) + dot(lo)  # (C, 1024)
 
     if n_chunks == 1:
         return part_of(0).reshape(cols, 8, 128)
@@ -172,19 +179,6 @@ def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK,
 
     acc0 = jnp.zeros((cols, 1024), jnp.float32)
     return jax.lax.fori_loop(0, n_chunks, body, acc0).reshape(cols, 8, 128)
-
-
-def _presplit3(table):
-    """Dekker-style hi|mid|lo bf16 column split of an f32 table — the
-    exact-select preparation _select_rows(presplit=True) consumes. Runs
-    OUTSIDE the kernel (loop-invariant: XLA hoists it out of the bounce
-    scan), where the bf16 conversions are free relayouts, not in-kernel
-    pack/unpack chains (measured +8% headline when done in-kernel)."""
-    t = table.astype(jnp.float32)
-    hi = t.astype(jnp.bfloat16).astype(jnp.float32)
-    r1 = t - hi
-    mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
-    return jnp.concatenate([hi, mid, r1 - mid], axis=1)
 
 
 def _trunc(x):
@@ -416,13 +410,11 @@ def _bounce_kernel(do_mis, num_lights, atlas_hw=None,
 
         def fetch_tri(safe_idx):
             rows = _select_rows(tri_ref, safe_idx,
-                                chunk=min(SELECT_CHUNK, tri_ref.shape[0]),
-                                presplit=True)
+                                chunk=min(SELECT_CHUNK, tri_ref.shape[0]))
             return lambda c: rows[c]
 
         def fetch_light(lidx):
-            rows = _select_rows(light_ref, lidx,
-                                chunk=light_ref.shape[0], presplit=True)
+            rows = _select_rows(light_ref, lidx, chunk=light_ref.shape[0])
             return lambda c: rows[c]
 
         override = None
@@ -500,11 +492,6 @@ def bounce_stage_pallas(
     n = rays.shape[1]
     nb = n // BN
     bidx = jnp.reshape(bounce_idx, (1,)).astype(jnp.int32)
-    # Exact-select preparation (see _select_rows): geometry/light tables
-    # are column-split into bf16-representable planes OUT here, so the
-    # kernel's one-hot dots are lossless WITHOUT in-kernel conversions.
-    tri_table = _presplit3(tri_table)
-    light_table = _presplit3(light_table)
 
     # 2D lane blocks (rows, BN): bitcast-compatible with the (rows, N)
     # layouts of the intersection kernels on both sides of this stage, so
