@@ -39,6 +39,10 @@ across rounds. The per-config lines cover BASELINE.json's five workloads:
                           large-100k walk config): the measured overhead
                           of the shard_map program structure — the
                           per-chip cost floor an 8-chip run inherits
+11. oracle-parity         ON-HARDWARE scalar-oracle arbitration of both
+                          bounce implementations (tools/oracle_onchip.py
+                          — the check that caught TWO Mosaic lowering
+                          skews in round 4; CPU suites cannot see them)
 
 Each line: {"metric": "mrays_per_sec", "value": N, "unit": "Mrays/s",
 "vs_baseline": N, "scene": ..., ...}. Select configs with
@@ -144,7 +148,8 @@ def main():
     )
 
     dev = str(jax.devices()[0])
-    sel = os.environ.get("BENCH_CONFIGS", "1,2,3,4,5,6,7,8,9,10,headline")
+    sel = os.environ.get("BENCH_CONFIGS",
+                         "1,2,3,4,5,6,7,8,9,10,11,headline")
     sel = {s.strip() for s in sel.split(",")}
 
     def _tunnel_rtt_ms(reps: int = 8) -> float:
@@ -476,6 +481,34 @@ def main():
             "device": dev,
         }
         print(json.dumps(line), flush=True)
+
+    if "11" in sel:
+        # On-hardware oracle parity (round-4 lesson made permanent): the
+        # compiled kernels are arbitrated against the scalar oracle every
+        # round, so a Mosaic lowering skew (interpret==hardware is a
+        # claim, not a fact) shows up as a failing bench line instead of
+        # surviving for rounds. Cornell keeps the oracle's scalar cost
+        # trivial; run tools/oracle_onchip.py glass by hand after kernel
+        # changes (its 11.8k-tri oracle pixels cost minutes).
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        import oracle_onchip as _O
+
+        res = _O.arbitrate("cornell", size=16, pixels=6, quiet=True)
+        line = {
+            "metric": "oracle_parity_ok",
+            "value": 1 if res["ok"] else 0,
+            "unit": "bool (on-hardware scalar-oracle arbitration)",
+            "vs_baseline": 1.0,
+            "scene": "oracle-parity",
+            **{k: res[k] for k in ("frac_divergent", "oracle_mismatch_xla",
+                                   "oracle_mismatch_pallas", "state_flips")},
+            "device": dev,
+        }
+        print(json.dumps(line), flush=True)
+        assert res["ok"], "on-hardware oracle arbitration FAILED"
 
     if "headline" in sel:
         r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=128))

@@ -30,12 +30,32 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def arbitrate(scene_name: str = "cornell", size: int = 16,
+              pixels: int = 6, quiet: bool = False) -> dict:
+    """Run the arbitration programmatically (bench.py config 11 uses the
+    fast cornell form every round). Returns
+    {"ok", "frac_divergent", "oracle_mismatch_xla",
+    "oracle_mismatch_pallas", "state_flips"}."""
+    import types
+
+    args = types.SimpleNamespace(scene=scene_name, size=size, pixels=pixels)
+    return _run(args, quiet=quiet)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("scene", nargs="?", default="cornell")
     ap.add_argument("--size", type=int, default=16)
     ap.add_argument("--pixels", type=int, default=6)
     args = ap.parse_args()
+    res = _run(args, quiet=False)
+    return 0 if res["ok"] else 1
+
+
+def _run(args, quiet: bool) -> dict:
+    def say(*a):
+        if not quiet:
+            print(*a)
 
     import jax
     import jax.numpy as jnp
@@ -74,9 +94,9 @@ def main() -> int:
     rad_x, st_x = np.asarray(rad_x), np.asarray(st_x)
     rad_p, st_p = np.asarray(rad_p), np.asarray(st_p)
     d = np.abs(rad_x - rad_p).max(axis=-1)
-    print(f"[{jax.default_backend()}] xla-vs-pallas: "
-          f"{int((d > 0.01).sum())}/{W*H} lanes differ >0.01, "
-          f"max {d.max():.4f}, state flips {int((st_x != st_p).sum())}")
+    say(f"[{jax.default_backend()}] xla-vs-pallas: "
+        f"{int((d > 0.01).sum())}/{W*H} lanes differ >0.01, "
+        f"max {d.max():.4f}, state flips {int((st_x != st_p).sum())}")
 
     from tests.oracle import Oracle
 
@@ -106,12 +126,15 @@ def main() -> int:
         ok_p = (not sync_p) or np.allclose(gp, exp, rtol=2e-3, atol=2e-3)
         bad_x += not ok_x
         bad_p += not ok_p
-        print(f"pixel ({px:3d},{py:3d}): oracle {exp.round(4)} "
-              f"xla {gx.round(4)}{'*' if ok_x else 'X'} "
-              f"pallas {gp.round(4)}{'*' if ok_p else 'X'} "
-              f"{'' if sync_x else '[xla-desync]'}"
-              f"{'' if sync_p else '[pallas-desync]'}")
+        say(f"pixel ({px:3d},{py:3d}): oracle {exp.round(4)} "
+            f"xla {gx.round(4)}{'*' if ok_x else 'X'} "
+            f"pallas {gp.round(4)}{'*' if ok_p else 'X'} "
+            f"{'' if sync_x else '[xla-desync]'}"
+            f"{'' if sync_p else '[pallas-desync]'}")
     frac = float((d > 0.01).mean())
+    res = {"ok": True, "frac_divergent": round(frac, 4),
+           "oracle_mismatch_xla": bad_x, "oracle_mismatch_pallas": bad_p,
+           "state_flips": int((st_x != st_p).sum())}
     if frac <= 0.10:
         # Razor-tie class: the two implementations are separate XLA
         # programs, so fusion/FMA placement differs and knife-edge
@@ -123,22 +146,23 @@ def main() -> int:
         # program's fusion matched its scalar evaluation, so scattered
         # one-off mismatches are expected here; a CONSISTENT one-sided
         # pattern on a large-divergence run is what signals a real skew.
-        print(f"PASS: implementations agree on {100*(1-frac):.1f}% of "
-              "lanes — residual is the razor-tie flip class, not a "
-              "systematic skew")
-        return 0
+        say(f"PASS: implementations agree on {100*(1-frac):.1f}% of "
+            "lanes — residual is the razor-tie flip class, not a "
+            "systematic skew")
+        return res
+    res["ok"] = False
     if bad_x or bad_p:
-        print(f"FAIL: {100*frac:.0f}% of lanes diverge AND the oracle "
-              f"sides against an implementation on state-synced pixels "
-              f"(xla {bad_x}, pallas {bad_p} of {args.pixels}) — "
-              "systematic hardware skew; the round-4 bf16 bug showed "
-              "exactly this signature (91% lanes, pallas mismatching "
-              "while xla matched)")
-        return 1
-    print(f"WARN: {100*frac:.0f}% of lanes diverge but every arbitrated "
-          "state-synced pixel matches the oracle in both — raise "
-          "--pixels and investigate")
-    return 1
+        say(f"FAIL: {100*frac:.0f}% of lanes diverge AND the oracle "
+            f"sides against an implementation on state-synced pixels "
+            f"(xla {bad_x}, pallas {bad_p} of {args.pixels}) — "
+            "systematic hardware skew; the round-4 bf16 bug showed "
+            "exactly this signature (91% lanes, pallas mismatching "
+            "while xla matched)")
+        return res
+    say(f"WARN: {100*frac:.0f}% of lanes diverge but every arbitrated "
+        "state-synced pixel matches the oracle in both — raise "
+        "--pixels and investigate")
+    return res
 
 
 if __name__ == "__main__":
