@@ -458,3 +458,22 @@ def test_pull_counters_empty():
 
     out = Renderer._pull_counters([])
     np.testing.assert_array_equal(out, np.zeros(2, np.int64))
+
+
+def test_pack_asserts_bf16_exact_atlas():
+    """pack_device_scene fails LOUDLY on an atlas that bypassed the
+    finalize_scene quantization choke point (models/assemble.py::
+    quantize_atlas) — a raw-f32 atlas would otherwise be silently
+    bf16-truncated per fetch on hardware only (round-4 exactness
+    invariant)."""
+    import pytest
+
+    from wgpu_path_tracing_tpu.models.procedural import textured_cornell
+    from wgpu_path_tracing_tpu.models.types import pack_device_scene
+
+    scene = _textured_cornell()
+    raw = scene.atlas.copy()
+    raw[0, 0, 0] = np.float32(0.1234567)  # not bf16-representable
+    scene.atlas = raw
+    with pytest.raises(ValueError, match="bf16-exact"):
+        pack_device_scene(scene)
