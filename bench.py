@@ -487,9 +487,12 @@ def main():
         # compiled kernels are arbitrated against the scalar oracle every
         # round, so a Mosaic lowering skew (interpret==hardware is a
         # claim, not a fact) shows up as a failing bench line instead of
-        # surviving for rounds. Cornell keeps the oracle's scalar cost
-        # trivial; run tools/oracle_onchip.py glass by hand after kernel
-        # changes (its 11.8k-tri oracle pixels cost minutes).
+        # surviving for rounds. BOTH scene classes run: cornell (cheap
+        # scalar oracle) AND glass — both round-4 Mosaic bugs manifested
+        # on glass's transmission lobe (pt.wgsl:586-614) while cornell
+        # measured exact on both paths, so cornell-only arbitration would
+        # have caught neither. Glass's 11.8k-tri Python oracle costs
+        # ~10 s/pixel; 4 pixels keeps the per-round cost bounded.
         import sys as _sys
 
         _sys.path.insert(0, os.path.join(os.path.dirname(
@@ -497,18 +500,24 @@ def main():
         import oracle_onchip as _O
 
         res = _O.arbitrate("cornell", size=16, pixels=6, quiet=True)
+        res_g = _O.arbitrate("glass", size=16, pixels=4, quiet=True)
         line = {
             "metric": "oracle_parity_ok",
-            "value": 1 if res["ok"] else 0,
+            "value": 1 if (res["ok"] and res_g["ok"]) else 0,
             "unit": "bool (on-hardware scalar-oracle arbitration)",
             "vs_baseline": 1.0,
             "scene": "oracle-parity",
             **{k: res[k] for k in ("frac_divergent", "oracle_mismatch_xla",
                                    "oracle_mismatch_pallas", "state_flips")},
+            **{f"glass_{k}": res_g[k]
+               for k in ("frac_divergent", "oracle_mismatch_xla",
+                         "oracle_mismatch_pallas", "state_flips")},
+            "glass_ok": 1 if res_g["ok"] else 0,
             "device": dev,
         }
         print(json.dumps(line), flush=True)
-        assert res["ok"], "on-hardware oracle arbitration FAILED"
+        assert res["ok"], "on-hardware oracle arbitration FAILED (cornell)"
+        assert res_g["ok"], "on-hardware oracle arbitration FAILED (glass)"
 
     if "headline" in sel:
         r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=128))
