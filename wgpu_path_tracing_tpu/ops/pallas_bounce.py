@@ -71,6 +71,25 @@ FAT_KERNEL_MAX_SETS = 8  # in-kernel map-set match cost is ~20 vreg ops
 # handful of sets that rivals the shading chain itself — bigger set
 # counts use EXTERNAL mode, whose XLA-side match is amortized differently
 
+# Round-5 structural levers on the exact-select cost (A/B'd on-chip, both
+# verified by tools/oracle_onchip.py on cornell AND glass — the round-4
+# rule: interpret==hardware is a claim, never an assumption):
+SELECT_FUSED = True  # ONE K=3*chunk dot (hi/mid/lo planes concatenated
+# along the CONTRACTION axis, one-hot replicated) replaces
+# (dot(hi)+dot(mid))+dot(lo). The split itself stays IN-KERNEL — this is
+# NOT the reverted round-4 presplit (which concatenated planes along the
+# COLUMN axis outside the kernel and re-broke multi-chunk on hardware).
+# Per-element accumulation order inside the MXU is K-ascending, so each
+# output element still computes (hi + mid) + lo with exact +0.0 terms
+# elsewhere — bit-identity verified by the CPU parity suite and on-chip
+# oracle arbitration.
+PRUNE_TRI_COLS = True  # prune the bounce tri table to the columns the
+# kernel's shading configuration actually reads (_used_tri_cols):
+# untextured scenes consume 29 of 52 TF_COLS (uv / rect / mat cols dead),
+# external-atlas scenes skip the 16 rect cols. Dead columns return
+# exact zeros from the accessor — their values feed only dead
+# intermediates (uv_u/uv_v on untextured paths), never radiance or RNG.
+
 
 def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK,
                  bf16_exact: bool = False):
@@ -124,10 +143,10 @@ def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK,
         onehot = (iota == idx2).astype(jnp.float32)
         slab = table_ref[pl.ds(base, chunk), :]
 
-        def dot(a):
+        def dot(a, oh=None):
             return jax.lax.dot_general(
                 a,
-                onehot,
+                onehot if oh is None else oh,
                 dimension_numbers=((([0]), ([0])), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -138,6 +157,12 @@ def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK,
         r1 = slab - hi
         mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
         lo = r1 - mid
+        if SELECT_FUSED:
+            # One K=3*chunk MXU pass; K-ascending accumulation keeps each
+            # element's sum (hi + mid) + lo exactly (see flag comment).
+            planes = jnp.concatenate([hi, mid, lo], axis=0)
+            oh3 = jnp.concatenate([onehot, onehot, onehot], axis=0)
+            return dot(planes, oh3)  # (C, 1024)
         return (dot(hi) + dot(mid)) + dot(lo)  # (C, 1024)
 
     if n_chunks == 1:
@@ -179,6 +204,37 @@ def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK,
 
     acc0 = jnp.zeros((cols, 1024), jnp.float32)
     return jax.lax.fori_loop(0, n_chunks, body, acc0).reshape(cols, 8, 128)
+
+
+def _used_tri_cols(atlas_hw, slots_used) -> tuple:
+    """The TF_* columns the kernel's shading configuration actually reads
+    (ops/shade.py::hit_attributes_from_cols + barycentrics_from_cols).
+
+    Geometry (v0/v1/v2, n0..n2) and the scalar material block
+    (base_color..transmission) are always consumed. UV columns feed only
+    the texture samplers and the normal-map tangent basis; atlas-rect
+    columns feed only the in-kernel samplers (per-slot: used slots' rects;
+    fat: all 16 for the map-set match) — EXTERNAL mode pre-gathers texels
+    XLA-side from the FULL tri_full table, so the kernel reads no rects.
+    TF_MAT is never read in-kernel. Pruning the select's dot to these
+    columns cannot change radiance or RNG: dead columns only ever reach
+    dead intermediates (e.g. uv_u/uv_v on untextured paths)."""
+    cols = list(range(T.TF_V0, T.TF_UV0))  # v0, v1, v2, n0, n1, n2
+    mode = None if atlas_hw is None else atlas_hw[2]
+    uv_needed = atlas_hw is not None and (
+        slots_used[3] if mode == "ext" else any(slots_used)
+    )
+    if uv_needed:
+        cols += list(range(T.TF_UV0, T.TF_UV0 + 6))
+    cols += list(range(T.TF_BASE_COLOR, T.TF_ALBEDO_RECT))
+    if mode == "fat":
+        cols += list(range(T.TF_ALBEDO_RECT, T.TF_COLS))
+    elif mode is not None and mode != "ext":
+        for k in range(4):
+            if slots_used[k]:
+                base = SHADE.SLOT_RECT_COLS[k]
+                cols += list(range(base, base + 4))
+    return tuple(sorted(cols))
 
 
 def _trunc(x):
@@ -341,7 +397,8 @@ def _gather_texels(scene, idx, ro3, rd3, slots_used):
 
 
 def _bounce_kernel(do_mis, num_lights, atlas_hw=None,
-                   slots_used=(True, True, True, True), has_lds=False):
+                   slots_used=(True, True, True, True), has_lds=False,
+                   tri_cols=None):
     def kernel(
         bounce_ref,  # scalar prefetch: (1,) int32
         *refs,
@@ -408,10 +465,26 @@ def _bounce_kernel(do_mis, num_lights, atlas_hw=None,
         t = row(t_ref, 0)
         idx = row(idx_ref, 0)
 
+        # PRUNE_TRI_COLS: the table carries only the columns this shading
+        # configuration reads (_used_tri_cols); the accessor maps original
+        # TF_* indices through the static tri_cols tuple. A pruned column
+        # returns exact zeros — by construction its value feeds only dead
+        # intermediates (never radiance or RNG), so parity is unchanged.
+        col_map = (None if tri_cols is None
+                   else {c: i for i, c in enumerate(tri_cols)})
+
         def fetch_tri(safe_idx):
             rows = _select_rows(tri_ref, safe_idx,
                                 chunk=min(SELECT_CHUNK, tri_ref.shape[0]))
-            return lambda c: rows[c]
+            if col_map is None:
+                return lambda c: rows[c]
+            zero = jnp.zeros((8, 128), jnp.float32)
+
+            def get(c):
+                i = col_map.get(c)
+                return zero if i is None else rows[i]
+
+            return get
 
         def fetch_light(lidx):
             rows = _select_rows(light_ref, lidx, chunk=light_ref.shape[0])
@@ -466,7 +539,7 @@ def _bounce_kernel(do_mis, num_lights, atlas_hw=None,
 @functools.partial(
     jax.jit,
     static_argnames=("do_mis", "num_lights", "atlas_hw", "slots_used",
-                     "interpret"),
+                     "interpret", "tri_cols"),
 )
 def bounce_stage_pallas(
     bounce_idx,
@@ -488,6 +561,7 @@ def bounce_stage_pallas(
     atlas_hw: tuple[int, int] | None = None,
     slots_used: tuple = (True, True, True, True),
     interpret: bool = False,
+    tri_cols: tuple | None = None,
 ):
     n = rays.shape[1]
     nb = n // BN
@@ -544,7 +618,7 @@ def bounce_stage_pallas(
     )
     outs = pl.pallas_call(
         _bounce_kernel(do_mis, num_lights, atlas_hw, slots_used,
-                       has_lds=lds is not None),
+                       has_lds=lds is not None, tri_cols=tri_cols),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((6, n), jnp.float32),
@@ -563,14 +637,17 @@ def bounce_stage_pallas(
     return list(outs)
 
 
-def prepare_tables(scene):
+def prepare_tables(scene, slots_used=(True, True, True, True)):
     """Pad the denormalized tables for in-VMEM residency. Returns
-    (tri_table (Tp, TF_COLS), light_table (Lp, LF_COLS),
+    (tri_table (Tp, C_used), light_table (Lp, LF_COLS),
     atlas_table (Hp, W*4 | FW*16) | None, atlas_hw | None,
-    fat_rects (S, 20) int32 | None), or None if the scene is too large for
-    the megakernel. atlas_hw[2] selects the sampling mode: "fat" (ONE
-    in-VMEM one-hot select serves all four slots), "ext" (XLA-side HBM
-    texel pre-gather), or False (per-slot in-VMEM one-hot selects)."""
+    fat_rects (S, 20) int32 | None, tri_cols), or None if the scene is too
+    large for the megakernel. atlas_hw[2] selects the sampling mode: "fat"
+    (ONE in-VMEM one-hot select serves all four slots), "ext" (XLA-side
+    HBM texel pre-gather), or False (per-slot in-VMEM one-hot selects).
+    ``tri_cols`` is the static tuple of original TF_* column indices kept
+    by the PRUNE_TRI_COLS pruning (_used_tri_cols) — the kernel's column
+    accessor maps through it; None means the full unpruned table."""
     tri = scene["tri_full"]
     if tri.shape[0] > MAX_VMEM_TRIS:
         return None
@@ -632,7 +709,14 @@ def prepare_tables(scene):
                 hp = -(-hp // SELECT_CHUNK) * SELECT_CHUNK
             atlas_p = jnp.pad(flat, ((0, hp - h), (0, 0)))
             atlas_hw = (h, w, False)
-    return tri_p, light_p, atlas_p, atlas_hw, fat_rects
+    tri_cols = None
+    if PRUNE_TRI_COLS:
+        tri_cols = _used_tri_cols(atlas_hw, slots_used)
+        if len(tri_cols) < tri_p.shape[1]:
+            tri_p = tri_p[:, list(tri_cols)]
+        else:
+            tri_cols = None  # nothing pruned; keep the identity accessor
+    return tri_p, light_p, atlas_p, atlas_hw, fat_rects, tri_cols
 
 
 def trace_pallas(
@@ -655,9 +739,10 @@ def trace_pallas(
     bounce-0 extension): (3, N) rows [lobe, r1, r2] substituted for the
     first bounce's three main BSDF draws inside the kernel — identical
     semantics to ops/trace.py's override (shared bounce_core)."""
-    tables = prepare_tables(scene)
+    tables = prepare_tables(scene, slots_used)
     assert tables is not None, "scene too large for the bounce megakernel"
-    tri_table, light_table, atlas_table, atlas_hw, fat_rects = tables
+    (tri_table, light_table, atlas_table, atlas_hw, fat_rects,
+     tri_cols) = tables
     if (atlas_hw is not None and atlas_hw[2] == "ext"
             and not any(slots_used)):
         atlas_hw = None  # textured flag set but no slot mapped anywhere
@@ -707,7 +792,7 @@ def trace_pallas(
             t[None, :], idx[None, :], tri_table, light_table, atlas_op,
             fat_rects, lds_p,
             do_mis=do_mis, num_lights=num_lights, atlas_hw=atlas_hw,
-            slots_used=slots_used, interpret=interpret,
+            slots_used=slots_used, interpret=interpret, tri_cols=tri_cols,
         )
         (rays, state_r, thr, res, alive,
          srays, stmax, smask, sdirect, spdf) = outs
