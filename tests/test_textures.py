@@ -285,12 +285,18 @@ def test_fat_atlas_gates():
             textured_cornell(atlas_size=32, congruent=True))
     finally:
         PB.FAT_VMEM_TEXELS = saved
-    # NEGATIVE uvs: the reference's sign-preserving %-wrap indexes
-    # backwards across rect boundaries, which the fat table cannot
-    # reproduce — gate must refuse
+    # NEGATIVE uvs bake since round 5: the set's grid doubles on the
+    # negative axis and the backward band carries the texels the
+    # sign-preserving %-wrap actually reads (neighboring rects/clamps) —
+    # gate must BAKE, with the interior origin shifted into the box
     sc = textured_cornell(atlas_size=256, congruent=True)
     sc.tri_uv0[0] = [-0.25, 0.5]
-    assert "atlas_fat" not in pack_device_scene(sc)
+    packed_neg = pack_device_scene(sc)
+    assert "atlas_fat" in packed_neg
+    rects = np.asarray(packed_neg["atlas_fat_rects"])
+    # the extended set's interior origin sits >= its grid width into the
+    # canvas (fx = box.x + lw), leaving room for the backward band
+    assert (rects[:, 16] >= rects[:, 18]).any()
     # TILED (non-negative, past 1.0) uvs are fat-safe since round 4:
     # every sampler path reduces u to fmod(u, 1) before indexing, so the
     # per-slot and fat paths see the same wrapped fraction — gate bakes
@@ -301,7 +307,7 @@ def test_fat_atlas_gates():
     assert "atlas_fat" in pack_device_scene(sc)
 
 
-def _assert_fat_matches_per_slot(packed, seed=7, tile=0):
+def _assert_fat_matches_per_slot(packed, seed=7, tile=0, neg=False):
     """Shared check: on texel-center uvs (away from the fat path's
     documented texel-boundary ulp class) the fat row fetch must reproduce
     the per-slot sample_atlas values EXACTLY (same texels, same
@@ -324,8 +330,9 @@ def _assert_fat_matches_per_slot(packed, seed=7, tile=0):
     uu = ((rng.integers(0, 128, n) + 0.5) / 128).astype(np.float32)
     vv = ((rng.integers(0, 128, n) + 0.5) / 128).astype(np.float32)
     if tile:
-        uu = uu + rng.integers(0, tile + 1, n).astype(np.float32)
-        vv = vv + rng.integers(0, tile + 1, n).astype(np.float32)
+        lo = -tile if neg else 0
+        uu = uu + rng.integers(lo, tile + 1, n).astype(np.float32)
+        vv = vv + rng.integers(lo, tile + 1, n).astype(np.float32)
     uu = jnp.asarray(uu)
     vv = jnp.asarray(vv)
 
@@ -371,6 +378,73 @@ def test_fat_atlas_tiled_uvs_match_per_slot():
     _assert_fat_matches_per_slot(pack_device_scene(sc), seed=13, tile=3)
 
 
+def test_fat_atlas_negative_uvs_match_per_slot():
+    """NEGATIVE uvs ride the fat path since round 5: the set's grid
+    doubles on the negative axis and the backward band bakes the
+    neighboring-rect/clamped texels the reference's sign-preserving
+    %-wrap reads (pt.wgsl:115-116) — so on texel-center uvs offset by
+    integers in [-3, 3] the fat fetch must reproduce the per-slot
+    sample_atlas values EXACTLY, including reads that land in OTHER
+    rects' texels and reads clamped at the atlas edge."""
+    from wgpu_path_tracing_tpu.models.procedural import textured_cornell
+
+    sc = textured_cornell(atlas_size=256, congruent=True)
+    # Mark EVERY material negative-uv on both axes so every map set
+    # extends (the test below pairs random uvs with random materials;
+    # at runtime only extended sets can see negative fractions, by the
+    # vertex-uv convexity argument in _build_fat_atlas's docstring).
+    sc.tri_uv0[:] = np.asarray(sc.tri_uv0) - 1.0
+    packed = pack_device_scene(sc)
+    assert "atlas_fat" in packed
+    _assert_fat_matches_per_slot(packed, seed=17, tile=3, neg=True)
+
+
+def test_fat_atlas_negative_uv_one_axis():
+    """Negative uvs on ONE axis extend only that axis of the grid."""
+    from wgpu_path_tracing_tpu.models.procedural import textured_cornell
+
+    sc = textured_cornell(atlas_size=256, congruent=True)
+    # every material u-negative, v non-negative
+    sc.tri_uv0[:] = np.asarray(sc.tri_uv0) - np.array([1.0, 0.0],
+                                                      np.float32)
+    packed = pack_device_scene(sc)
+    assert "atlas_fat" in packed
+    rng = np.random.default_rng(23)
+    # negative offsets on u only (v must stay in the baked [0,1) band)
+    from wgpu_path_tracing_tpu.ops import shade as SHADE
+    from wgpu_path_tracing_tpu.ops.gathers import fetch_rows
+
+    dev = jax.device_put(packed)
+    n = 256
+    nt = packed["tri_full"].shape[0]
+    idx = jnp.asarray(rng.integers(0, nt, n).astype(np.int32))
+    uu = ((rng.integers(0, 128, n) + 0.5) / 128
+          + rng.integers(-3, 1, n)).astype(np.float32)
+    vv = ((rng.integers(0, 128, n) + 0.5) / 128
+          + rng.integers(0, 4, n)).astype(np.float32)
+    uu, vv = jnp.asarray(uu), jnp.asarray(vv)
+
+    @jax.jit
+    def go():
+        row = fetch_rows(dev["tri_full"], idx)
+        get = lambda c: row[:, c]
+        quads_fat = SHADE.sample_atlas_fat(
+            dev["atlas_fat"], dev["atlas_fat_rects"], get, uu, vv)
+        quads_ref = []
+        for k in range(4):
+            rect = [get(SHADE.SLOT_RECT_COLS[k] + i) for i in range(4)]
+            quads_ref.append(SHADE.sample_atlas(
+                dev["atlas"], rect, uu, vv, SHADE.SLOT_FALLBACKS[k]))
+        return quads_fat, quads_ref
+
+    quads_fat, quads_ref = go()
+    for k in range(4):
+        for c in range(4):
+            np.testing.assert_array_equal(
+                np.asarray(quads_fat[k][c]), np.asarray(quads_ref[k][c]),
+                err_msg=f"slot {k} channel {c}")
+
+
 def test_fat_atlas_nondivisible_lcm_grid():
     """A genuinely NON-divisible map set (96^2 pbr against 128^2 albedo)
     bakes onto the lcm(96,128)=384 virtual grid — values must still match
@@ -396,22 +470,31 @@ def test_fat_atlas_larger_later_slot():
 
 
 @pytest.mark.parametrize("variant",
-                         ["congruent", "mixedres", "nondivisible"])
+                         ["congruent", "mixedres", "nondivisible",
+                          "neguv"])
 def test_fat_atlas_trace_parity(variant):
     """Full-trace parity on the fat path: the XLA trace and the Pallas
     external bounce must agree exactly on RNG streams and to FMA ulps on
     radiance (both consume shade.sample_atlas_fat, so texel choice is
-    identical by construction) — on congruent, mixed-resolution, AND
-    non-divisible (LCM virtual grid) map sets."""
+    identical by construction) — on congruent, mixed-resolution,
+    non-divisible (LCM virtual grid), AND negative-uv (round-5 backward
+    band) map sets."""
     from wgpu_path_tracing_tpu.models.procedural import textured_cornell
     from wgpu_path_tracing_tpu.ops.pallas_bounce import (
         prepare_tables,
         trace_pallas,
     )
 
-    sc = textured_cornell(atlas_size=256, congruent=variant == "congruent")
+    sc = textured_cornell(
+        atlas_size=256,
+        congruent=variant in ("congruent", "neguv"),
+    )
     if variant == "nondivisible":
         sc.mat_pbr_rect[0] = [128, 0, 96, 96]
+    if variant == "neguv":
+        # Real negative interpolated uvs at runtime: every material's
+        # uv0 shifted below zero engages the backward band.
+        sc.tri_uv0[:] = np.asarray(sc.tri_uv0) - 1.0
     scene = jax.device_put(pack_device_scene(sc))
     assert "atlas_fat" in scene
     tables = prepare_tables(scene)

@@ -278,17 +278,6 @@ def _build_fat_atlas(scene: "SceneArrays", atlas: np.ndarray):
     [16 atlas-rect values in SLOT_RECT_COLS order | fx, fy, lw, lh], the
     runtime match table shade.sample_atlas_fat folds over — or None (fat
     mode disabled, per-slot sampling used) unless ALL of:
-      * no textured triangle carries a NEGATIVE uv. Non-negative uvs —
-        including tiled uvs past 1.0, round 4 — are fat-safe: every
-        sampler path first reduces u to f = fmod(u, 1.0) in [0, 1)
-        (shade.sample_atlas / sample_atlas_fat, the in-kernel
-        u - trunc(u) twins), and the SAME f feeds both the per-slot and
-        the virtual-rect index math, so the floor identity that makes
-        the bake texel-exact applies to tiled uvs unchanged. NEGATIVE
-        uvs are the one sign-dependent case: the reference's
-        sign-preserving %-wrap (pt.wgsl:115-116) then indexes BACKWARDS
-        across rect boundaries into neighboring textures' texels, which
-        a relative-offset canvas cannot reproduce,
       * all rects in-bounds, and canvas/set-count budgets respected,
       * for SMALL atlases (within the in-VMEM bounce sampler bound) the
         fat canvas and set count must also fit the IN-KERNEL fat sampler
@@ -302,6 +291,22 @@ def _build_fat_atlas(scene: "SceneArrays", atlas: np.ndarray):
     scenes gained the bake in round 3: the bounce ablation measured the
     per-slot in-kernel samplers at ~27% of the kernel EACH (linear in
     calls), and the fat table collapses them into ONE one-hot select.
+
+    NEGATIVE uvs (round 5) no longer disable the bake: the reference's
+    sign-preserving %-wrap (pt.wgsl:115-116) reduces every uv to
+    f = fmod(u, 1.0) in (-1, 1), so a map set whose triangles carry a
+    negative vertex uv on an axis allocates a DOUBLED grid on that axis
+    (interior origin at +lw/+lh) and bakes the backward band with the
+    texels the per-slot math reads for f < 0: per LCM cell j in
+    [-lw, -1], the per-slot index floor(clip(kx + f*kw, 0, w-1)) is
+    constant over the cell and equals clip(kx + j // (lw//kw), 0, w-1)
+    (no integer lies strictly inside (j/m, (j+1)/m), and the 0-clip
+    cannot straddle a cell since kx*m is an integer) — i.e. the
+    neighboring-rect texels the reference's backward read actually
+    fetches, reproduced on the canvas. Vertex-uv sign is a sound
+    trigger: barycentric weights are non-negative for hits, so all
+    non-negative vertex uvs imply non-negative interpolated uvs (only
+    the already-documented boundary-epsilon ulp class excepted).
     """
     import math
 
@@ -314,31 +319,48 @@ def _build_fat_atlas(scene: "SceneArrays", atlas: np.ndarray):
     # One entry per DISTINCT map set: materials sharing all four rects
     # share texels, hence one virtual rect.
     sets: dict = {}
-    textured_mat_ids = []
+    mat_set_key: dict = {}
     for m in mats:
         rs = tuple(tuple(int(v) for v in tab[m]) for tab in rect_tables)
         nonempty = [r for r in rs if r[2] > 0 and r[3] > 0]
         if not nonempty:
             continue
-        textured_mat_ids.append(int(m))
+        mat_set_key[int(m)] = rs
         for (rx, ry, rw, rh) in nonempty:
             if rx < 0 or ry < 0 or rx + rw > w or ry + rh > h:
                 return None
         if rs not in sets:
             lw = math.lcm(*(r[2] for r in nonempty))
             lh = math.lcm(*(r[3] for r in nonempty))
-            sets[rs] = {"w": lw, "h": lh, "x": 0, "y": 0}
+            sets[rs] = {"w": lw, "h": lh, "x": 0, "y": 0,
+                        "lw": lw, "lh": lh, "ox": 0, "oy": 0}
     if not sets:
         return None
     if len(sets) > FAT_ATLAS_MAX_SETS:
         return None
-    tex_tris = np.isin(np.asarray(scene.tri_mat), textured_mat_ids)
-    for uv in (scene.tri_uv0, scene.tri_uv1, scene.tri_uv2):
-        u = np.asarray(uv)[tex_tris]
-        if u.size and (u < 0.0).any():  # tiled (u > 1) uvs are fat-safe
-            return None
-    # Pack the LCM grids onto one canvas (the same potpack the texture
-    # atlas itself uses, gltf.py:283 — mutates x/y in place).
+    # Per-set negative-uv flags (per axis): a negative VERTEX uv on any
+    # triangle of the set's materials doubles the set's grid on that axis
+    # and shifts the interior origin (see docstring — fmod keeps runtime
+    # f in (-1, 1), so one backward band always suffices).
+    tri_mat_arr = np.asarray(scene.tri_mat)
+    uvs = (np.asarray(scene.tri_uv0), np.asarray(scene.tri_uv1),
+           np.asarray(scene.tri_uv2))
+    for m, rs in mat_set_key.items():
+        tris = tri_mat_arr == m
+        if not tris.any():
+            continue
+        box = sets[rs]
+        for uv in uvs:
+            sel = uv[tris]
+            if (sel[:, 0] < 0.0).any() and not box["ox"]:
+                box["ox"] = box["lw"]
+                box["w"] = 2 * box["lw"]
+            if (sel[:, 1] < 0.0).any() and not box["oy"]:
+                box["oy"] = box["lh"]
+                box["h"] = 2 * box["lh"]
+    # Pack the (possibly extended) grids onto one canvas (the same
+    # potpack the texture atlas itself uses, gltf.py:283 — mutates x/y
+    # in place).
     from wgpu_path_tracing_tpu.models.gltf import potpack
 
     boxes = list(sets.values())
@@ -365,18 +387,30 @@ def _build_fat_atlas(scene: "SceneArrays", atlas: np.ndarray):
     fat[:] = np.array([c for fb in SLOT_FALLBACKS for c in fb], np.float32)
     rect_rows = np.zeros((len(sets), 20), np.float32)
     for s, (rs, box) in enumerate(sets.items()):
-        fx, fy, lw, lh = box["x"], box["y"], box["w"], box["h"]
+        lw, lh, ox, oy = box["lw"], box["lh"], box["ox"], box["oy"]
+        # Interior origin: the [0, 1) uv band starts ox/oy cells into the
+        # allocated box; the backward band (negative uvs) occupies
+        # [-ox, 0) x [-oy, 0) relative cells.
+        fx, fy = box["x"] + ox, box["y"] + oy
         rect_rows[s, :16] = [v for r in rs for v in r]
         rect_rows[s, 16:] = (fx, fy, lw, lh)
         for k, (kx, ky, kw, kh) in enumerate(rs):
             if kw > 0 and kh > 0:
-                # Nearest-downsample onto the LCM grid: grid cell (j, i)
-                # carries slot texel (j // (lh//kh), i // (lw//kw)) —
-                # np.repeat by the integer step realizes exactly that.
-                fat[fy:fy + lh, fx:fx + lw, 4 * k:4 * k + 4] = np.repeat(
-                    np.repeat(atlas[ky:ky + kh, kx:kx + kw, :],
-                              lh // kh, axis=0),
-                    lw // kw, axis=1)
+                # Grid cell (i, j) (relative to the interior origin,
+                # j in [-ox, lw)) carries the per-slot texel the
+                # reference's index math reads for uv fraction
+                # f = j/lw: clip(kx + j // (lw//kw), 0, w-1) — for the
+                # interior this is the nearest-downsample floor identity;
+                # for the backward band it reproduces the neighboring-
+                # rect / clamped texels of the sign-preserving %-wrap
+                # (constant per cell — see docstring).
+                jj = np.arange(-ox, lw)
+                ii = np.arange(-oy, lh)
+                ix = np.clip(kx + jj // (lw // kw), 0, w - 1)
+                iy = np.clip(ky + ii // (lh // kh), 0, h - 1)
+                fat[fy - oy:fy + lh, fx - ox:fx + lw, 4 * k:4 * k + 4] = (
+                    atlas[np.ix_(iy, ix)]
+                )
     return fat, rect_rows
 
 
