@@ -110,6 +110,54 @@ def _bench_sustained(r, spp: int, reps: int = 32):
     return rays / elapsed / 1e6, elapsed / reps, rays
 
 
+def _device_busy_ms(run_once, reps: int):
+    """Reproducible device-busy via xprof (VERDICT r4 item 5): trace
+    ``reps`` invocations of ``run_once`` (which must END SYNCED), merge
+    overlapping X-phase event intervals on the TPU pid, and return busy
+    ms per invocation. Unlike wall-clock through the tunnel (±20-700%
+    across runs of identical code — the config-1/9 'weather'), this
+    measured 3 reps identical to ±0.001 ms, so cross-round deltas are
+    code, not tunnel."""
+    import glob
+    import gzip
+    import shutil
+
+    import jax
+
+    d = "/tmp/bench_busy_trace"
+    shutil.rmtree(d, ignore_errors=True)  # stale traces SUM (verify skill)
+    run_once(reps)  # warm: compiles land outside the trace
+    with jax.profiler.trace(d):
+        run_once(reps)
+    spans = []
+    for path in glob.glob(d + "/plugins/profile/*/*.trace.json.gz"):
+        with gzip.open(path, "rt") as f:
+            data = json.load(f)
+        ev = data.get("traceEvents", [])
+        tpu_pids = {
+            e.get("pid")
+            for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+            and "TPU" in e.get("args", {}).get("name", "")
+        }
+        spans.extend(
+            (e["ts"], e["ts"] + e.get("dur", 0.0))
+            for e in ev
+            if e.get("ph") == "X" and e.get("pid") in tpu_pids
+        )
+    spans.sort()
+    busy = 0.0
+    end = -1.0
+    for s, e in spans:
+        if s > end:
+            busy += e - s
+            end = e
+        elif e > end:
+            busy += e - end
+            end = e
+    return busy / 1e3 / reps
+
+
 def _emit(name, mrays, wall, rays, spp, extra=None):
     line = {
         "metric": "mrays_per_sec",
@@ -181,16 +229,36 @@ def main():
         r.load_scene(cornell_box())
         mrays0, wall0, _ = _bench_renderer(r, spp=8)
         mrays, wall, rays = _bench_sustained(r, spp=8)
-        # This config is dispatch-latency-DOMINATED (device busy is
-        # ~1.8 ms/chunk): the same-process tunnel RTT is emitted so
-        # cross-round comparison can separate tunnel weather from real
-        # regressions (BASELINE.md documents the 60-133 band).
-        _emit("cornell-128-nomis", mrays, wall, rays, 8,
-              {"device": dev,
-               "basis": "sustained (32 pipelined 8-spp chunks, one sync)",
-               "from_scratch_mrays": round(mrays0, 3),
-               "from_scratch_wall_s": round(wall0, 3),
-               "tunnel_rtt_ms": round(_tunnel_rtt_ms(), 1)})
+
+        # This config is dispatch-latency-DOMINATED, so its wall-clock
+        # throughput is tunnel weather (measured 49.5-133 Mrays/s across
+        # runs of IDENTICAL code). The primary value is therefore the
+        # xprof device-busy per 8-spp chunk — reproducible to ±0.001 ms —
+        # with the throughput numbers kept as extras (VERDICT r4 item 5;
+        # the reference separates GPU pass time from CPU FPS for the
+        # same reason, profiler.ts:112-125).
+        def _run1(reps):
+            for _ in range(reps):
+                r.render(spp=8, fetch=False, sync=False)
+            r.stats()  # syncs the chain
+
+        busy = _device_busy_ms(_run1, 16)
+        line = {
+            "metric": "device_busy_ms_per_chunk",
+            "value": round(busy, 3),
+            "unit": "ms per 8-spp chunk (xprof, merged X intervals)",
+            "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+            "scene": "cornell-128-nomis",
+            "spp": 8,
+            "sustained_mrays": round(mrays, 3),
+            "sustained_wall_s": round(wall, 3),
+            "rays_total": rays,
+            "from_scratch_mrays": round(mrays0, 3),
+            "from_scratch_wall_s": round(wall0, 3),
+            "tunnel_rtt_ms": round(_tunnel_rtt_ms(), 1),
+            "device": dev,
+        }
+        print(json.dumps(line), flush=True)
 
     if "2" in sel:
         r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=64))
@@ -430,12 +498,24 @@ def main():
             ri.render(spp=1, fetch=False, sync=False)
         rays = ri.stats()["rays_total"] - before  # stats() syncs
         sustained = reps / (time.perf_counter() - t0)
+
+        # Primary value = xprof device-busy per 1-spp frame (the fps
+        # number measured 44.9-336.2 across runs of identical code —
+        # pure tunnel weather; busy reproduces to ±0.001 ms). fps and
+        # motion-to-frame stay as extras (VERDICT r4 item 5).
+        def _run9(reps_):
+            for _ in range(reps_):
+                ri.render(spp=1, fetch=False, sync=False)
+            ri.stats()
+
+        busy = _device_busy_ms(_run9, 16)
         line = {
-            "metric": "interactive_fps_256",
-            "value": round(sustained, 1),
-            "unit": "fps (sustained, pipelined 1-spp chunks)",
+            "metric": "interactive_device_busy_ms_per_frame",
+            "value": round(busy, 3),
+            "unit": "ms per 1-spp 256^2 frame (xprof, merged X intervals)",
             "vs_baseline": round(sustained / 60.0, 3),
             "scene": "interactive-256",
+            "sustained_fps": round(sustained, 1),
             "motion_to_frame_ms": round(m2f_ms, 1),
             "tunnel_rtt_ms": round(rtt, 1),
             "rays_per_frame": int(rays // reps),
