@@ -267,6 +267,57 @@ def atrous_filter(
     return out
 
 
+@jax.jit
+def variance_blend(raw, filt, strength=1.0, k_cap=1.0):
+    """Per-pixel raw/filtered blend weight (round 5, VERDICT r4 item 7).
+
+    The filter carries a ~0.017-RMSE bias floor, so raw accumulation
+    overtakes it past ~512 spp — a preview-only denoiser. The
+    MSE-motivated fix: blend ``out = filt + k*(raw - filt)`` with
+    k = bias^2 / (bias^2 + sigma^2) per pixel, estimating
+      sigma^2 — the raw estimate's noise — by the 3x3 spatial luminance
+        variance of the raw image (the same SVGF no-history estimator
+        atrous_filter seeds from; it shrinks ~1/spp as accumulation
+        converges),
+      bias^2  — the filter's systematic error — by
+        max(smoothed (lum(filt)-lum(raw))^2 - sigma^2, 0)
+        (E[(filt-raw)^2] ~ bias^2 + sigma^2).
+    So k = clip(1 - strength*sigma^2/d^2, 0, k_cap): low spp ->
+    d^2 ~ sigma^2 -> k~0 (trust the filter); high spp -> sigma^2 -> 0,
+    d^2 -> bias^2 -> k~1 (trust raw). ``k_cap`` (callers pass
+    spp/(spp+128) when spp is known) bounds k where the 3x3 spatial
+    sigma estimator is unreliable — at low spp the DoF noise is
+    heavy-tailed and sigma^2 biases LOW, overtrusting raw. On-chip
+    sweep (cornell ap25, vs 2048-spp golden, round 5):
+      spp    raw     filter-only  blend(cap128)
+      16     .0763   .0174        .0184
+      64     .0436   .0125        .0129
+      256    .0220   .0107        .0098
+      1024   .0086   .0099 (LOSES to raw)  .0082 (wins)
+    — the filter's bias floor no longer loses past ~512 spp, at ~6% RMSE
+    cost at 16 spp. strength>1 variants REJECTED: c=2/4 lose to raw at
+    1024 spp (.0087/.0091 vs .0086). Returns the blended image.
+    """
+    H, W = raw.shape[0], raw.shape[1]
+    lr = _luminance(raw)
+    lf = _luminance(filt)
+    ones = jnp.ones((3, 3), jnp.float32) / 9.0
+    lp = _pad2(lr, 1)
+    dp = _pad2((lf - lr) * (lf - lr), 1)
+    m1 = jnp.zeros_like(lr)
+    m2 = jnp.zeros_like(lr)
+    d2 = jnp.zeros_like(lr)
+    for dy in range(3):
+        for dx in range(3):
+            sl = lp[dy:dy + H, dx:dx + W]
+            m1 = m1 + ones[dy, dx] * sl
+            m2 = m2 + ones[dy, dx] * sl * sl
+            d2 = d2 + ones[dy, dx] * dp[dy:dy + H, dx:dx + W]
+    var = jnp.maximum(m2 - m1 * m1, 0.0)
+    k = jnp.clip(1.0 - strength * var / jnp.maximum(d2, 1e-12), 0.0, k_cap)
+    return filt + k[..., None] * (raw - filt)
+
+
 def denoise_image(
     color_hwc: np.ndarray,
     aovs: dict,
@@ -275,13 +326,20 @@ def denoise_image(
     sigma_normal: float = 128.0,
     sigma_depth: float = 1.0,
     sigma_lum: float = 4.0,
+    blend: bool = True,
+    spp: int | None = None,
 ) -> np.ndarray:
     """Denoise a linear HDR (H, W, 3) buffer using primary-hit guides.
 
     Albedo-demodulated filtering: illumination = color / max(albedo,
     DEMOD_EPS) is filtered (texture detail is in the guide, not the
     signal), then remodulated — so albedo/texture edges survive even
-    where the other guides are flat.
+    where the other guides are flat. ``blend`` (default on, round 5)
+    applies the per-pixel variance-guided raw/filtered mix
+    (variance_blend) so converged regions fall back to raw and the
+    filter's bias floor no longer loses to raw accumulation at high spp;
+    pass ``spp`` (Renderer.denoise does) to cap the raw weight by
+    spp/(spp+128) where the spatial noise estimator is unreliable.
     """
     H, W, _ = color_hwc.shape
     alb = np.asarray(aovs["albedo"], np.float32).reshape(H, W, 3)
@@ -290,10 +348,14 @@ def denoise_image(
     dep = jnp.asarray(np.asarray(aovs["depth"], np.float32).reshape(H, W))
     fnd = jnp.asarray(np.asarray(aovs["found"], bool).reshape(H, W))
     guide = np.maximum(alb, DEMOD_EPS)
-    illum = jnp.asarray(color_hwc.astype(np.float32) / guide)
+    raw = jnp.asarray(color_hwc.astype(np.float32))
+    illum = raw / guide
     filt = atrous_filter(
         illum, nrm, dep, fnd,
         levels=levels, sigma_normal=sigma_normal,
         sigma_depth=sigma_depth, sigma_lum=sigma_lum,
-    )
-    return np.asarray(filt) * guide
+    ) * guide
+    if blend:
+        k_cap = 1.0 if not spp else spp / (spp + 128.0)
+        filt = variance_blend(raw, filt, 1.0, k_cap)
+    return np.asarray(filt)

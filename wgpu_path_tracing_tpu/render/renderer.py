@@ -643,6 +643,7 @@ class Renderer:
                 self.config.height, self.config.width, 3)
         from wgpu_path_tracing_tpu.ops import denoise as DN
 
+        params.setdefault("spp", self.frame_index)
         return DN.denoise_image(hdr, self.aovs(), **params)
 
     def render_adaptive(self, spp: int, **kw) -> np.ndarray:
