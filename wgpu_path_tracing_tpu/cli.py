@@ -91,6 +91,15 @@ def _load_scene_arg(r, args) -> None:
             r.camera.position = np.asarray(
                 REPLICA_CAMERA_POSITION, np.float32
             )
+    elif args.scene == "atrium":
+        # The sponza-stand-in gallery scene (models/gallery.py).
+        from wgpu_path_tracing_tpu.models.gallery import gallery_atrium
+
+        r.load_scene(gallery_atrium())
+        if list(args.cam_pos) == [0.0, 1.0, 2.8]:  # argparse default
+            import numpy as np
+
+            r.camera.position = np.asarray([0.0, 2.4, 3.0], np.float32)
     else:
         r.load_model(args.scene)
 
@@ -240,9 +249,13 @@ def cmd_export(args) -> int:
         scene = textured_cornell()
     elif args.scene == "material-box":
         scene = material_test_box()
+    elif args.scene == "atrium":
+        from wgpu_path_tracing_tpu.models.gallery import gallery_atrium
+
+        scene = gallery_atrium()
     else:
         print(f"unknown scene: {args.scene!r} (expected cornell | "
-              "cornell-replica | textured | material-box)")
+              "cornell-replica | textured | material-box | atrium)")
         return 2
     blob = scene_to_glb(scene)
     with open(args.output, "wb") as f:
