@@ -42,7 +42,12 @@ across rounds. The per-config lines cover BASELINE.json's five workloads:
 11. oracle-parity         ON-HARDWARE scalar-oracle arbitration of both
                           bounce implementations (tools/oracle_onchip.py
                           — the check that caught TWO Mosaic lowering
-                          skews in round 4; CPU suites cannot see them)
+                          skews in round 4; CPU suites cannot see them),
+                          on BOTH cornell and glass since round 5
+12. gallery-atrium        sponza-stand-in (models/gallery.py): ~116k-tri
+                          colonnaded atrium, 12 materials / 7 texture map
+                          sets — walk + external fat-atlas gather on a
+                          production-class scene
 
 Each line: {"metric": "mrays_per_sec", "value": N, "unit": "Mrays/s",
 "vs_baseline": N, "scene": ..., ...}. Select configs with
@@ -197,7 +202,7 @@ def main():
 
     dev = str(jax.devices()[0])
     sel = os.environ.get("BENCH_CONFIGS",
-                         "1,2,3,4,5,6,7,8,9,10,11,headline")
+                         "1,2,3,4,5,6,7,8,9,10,11,12,headline")
     sel = {s.strip() for s in sel.split(",")}
 
     def _tunnel_rtt_ms(reps: int = 8) -> float:
@@ -337,6 +342,17 @@ def main():
         r5.load_scene(sc5)
         assert "atlas_fat" in r5._scene_dev, "tiled-uv fat did not engage"
         mrays5, _, _ = _bench_renderer(r5, spp=64)
+        # NEGATIVE uvs ride fat mode since round 5 (per-axis doubled
+        # grids bake the %-wrap's backward band — models/types.py): the
+        # last texture cliff (these dropped to the ~15 Mrays/s per-slot
+        # path through round 4).
+        sc6 = textured_cornell(atlas_size=512, congruent=True)
+        sc6.tri_uv0[:] = np.asarray(sc6.tri_uv0) - 1.0
+        r6 = Renderer(RenderConfig(width=512, height=512,
+                                   frames_per_chunk=64))
+        r6.load_scene(sc6)
+        assert "atlas_fat" in r6._scene_dev, "negative-uv fat did not engage"
+        mrays6, _, _ = _bench_renderer(r6, spp=64)
         # The per-slot gather fallback (now reached only past the LCM
         # budget / out-of-[0,1] uvs) stays measured, not hidden: force it
         # by zeroing the bake budget.
@@ -358,6 +374,7 @@ def main():
                "mixedres_mrays": round(mrays2, 3),
                "nondivisible_mrays": round(mrays3, 3),
                "tileduv_mrays": round(mrays5, 3),
+               "neguv_mrays": round(mrays6, 3),
                "perslot_mrays": round(mrays4, 3)})
 
     if "7" in sel:
@@ -393,6 +410,17 @@ def main():
                                      intersector="pairs"))
         r2mp.load_scene(cornell_box(tessellation=243))
         mrays_2mp, _, _ = _bench_renderer(r2mp, spp=2, warmup_spp=2)
+        # Past BOTH paged-walk ceilings (int16 leaf-group order encoding
+        # and the SMEM meta bound land together at ~3.3M tris,
+        # TODO.md r5-handoff item 4): the pair dispatch is the unbounded
+        # capability fallback. Record a ~4M-tri point every round so the
+        # >3M regime carries a NUMBER (VERDICT r4 item 9; reference bar:
+        # buildBVH accepts arbitrary scenes, bvh.ts:53).
+        r4m = Renderer(RenderConfig(width=64, height=64,
+                                    frames_per_chunk=1,
+                                    intersector="pairs"))
+        r4m.load_scene(cornell_box(tessellation=345))  # ~4.0M tris
+        mrays_4m, _, _ = _bench_renderer(r4m, spp=1, warmup_spp=1)
         # Record the ACTUAL auto-selected strategies (expected walk_hbm
         # at both sizes) so a selection regression shows in the numbers
         # instead of crashing the bench mid-run.
@@ -402,7 +430,9 @@ def main():
                "tris_2m_mrays": round(mrays_2m, 3),
                "tris_2m_tris": r2m.scene.num_triangles,
                "tris_2m_intersector": r2m.stats()["intersector"],
-               "pairs_2m_mrays": round(mrays_2mp, 3)})
+               "pairs_2m_mrays": round(mrays_2mp, 3),
+               "pairs_4m_mrays": round(mrays_4m, 3),
+               "pairs_4m_tris": r4m.scene.num_triangles})
 
     if "8" in sel:
         # Equal-QUALITY basis (extension: ops/denoise.py +
@@ -598,6 +628,28 @@ def main():
         print(json.dumps(line), flush=True)
         assert res["ok"], "on-hardware oracle arbitration FAILED (cornell)"
         assert res_g["ok"], "on-hardware oracle arbitration FAILED (glass)"
+
+    if "12" in sel:
+        # Gallery / sponza-stand-in (VERDICT r4 item 8): the reference's
+        # production demo GLB (sponza.glb) is stripped from the mirror,
+        # so a procedural colonnaded atrium of the same CLASS stands in:
+        # ~116k tris, 12 materials over 7 texture map sets (mixed-res
+        # albedo/PBR/normal), multiple area lights — the wide-BVH walk +
+        # EXTERNAL fat-atlas gather + denoiser, end to end. The gallery
+        # image is rendered by tools/render_gallery.py and committed
+        # under docs/gallery/.
+        from wgpu_path_tracing_tpu.models.gallery import gallery_atrium
+
+        rg = Renderer(RenderConfig(width=512, height=512,
+                                   frames_per_chunk=8, frames_per_trace=8))
+        rg.load_scene(gallery_atrium())
+        rg.camera.position = np.array([0.0, 2.4, 3.0], np.float32)
+        assert "atlas_fat" in rg._scene_dev, "gallery fat atlas missing"
+        mrays, wall, rays = _bench_renderer(rg, spp=8, warmup_spp=8)
+        _emit("gallery-atrium", mrays, wall, rays, 8,
+              {"device": dev, "tris": rg.scene.num_triangles,
+               "intersector": rg.stats()["intersector"],
+               "map_sets": int(rg._scene_dev["atlas_fat_rects"].shape[0])})
 
     if "headline" in sel:
         r = Renderer(RenderConfig(width=512, height=512, frames_per_chunk=128))
