@@ -618,10 +618,12 @@ def main():
             "vs_baseline": 1.0,
             "scene": "oracle-parity",
             **{k: res[k] for k in ("frac_divergent", "oracle_mismatch_xla",
-                                   "oracle_mismatch_pallas", "state_flips")},
+                                   "oracle_mismatch_pallas",
+                                   "shared_oracle_mismatch", "state_flips")},
             **{f"glass_{k}": res_g[k]
                for k in ("frac_divergent", "oracle_mismatch_xla",
-                         "oracle_mismatch_pallas", "state_flips")},
+                         "oracle_mismatch_pallas",
+                         "shared_oracle_mismatch", "state_flips")},
             "glass_ok": 1 if res_g["ok"] else 0,
             "device": dev,
         }

@@ -110,7 +110,7 @@ def _run(args, quiet: bool) -> dict:
     }
     oracle = Oracle(scene, cam_np, W, H)
     order = np.argsort(-d)[: args.pixels]
-    bad_x = bad_p = 0
+    bad_x = bad_p = shared_bad = 0
     for lane in order:
         px, py = int(lane % W), int(lane // W)
         exp = np.asarray(oracle.render_pixel(px, py, 0), np.float32)
@@ -126,6 +126,12 @@ def _run(args, quiet: bool) -> dict:
         ok_p = (not sync_p) or np.allclose(gp, exp, rtol=2e-3, atol=2e-3)
         bad_x += not ok_x
         bad_p += not ok_p
+        # BOTH state-synced and BOTH off the oracle: the shared-skew
+        # signature (a bug in code both implementations share — e.g. a
+        # vectorization error in ops/shade.py — diverges from the scalar
+        # oracle without the two implementations diverging from each
+        # other, so frac_divergent cannot see it).
+        shared_bad += (not ok_x) and (not ok_p)
         say(f"pixel ({px:3d},{py:3d}): oracle {exp.round(4)} "
             f"xla {gx.round(4)}{'*' if ok_x else 'X'} "
             f"pallas {gp.round(4)}{'*' if ok_p else 'X'} "
@@ -134,7 +140,19 @@ def _run(args, quiet: bool) -> dict:
     frac = float((d > 0.01).mean())
     res = {"ok": True, "frac_divergent": round(frac, 4),
            "oracle_mismatch_xla": bad_x, "oracle_mismatch_pallas": bad_p,
+           "shared_oracle_mismatch": shared_bad,
            "state_flips": int((st_x != st_p).sum())}
+    if shared_bad >= max(3, args.pixels // 2):
+        # Round-5 tightening: a single-sided oracle flip on a razor-tie
+        # pixel is the expected class (scalar-vs-fused FMA placement),
+        # but BOTH implementations off the oracle on half the arbitrated
+        # state-synced pixels means the shared code disagrees with the
+        # reference semantics — the oracle is the judge, not the pair.
+        res["ok"] = False
+        say(f"FAIL: {shared_bad}/{args.pixels} arbitrated pixels have "
+            "BOTH implementations state-synced yet off the oracle — "
+            "shared-code skew (frac_divergent cannot see this class)")
+        return res
     if frac <= 0.10:
         # Razor-tie class: the two implementations are separate XLA
         # programs, so fusion/FMA placement differs and knife-edge
