@@ -669,8 +669,20 @@ def main():
         img = r.image()
         assert not np.isnan(img).any()
         mrays = stats["rays_total"] / elapsed / 1e6
+
+        # Stable companion number (same rationale as configs 1/9): xprof
+        # device-busy per 128-spp chunk, reproducible to ~0.1% where the
+        # tunnel wall carries a ±20% band.
+        def _runh(reps):
+            for _ in range(reps):
+                r.render(spp=128, fetch=False, sync=False)
+            r.stats()
+
+        busy = _device_busy_ms(_runh, 2)
         _emit("cornell-512x512", mrays, elapsed, stats["rays_total"], 512,
-              {"wall_clock_512spp_s": round(elapsed, 3), "device": dev})
+              {"wall_clock_512spp_s": round(elapsed, 3),
+               "device_busy_ms_per_128spp_chunk": round(busy, 1),
+               "device": dev})
 
 
 if __name__ == "__main__":
