@@ -149,3 +149,33 @@ def test_renderer_denoise_leaves_default_path_intact(cornell_renderer):
     tv = lambda im: float(np.abs(np.diff(im, axis=0)).mean()
                           + np.abs(np.diff(im, axis=1)).mean())
     assert tv(dn) < tv(raw_before)
+
+
+def test_variance_blend_asymptotics():
+    """The round-5 raw/filtered mix (DN.variance_blend): on a NOISY
+    input whose filtered twin removed the noise, the blend must side
+    with the filter (k ~ 0: d^2 ~ sigma^2); on a CONVERGED input whose
+    "filter" introduced a systematic bias, it must side with raw
+    (sigma^2 ~ 0 while d^2 = bias^2 > 0)."""
+    rng = np.random.default_rng(5)
+    h = w = 32
+    truth = np.full((h, w, 3), 0.5, np.float32)
+
+    # Low-spp regime: raw = truth + noise, filt = truth.
+    noisy = truth + rng.normal(0, 0.2, truth.shape).astype(np.float32)
+    out = np.asarray(DN.variance_blend(noisy, truth))
+    err_blend = float(np.abs(out - truth).mean())
+    err_raw = float(np.abs(noisy - truth).mean())
+    assert err_blend < 0.25 * err_raw, (err_blend, err_raw)
+
+    # Converged regime: raw = truth (no noise), filt carries a smooth
+    # bias — the blend must recover ~raw, not keep the bias.
+    yy = np.linspace(0, 1, h, dtype=np.float32)[:, None, None]
+    biased = truth + 0.1 * yy
+    out2 = np.asarray(DN.variance_blend(truth, biased))
+    err2 = float(np.abs(out2 - truth).mean())
+    assert err2 < 0.02, err2
+
+    # k_cap bounds the raw weight: with cap 0 the output IS the filter.
+    out3 = np.asarray(DN.variance_blend(truth, biased, 1.0, 0.0))
+    np.testing.assert_allclose(out3, biased, atol=1e-6)
