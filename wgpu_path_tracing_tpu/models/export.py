@@ -40,14 +40,19 @@ def scene_to_glb(scene) -> bytes:
     accessors: list[dict] = []
     offset = 0
 
-    def add_blob(arr: np.ndarray, target: int) -> int:
+    def add_blob(arr: np.ndarray, target: int | None) -> int:
         nonlocal offset
-        raw = _align4(np.ascontiguousarray(arr).tobytes(), b"\x00")
-        bin_parts.append(raw)
-        buffer_views.append(
-            {"buffer": 0, "byteOffset": offset, "byteLength": len(raw),
-             "target": target})
-        offset += len(raw)
+        raw = arr if isinstance(arr, bytes) else np.ascontiguousarray(
+            arr).tobytes()
+        padded = _align4(raw, b"\x00")
+        bin_parts.append(padded)
+        # byteLength is the UNPADDED payload (image decoders read exactly
+        # this many bytes); the alignment zeros live between views.
+        view = {"buffer": 0, "byteOffset": offset, "byteLength": len(raw)}
+        if target is not None:
+            view["target"] = target
+        buffer_views.append(view)
+        offset += len(padded)
         return len(buffer_views) - 1
 
     def add_accessor(arr: np.ndarray, ctype: int, type_: str,
@@ -60,6 +65,48 @@ def scene_to_glb(scene) -> bytes:
             acc["max"] = [float(x) for x in arr.max(axis=0)]
         accessors.append(acc)
         return len(accessors) - 1
+
+    # Texture export (round 5): each material's nonzero atlas rects are
+    # cropped out of SceneArrays.atlas and embedded as PNG images, so
+    # `cli export atrium` writes a REAL multi-texture production GLB the
+    # loader (models/gltf.py::build_atlas) re-ingests through its normal
+    # per-material image path. Albedo crops are sRGB-encoded (the loader
+    # applies the reference's 8-bit pow-2.2 decode, atlas.ts:143-149);
+    # other slots round-trip raw u8/255. Values re-quantize through two
+    # 8-bit steps and the loader's 0.5 texture_pixel_ratio resize — a
+    # normal-asset round trip, not the bit-exact geometry one.
+    atlas = getattr(scene, "atlas", None)
+    textured = atlas is not None and (atlas.shape[0] > 1
+                                      or atlas.shape[1] > 1)
+    images_json: list[dict] = []
+    textures_json: list[dict] = []
+    tex_cache: dict = {}
+
+    def add_texture(rect, srgb: bool) -> int | None:
+        rx, ry, rw, rh = (int(v) for v in rect)
+        if rw <= 0 or rh <= 0 or not textured:
+            return None
+        key = (rx, ry, rw, rh, srgb)
+        if key in tex_cache:
+            return tex_cache[key]
+        import io
+
+        from PIL import Image
+
+        crop = np.clip(np.asarray(atlas, np.float32)[ry:ry + rh,
+                                                     rx:rx + rw], 0.0, 1.0)
+        if srgb:
+            crop = crop.copy()
+            crop[..., 0:3] = np.power(crop[..., 0:3], 1.0 / 2.2)
+        u8 = np.clip(np.rint(crop * 255.0), 0, 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(u8, "RGBA").save(buf, "PNG")
+        view = add_blob(buf.getvalue(), None)
+        images_json.append({"bufferView": view, "mimeType": "image/png",
+                            "name": f"tex_{rx}_{ry}"})
+        textures_json.append({"source": len(images_json) - 1})
+        tex_cache[key] = len(textures_json) - 1
+        return tex_cache[key]
 
     primitives = []
     materials_json = []
@@ -88,6 +135,21 @@ def scene_to_glb(scene) -> bytes:
             },
             "emissiveFactor": [*map(float, np.clip(emis, 0.0, 1.0))],
         }
+        if textured:
+            ti = add_texture(scene.mat_albedo_rect[m], srgb=True)
+            if ti is not None:
+                mat_json["pbrMetallicRoughness"]["baseColorTexture"] = {
+                    "index": ti}
+            ti = add_texture(scene.mat_pbr_rect[m], srgb=False)
+            if ti is not None:
+                mat_json["pbrMetallicRoughness"][
+                    "metallicRoughnessTexture"] = {"index": ti}
+            ti = add_texture(scene.mat_normal_rect[m], srgb=False)
+            if ti is not None:
+                mat_json["normalTexture"] = {"index": ti}
+            ti = add_texture(scene.mat_emissive_rect[m], srgb=False)
+            if ti is not None:
+                mat_json["emissiveTexture"] = {"index": ti}
         ext = {}
         if es != 1.0:
             ext["KHR_materials_emissive_strength"] = {"emissiveStrength": es}
@@ -205,6 +267,9 @@ def scene_to_glb(scene) -> bytes:
         "bufferViews": buffer_views,
         "buffers": [{"byteLength": len(bin_chunk)}],
     }
+    if images_json:
+        gltf["images"] = images_json
+        gltf["textures"] = textures_json
     if lights_json:
         gltf["extensions"] = {"KHR_lights_punctual": {"lights": lights_json}}
         gltf["extensionsUsed"] = ["KHR_lights_punctual"]
