@@ -56,6 +56,38 @@ def test_pallas_bounce_mid_size_scene():
     )
 
 
+def test_pallas_bounce_many_chunk_select(monkeypatch):
+    """The widened touch mask (round 5): with SELECT_CHUNK shrunk so the
+    table spans > 32 chunks (multiple mask words + dynamic word
+    indexing, incl. the sign-bit 31 read), the select must stay
+    bit-identical to the XLA path."""
+    import wgpu_path_tracing_tpu.ops.pallas_bounce as PB
+
+    monkeypatch.setattr(PB, "SELECT_CHUNK", 16)  # 852 tris -> 54 chunks
+    # bounce_stage_pallas is a module-level jit and this scene's shapes
+    # may already be cached with the default chunk (the monkeypatch-A/B
+    # trap, CLAUDE.md) — force a retrace.
+    jax.clear_caches()
+    sc = cornell_box(tessellation=5)
+    scene = jax.device_put(pack_device_scene(sc))
+    cam = camera_device(Camera(width=W, height=H).as_pytree(), W, H)
+    x, y = CAM.pixel_grid(W, H)
+    ro, rd, state = CAM.generate_rays(cam, x, y, jnp.int32(0), use_dof=True)
+    ch = make_closest_hit(scene, "brute", 4096, 4)
+    rad_x, st_x, _ = TRACE.trace(
+        scene, ch, ro, rd, state,
+        max_bounces=3, do_mis=True, num_lights=sc.num_lights,
+    )
+    rad_p, st_p, _ = trace_pallas(
+        scene, ch, ro, rd, state,
+        max_bounces=3, do_mis=True, num_lights=sc.num_lights, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(st_x), np.asarray(st_p))
+    np.testing.assert_allclose(
+        np.asarray(rad_x), np.asarray(rad_p), rtol=1e-5, atol=1e-6
+    )
+
+
 @pytest.mark.parametrize("do_mis", [True, False])
 def test_pallas_bounce_bit_identical(setup, do_mis):
     sc, scene, ch, ro, rd, state = setup

@@ -44,7 +44,14 @@ from wgpu_path_tracing_tpu.ops import vec
 from wgpu_path_tracing_tpu.ops.vec import V3
 
 BN = 1024
-SELECT_CHUNK = 512  # one-hot select chunk over table rows
+SELECT_CHUNK = 256  # one-hot select chunk over table rows. Round-5
+# on-chip sweep on glass (the only multi-chunk bench scene; same
+# process, widened touch mask): 512 -> 6.36/6.37, 256 -> 6.44, 128 ->
+# 6.41 Mrays/s — finer gating buys ~1%; most chunks stay touched by a
+# 1024-ray block's scattered winners, so the residual exact-select cost
+# (~8.7% measured by an inexact-1-dot timing A/B) is MAC-bound on
+# touched chunks, not gating-bound. Tables <= 256 rows (headline
+# cornell, small atlases) stay single-chunk — programs unchanged.
 
 MAX_VMEM_TRIS = 16384  # denormalized table stays VMEM-small (~3 MB); the
 # one-hot fetch cost grows with rows but still beats the XLA bounce's HBM
@@ -169,41 +176,47 @@ def _select_rows(table_ref, idx, chunk: int = SELECT_CHUNK,
         return part_of(0).reshape(cols, 8, 128)
 
     # Multi-chunk tables (big scenes): winner indices are BVH-ordered, so
-    # a ray block's hits cluster in FEW chunks. One packed touch word
-    # (vector reduces, back-to-back) gates each chunk's iota+dot behind a
+    # a ray block's hits cluster in FEW chunks. Packed touch words
+    # (vector reduces, back-to-back) gate each chunk's iota+dot behind a
     # lax.cond — a skipped chunk contributes exactly the +0.0 its all-zero
     # one-hot rows would have (bit-identical, verified on-chip; glass
-    # 8.71 -> 8.34 s same-process).
-    if n_chunks > 32:
-        # The touch word is one int32 (bit 31 = the sign bit still works;
-        # a shift count >= 32 does not). At the current caps
-        # (MAX_VMEM_TRIS=16384, UNTILED_ATLAS_TEXELS=128^2, chunk=512)
-        # n_chunks is at most exactly 32 — raising either cap past a
-        # 16384-row table needs a wider touch mask here first, or chunks
-        # >= 32 would be silently skipped (zero rows, wrong radiance).
-        raise ValueError(
-            f"_select_rows: {n_chunks} chunks exceed the 32-bit touch "
-            "mask; widen the gating mask before raising MAX_VMEM_TRIS / "
-            "UNTILED_ATLAS_TEXELS"
-        )
+    # 8.71 -> 8.34 s same-process). Round 5 widened the mask from one
+    # int32 word to ceil(n_chunks/32) words so chunk sizes below
+    # rows/32 are legal (bit 31 via sign bit + arithmetic shift still
+    # reads correctly: (w >> 31) & 1).
     cidx = idx2 // chunk
-    touch = jnp.int32(0)
-    for c in range(n_chunks):
-        touch = touch | (
-            (jnp.sum((cidx == c).astype(jnp.int32)) > 0).astype(jnp.int32)
-            << c
-        )
+    words = []
+    for w in range((n_chunks + 31) // 32):
+        tw = jnp.int32(0)
+        for b in range(min(32, n_chunks - 32 * w)):
+            c = 32 * w + b
+            tw = tw | (
+                (jnp.sum((cidx == c).astype(jnp.int32)) > 0)
+                .astype(jnp.int32) << b
+            )
+        words.append(tw)
 
-    def body(ci, acc):
-        return jax.lax.cond(
-            ((touch >> ci) & 1) != 0,
-            lambda a: a + part_of(ci),
-            lambda a: a,
-            acc,
-        )
+    # One fori_loop per 32-chunk word, the word a STATIC closure operand:
+    # Mosaic does not lower dynamic_slice (a traced touch[ci // 32] fails
+    # on hardware — interpret mode accepts it, the usual trap), but a
+    # scalar shift by a traced amount lowers fine. n_words == 1
+    # reproduces the old single-word program shape.
+    acc = jnp.zeros((cols, 1024), jnp.float32)
+    for w, word in enumerate(words):
+        lo = 32 * w
+        hi = min(lo + 32, n_chunks)
 
-    acc0 = jnp.zeros((cols, 1024), jnp.float32)
-    return jax.lax.fori_loop(0, n_chunks, body, acc0).reshape(cols, 8, 128)
+        def body(ci, a, word=word, lo=lo):
+            bit = (word >> (ci - lo)) & 1
+            return jax.lax.cond(
+                bit != 0,
+                lambda x: x + part_of(ci),
+                lambda x: x,
+                a,
+            )
+
+        acc = jax.lax.fori_loop(lo, hi, body, acc)
+    return acc.reshape(cols, 8, 128)
 
 
 def _used_tri_cols(atlas_hw, slots_used) -> tuple:
