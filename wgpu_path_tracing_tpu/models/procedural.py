@@ -23,29 +23,53 @@ from wgpu_path_tracing_tpu.models.types import SceneArrays
 
 def _quad(p0, p1, p2, p3, tess: int = 1):
     """CCW triangles for quad p0-p1-p2-p3 (normal by right-hand rule),
-    optionally tessellated into a tess x tess grid (2·tess² triangles)."""
+    optionally tessellated into a tess x tess grid (2·tess² triangles).
+
+    Vectorized since round 5 — the old per-cell Python loops cost 99 s
+    for the bench's 4M-tri scene — but BIT-IDENTICAL to them: every f64
+    expression keeps the scalar code's exact association
+    ((p·(1-u))·(1-v), the left-assoc 4-term sum, i/tess division), and
+    the (i-major, j, tri-pair) emission order is preserved, so BVH
+    builds, goldens, and parity streams are unchanged
+    (tests/test_procedural_vec.py pins equality against the scalar
+    reference). Returns (tris (K, 3, 3) f64, uvs (K, 3, 2) f64, n) —
+    rows iterate exactly like the old per-triangle tuples."""
     p0, p1, p2, p3 = (np.asarray(p, np.float64) for p in (p0, p1, p2, p3))
     n = np.cross(p1 - p0, p3 - p0)
     n = n / np.linalg.norm(n)
-    tris, uvs = [], []
-    for i in range(tess):
-        for j in range(tess):
-            u0, u1 = i / tess, (i + 1) / tess
-            v0_, v1_ = j / tess, (j + 1) / tess
+    e = np.arange(tess + 1, dtype=np.float64) / tess
+    u0 = e[:-1][:, None, None]  # (tess, 1, 1) — i-major
+    u1 = e[1:][:, None, None]
+    v0 = e[:-1][None, :, None]  # (1, tess, 1)
+    v1 = e[1:][None, :, None]
 
-            def pt(u, v):
-                return (
-                    p0 * (1 - u) * (1 - v)
-                    + p1 * u * (1 - v)
-                    + p2 * u * v
-                    + p3 * (1 - u) * v
-                )
+    def pt(u, v):
+        # Same association as the scalar original: (p*(1-u))*(1-v) etc.,
+        # summed left to right.
+        t0 = (p0 * (1.0 - u)) * (1.0 - v)
+        t1 = (p1 * u) * (1.0 - v)
+        t2 = (p2 * u) * v
+        t3 = (p3 * (1.0 - u)) * v
+        return ((t0 + t1) + t2) + t3  # (tess, tess, 3)
 
-            a, b, c, d = pt(u0, v0_), pt(u1, v0_), pt(u1, v1_), pt(u0, v1_)
-            tris.append((a, b, c))
-            uvs.append(((u0, v0_), (u1, v0_), (u1, v1_)))
-            tris.append((a, c, d))
-            uvs.append(((u0, v0_), (u1, v1_), (u0, v1_)))
+    a = pt(u0, v0)
+    b = pt(u1, v0)
+    c = pt(u1, v1)
+    d = pt(u0, v1)
+    tris = np.stack(
+        [np.stack([a, b, c], axis=2), np.stack([a, c, d], axis=2)], axis=2
+    ).reshape(-1, 3, 3)  # (i, j, pair) order == the old append order
+
+    def uv(u, v):
+        return np.stack(
+            [np.broadcast_to(u[..., 0], (tess, tess)),
+             np.broadcast_to(v[..., 0], (tess, tess))], axis=-1)
+
+    ua, ub, uc, ud = uv(u0, v0), uv(u1, v0), uv(u1, v1), uv(u0, v1)
+    uvs = np.stack(
+        [np.stack([ua, ub, uc], axis=2), np.stack([ua, uc, ud], axis=2)],
+        axis=2,
+    ).reshape(-1, 3, 2)
     return tris, uvs, n
 
 
@@ -124,19 +148,20 @@ def cornell_box(
                      tess=ts):
         quads.append((face, short_mat))
 
-    v0, v1, v2, n0, n1, n2, uv0, uv1, uv2, mat = [], [], [], [], [], [], [], [], [], []
-    for (tris, uvs, n), m in quads:
-        for (a, b, c), (ua, ub, uc) in zip(tris, uvs):
-            v0.append(a)
-            v1.append(b)
-            v2.append(c)
-            n0.append(n)
-            n1.append(n)
-            n2.append(n)
-            uv0.append(ua)
-            uv1.append(ub)
-            uv2.append(uc)
-            mat.append(m)
+    # Concatenated assembly (bench scenes reach 4M tris; per-triangle
+    # Python appends cost minutes there). Values and order match the old
+    # append loop exactly: _quad returns (K, 3, 3)/(K, 3, 2) rows in the
+    # same emission order, and the f64 -> f32 cast happens at the same
+    # single point (np.array(..., f32) == .astype(f32) rounding).
+    T = np.concatenate([np.asarray(t) for (t, u, n), m in quads])
+    U = np.concatenate([np.asarray(u) for (t, u, n), m in quads])
+    v0, v1, v2 = T[:, 0], T[:, 1], T[:, 2]
+    uv0, uv1, uv2 = U[:, 0], U[:, 1], U[:, 2]
+    n0 = np.concatenate(
+        [np.broadcast_to(n, (len(t), 3)) for (t, u, n), m in quads])
+    n1 = n2 = n0
+    mat = np.concatenate(
+        [np.full(len(t), m, np.int32) for (t, u, n), m in quads])
 
     f32 = np.float32
     # Materials: diffuse walls use metallic 0, roughness 1
